@@ -1,0 +1,57 @@
+"""Deterministic docID assignment (SURVEY §2.4 E2).
+
+Lucene assigns per-segment docIDs by arrival order; our engine needs a
+deterministic, dense, 0-based ``doc_id`` over the corpus keyed by
+``(repo, path, commit)`` so that rebuilds (and resumed builds) produce
+byte-identical postings.
+
+Two strategies:
+
+- ``global_sort`` — ``row_number() OVER (ORDER BY keys)``: exact global
+  key order, but a single-task sort; only for test scale.
+- ``bucketed`` (default) — scale path with no global sort:
+  1. bucket = ``pmod(xxhash64(keys), B)`` (deterministic, no sampling —
+     unlike ``repartitionByRange`` whose boundaries are sampled and
+     thus nondeterministic);
+  2. rows sorted by key within each bucket, numbered;
+  3. bucket offsets = cumulative bucket counts (tiny B-row collect);
+  4. ``doc_id = offset[bucket] + local_rank``.
+  Dense, deterministic, one shuffle; doc order is (bucket, key) — a
+  fixed total order, just not global key order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
+                   mode: str = "bucketed", buckets: int = 256) -> DataFrame:
+    keys = keys or [k for k in KEY_COLS if k in df.columns]
+    if not keys:
+        keys = [df.columns[0]]
+    if mode == "global_sort":
+        w = Window.orderBy(*[F.col(k) for k in keys])
+        return df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)) \
+        .cast("int").alias("_bucket")
+    b = df.withColumn("_bucket", bucket)
+    counts = {r["_bucket"]: r["cnt"] for r in
+              b.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for i in range(buckets):
+        offsets[i] = acc
+        acc += counts.get(i, 0)
+    off_df = b.sparkSession.createDataFrame(
+        [(i, offsets[i]) for i in range(buckets)], "_bucket INT, _offset LONG")
+    w = Window.partitionBy("_bucket").orderBy(*[F.col(k) for k in keys])
+    return (
+        b.withColumn("_rank", F.row_number().over(w) - F.lit(1))
+        .join(F.broadcast(off_df), "_bucket")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_rank")).cast("long"))
+        .drop("_bucket", "_rank", "_offset")
+    )

@@ -1,0 +1,234 @@
+"""Index storage: layout, manifest, lineage, resumable build
+(SURVEY §4.3 "resumable checkpoints" — north-rule requirement).
+
+On-disk layout (parquet everywhere; Iceberg-ready — same schemas):
+
+  <index_dir>/
+    meta.json           build lineage + global stats (N, avgdl, cfg,
+                        dict fingerprint, source, build_id)
+    manifest.json       per-shard checkpoint: rows/bytes/digest/status
+    docmap/             doc_id, repo, path, commit, lang, content_sha256
+    docstats/           doc_id, dl
+    termstats/          term, df, cf  (query planning + idf)
+    segments/shard=K/   encoded posting blocks, sorted by
+                        (term, salt, block_seq) within files
+
+The index is document-partitioned: ``shard`` is a fixed doc_id range
+shared by all terms, so each shard holds complete postings for its
+docs (queries run shard-parallel with no cross-shard traffic), and the
+shard is also the resume/checkpoint granularity — a crashed build
+restarts and recomputes only missing shards. Every stage is
+deterministic (no sampled partitioners, seeded generators), so a
+resumed index is byte-identical to a single-shot build.
+
+Within shard files, rows sorted by term -> parquet row-group min/max
+stats prune term lookups at query time (predicate pushdown).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import with_sha256
+from .docids import assign_doc_ids
+from .indexer import (build_doc_stats, build_postings, encode_segments,
+                      tokenize_corpus)
+from .synonyms import SynonymDict
+from .tokenizer import TokenizerConfig
+
+DEFAULT_SHARDS = 8
+
+
+@dataclass
+class IndexMeta:
+    build_id: str
+    n_docs: int
+    avgdl: float
+    n_shards: int
+    k1: float
+    b: float
+    cfg: dict
+    dict_fingerprint: str | None
+    source: str
+    store_positions: bool
+    created_utc: float
+
+
+def _digest_expr():
+    return F.expr(
+        "bit_xor(xxhash64(term, salt, block_seq, first_doc, last_doc, "
+        "n_docs, max_tf, sum_tf, doc_bytes, tf_bytes, dl_bytes))"
+    ).alias("digest")
+
+
+class IndexStore:
+    def __init__(self, path: str):
+        self.path = Path(path)
+
+    # ---------- metadata ----------
+    def meta(self) -> IndexMeta:
+        return IndexMeta(**json.loads((self.path / "meta.json").read_text()))
+
+    def _write_meta(self, meta: IndexMeta) -> None:
+        self.path.mkdir(parents=True, exist_ok=True)
+        (self.path / "meta.json").write_text(json.dumps(asdict(meta), indent=1))
+
+    def manifest(self) -> dict:
+        p = self.path / "manifest.json"
+        return json.loads(p.read_text()) if p.exists() else {"shards": {}}
+
+    def _write_manifest(self, m: dict) -> None:
+        (self.path / "manifest.json").write_text(json.dumps(m, indent=1))
+
+    def completed_shards(self) -> set[int]:
+        return {int(k) for k, v in self.manifest()["shards"].items()
+                if v.get("status") == "done"}
+
+    # ---------- readers ----------
+    def segments(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.path / "segments"))
+
+    def docstats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.path / "docstats"))
+
+    def termstats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.path / "termstats"))
+
+    def docmap(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(str(self.path / "docmap"))
+
+
+def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
+                cfg: TokenizerConfig | None = None,
+                syn: SynonymDict | None = None,
+                k1: float = 1.2, b: float = 0.75,
+                n_shards: int = DEFAULT_SHARDS,
+                store_positions: bool = True,
+                target_postings_per_task: int = 1 << 20,
+                docid_mode: str = "bucketed",
+                source: str = "<dataframe>",
+                resume: bool = True) -> IndexStore:
+    """End-to-end resumable index build.
+
+    Stage A (docmap + docstats + meta), then stage B (segments shard by
+    shard, recorded in the manifest with rows/bytes/digest lineage).
+    On restart with ``resume``, completed shards are skipped.
+    """
+    cfg = cfg or TokenizerConfig()
+    store = IndexStore(out_dir)
+    seg_dir = str(store.path / "segments")
+
+    manifest = store.manifest() if resume else {"shards": {}}
+    done = {int(k) for k, v in manifest["shards"].items()
+            if v.get("status") == "done"}
+    meta_exists = (store.path / "meta.json").exists()
+
+    tokens = None
+    if meta_exists and resume:
+        meta = store.meta()
+        n_docs, avgdl = meta.n_docs, meta.avgdl
+    else:
+        # ---- stage A ----
+        docs = assign_doc_ids(with_sha256(corpus), mode=docid_mode).persist()
+        keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
+                            "content_sha256"] if c in docs.columns]
+        docs.select(*keep).write.mode("overwrite") \
+            .parquet(str(store.path / "docmap"))
+
+        tokens = tokenize_corpus(docs, cfg, syn).persist()
+        build_doc_stats(tokens).write.mode("overwrite") \
+            .parquet(str(store.path / "docstats"))
+
+        n_docs = docs.count()
+        row = spark.read.parquet(str(store.path / "docstats")) \
+            .agg(F.avg("dl").alias("avgdl")).collect()[0]
+        avgdl = float(row["avgdl"] or 1.0)
+        meta = IndexMeta(
+            build_id=uuid.uuid4().hex, n_docs=n_docs, avgdl=avgdl,
+            n_shards=n_shards, k1=k1, b=b,
+            cfg={"n": cfg.n, "delimiters": cfg.delimiters,
+                 "expand": cfg.expand, "ignore_case": cfg.ignore_case},
+            dict_fingerprint=syn.fingerprint() if syn else None,
+            source=source, store_positions=store_positions,
+            created_utc=time.time())
+        store._write_meta(meta)
+        docs.unpersist()
+
+    # ---- stage B: segments per shard ----
+    missing = [k for k in range(n_shards) if k not in done]
+    if missing:
+        if tokens is None:
+            # resume path: recompute tokens deterministically
+            docs = assign_doc_ids(with_sha256(corpus), mode=docid_mode)
+            tokens = tokenize_corpus(docs, cfg, syn)
+        postings = build_postings(tokens, store_positions=store_positions)
+        doc_stats = spark.read.parquet(str(store.path / "docstats"))
+        segs = encode_segments(
+            postings, doc_stats, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
+            n_shards=n_shards,
+            target_postings_per_task=target_postings_per_task)
+        if len(missing) < n_shards:
+            segs = segs.filter(F.col("shard").isin(missing))
+        (segs.repartition(max(len(missing), 1), "shard")
+             .sortWithinPartitions("term", "salt", "block_seq")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard").parquet(seg_dir))
+
+        # checkpoint: per-shard rows/bytes/digest lineage
+        stats = (spark.read.parquet(seg_dir)
+                 .filter(F.col("shard").isin(missing))
+                 .groupBy("shard")
+                 .agg(F.count("*").alias("rows"),
+                      (F.sum(F.length("doc_bytes")) +
+                       F.sum(F.length("tf_bytes")) +
+                       F.sum(F.length("dl_bytes"))).alias("bytes"),
+                      _digest_expr())
+                 .collect())
+        found = set()
+        for r in stats:
+            found.add(int(r["shard"]))
+            manifest["shards"][str(int(r["shard"]))] = {
+                "status": "done", "rows": int(r["rows"]),
+                "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+                "build_id": store.meta().build_id}
+        for k in missing:
+            if k not in found:  # shard legitimately empty
+                manifest["shards"][str(k)] = {
+                    "status": "done", "rows": 0, "bytes": 0, "digest": 0,
+                    "build_id": store.meta().build_id}
+        store._write_manifest(manifest)
+        if hasattr(tokens, "unpersist"):
+            tokens.unpersist()
+
+    # ---- termstats (small idempotent job) ----
+    ts_dir = store.path / "termstats"
+    if not ts_dir.exists() or missing:
+        (spark.read.parquet(seg_dir)
+         .groupBy("term")
+         .agg(F.sum("n_docs").cast("long").alias("df"),
+              F.sum("sum_tf").alias("cf"))
+         .write.mode("overwrite").parquet(str(ts_dir)))
+    return store
+
+
+def verify_content_sha(spark: SparkSession, corpus: DataFrame,
+                       store: IndexStore) -> int:
+    """Per-row invariant vs the source (north rule): every (key, sha256)
+    in the docmap matches a fresh hash of the source. Returns mismatch
+    count (0 = pass)."""
+    keys = [c for c in ["repo", "path", "commit"] if c in corpus.columns]
+    src = with_sha256(corpus).select(*keys,
+                                     F.col("content_sha256").alias("src_sha"))
+    dm = store.docmap(spark).select(*keys, "content_sha256")
+    joined = dm.join(src, keys, "left")
+    return joined.filter(
+        (F.col("src_sha").isNull()) |
+        (F.col("src_sha") != F.col("content_sha256"))).count()

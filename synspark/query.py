@@ -1,0 +1,401 @@
+"""Query engine: synonym-expanded n-gram queries -> BM25 top-k
+(SURVEY §2.4 E8-E11).
+
+Scoring contract (defines the engine's truth; the naive DataFrame
+scorer is the in-repo oracle and the WAND path must be rank-identical):
+
+- The query text is analyzed with the index analyzer (same tokenizer
+  code path, driver-side — reference SynonymPluginTest.java:636-638).
+  Tokens group by Lucene position (cumsum of posInc); each position is
+  a group of alternative terms (stacked synonyms + boundary partials).
+- Per group p: df_p = max df over alternatives (Lucene SynonymQuery
+  blending); tf_p(doc) = sum of the alternatives' tfs in the doc.
+- idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+  score(doc) = sum_p idf_p * tf_p/(tf_p + k1*(1-b+b*dl/avgdl)).
+- mode="and": doc must match every group (conjunctive, the
+  match_phrase-shaped semantics of the reference fixtures);
+  mode="or": disjunctive (classic WAND setting).
+- phrase=True additionally verifies positional adjacency
+  (MultiPhraseQuery semantics) using the stored positions.
+- Rank determinism: (score DESC, doc_id ASC), float64 end-to-end.
+
+Execution: the index is document-sharded; the WAND runner processes
+shards in parallel (applyInPandas over shard groups), each worker
+holding only the query terms' blocks for its shard — self-contained
+(dl is embedded in blocks), no shuffle beyond the tiny top-k union.
+Block-max pruning: docs are swept in windows; a window is decoded only
+if sum_p idf_p*max(block max_tfnorm) can beat the running kth score.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import decode_block, decode_positions, varint_decode
+from .index_store import IndexStore
+from .synonyms import SynonymDict
+from .tokenizer import TokenizerConfig, tokenize
+
+WAND_WINDOW = 4096  # docs per pruning window
+
+
+# --------------------------------------------------------------------
+# query analysis (E8)
+# --------------------------------------------------------------------
+
+def analyze_query(text: str, cfg: TokenizerConfig,
+                  syn: SynonymDict | None) -> list[list[str]]:
+    """Query text -> per-position alternative term groups."""
+    toks = tokenize(text, cfg, syn)
+    groups: list[list[str]] = []
+    pos = -1
+    for word, _s, _e, pi in toks:
+        pos += pi
+        while len(groups) <= pos:
+            groups.append([])
+        if word not in groups[pos]:
+            groups[pos].append(word)
+    return [g for g in groups if g]
+
+
+@dataclass
+class QueryPlan:
+    groups: list[list[str]]     # alternative terms per position
+    idfs: list[float]           # blended idf per position
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+
+    @property
+    def terms(self) -> list[str]:
+        return sorted({t for g in self.groups for t in g})
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def plan_query(spark: SparkSession, store: IndexStore, text: str,
+               syn: SynonymDict | None = None,
+               cfg: TokenizerConfig | None = None) -> QueryPlan:
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    groups = analyze_query(text, cfg, syn)
+    terms = sorted({t for g in groups for t in g})
+    dfs = {r["term"]: int(r["df"]) for r in
+           store.termstats(spark).filter(F.col("term").isin(terms)).collect()}
+    idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
+            for g in groups]
+    return QueryPlan(groups=groups, idfs=idfs, n_docs=meta.n_docs,
+                     avgdl=meta.avgdl, k1=meta.k1, b=meta.b)
+
+
+# --------------------------------------------------------------------
+# decoded postings view (shared by the naive oracle)
+# --------------------------------------------------------------------
+
+def decoded_postings(spark: SparkSession, store: IndexStore,
+                     terms: list[str]) -> DataFrame:
+    """Blocks for ``terms`` -> flat (term, doc_id, tf, dl) DataFrame.
+    The parquet scan prunes on term via row-group stats (files are
+    sorted by term within each shard)."""
+    blocks = store.segments(spark).filter(F.col("term").isin(terms)) \
+        .select("term", "first_doc", "n_docs", "doc_bytes", "tf_bytes",
+                "dl_bytes")
+
+    def run(batches):
+        for pdf in batches:
+            outs = {"term": [], "doc_id": [], "tf": [], "dl": []}
+            for t, fd, nd, db, tb, lb in zip(
+                    pdf["term"], pdf["first_doc"], pdf["n_docs"],
+                    pdf["doc_bytes"], pdf["tf_bytes"], pdf["dl_bytes"]):
+                docs, tfs = decode_block(fd, db, tb, nd)
+                dls = varint_decode(lb, nd).astype(np.int64)
+                outs["term"].extend([t] * nd)
+                outs["doc_id"].append(docs)
+                outs["tf"].append(tfs)
+                outs["dl"].append(dls)
+            yield pd.DataFrame({
+                "term": outs["term"],
+                "doc_id": np.concatenate(outs["doc_id"]) if outs["doc_id"]
+                else np.zeros(0, np.int64),
+                "tf": np.concatenate(outs["tf"]) if outs["tf"]
+                else np.zeros(0, np.int64),
+                "dl": np.concatenate(outs["dl"]) if outs["dl"]
+                else np.zeros(0, np.int64),
+            })
+
+    return blocks.mapInPandas(
+        run, schema="term string, doc_id long, tf long, dl long")
+
+
+# --------------------------------------------------------------------
+# naive DataFrame scorer — the oracle (E10 fallback path)
+# --------------------------------------------------------------------
+
+def score_naive(spark: SparkSession, store: IndexStore, text: str,
+                k: int = 10, mode: str = "and",
+                syn: SynonymDict | None = None,
+                cfg: TokenizerConfig | None = None,
+                postings: DataFrame | None = None) -> DataFrame:
+    """Pure declarative BM25 top-k: decode -> join group map (broadcast)
+    -> two hash aggregations -> orderBy/limit. Catalyst handles partial
+    aggregation and the top-k sort; this is the cross-check for WAND.
+
+    ``postings`` may inject an alternative (term, doc_id, tf, dl) source
+    (e.g. pre-encoding postings in tests, proving codec round-trip).
+    """
+    plan = plan_query(spark, store, text, syn, cfg)
+    if not plan.groups:
+        return spark.createDataFrame([], "doc_id long, score double")
+    p = postings if postings is not None else \
+        decoded_postings(spark, store, plan.terms)
+
+    gm = [(t, gi, plan.idfs[gi]) for gi, g in enumerate(plan.groups)
+          for t in g]
+    group_map = spark.createDataFrame(gm, "term string, gid int, gidf double")
+
+    k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+    per_group = (
+        p.join(F.broadcast(group_map), "term")
+        .groupBy("doc_id", "gid")
+        .agg(F.sum("tf").alias("tfg"), F.first("dl").alias("dl"),
+             F.first("gidf").alias("gidf"))
+        .withColumn("gscore",
+                    F.col("gidf") * F.col("tfg") /
+                    (F.col("tfg") + F.lit(k1) *
+                     (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+    )
+    # deterministic summation: left-fold gscores in ascending gid order,
+    # bit-identical to the WAND worker's accumulation (float addition is
+    # non-associative; unordered SUM would diverge at the ULP level and
+    # break rank-identity on near-ties)
+    agg = per_group.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("gid", "gscore"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["gscore"],
+        ).alias("score"),
+        F.count("*").alias("ngroups"))
+    if mode == "and":
+        agg = agg.filter(F.col("ngroups") == len(plan.groups))
+    return (agg.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+# --------------------------------------------------------------------
+# block-max WAND (E10 primary path)
+# --------------------------------------------------------------------
+
+def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
+                phrase_offsets: list[int] | None) -> pd.DataFrame:
+    """Exact top-k for one shard. Windowed block-max pruning: windows
+    are visited in descending upper bound; a window is decoded only if
+    its bound beats the running kth-best score."""
+    n_groups = len(plan.groups)
+    term_gid = {}
+    for gi, g in enumerate(plan.groups):
+        for t in g:
+            term_gid.setdefault(t, []).append(gi)
+
+    # organize blocks per group
+    first = pdf["first_doc"].to_numpy()
+    last = pdf["last_doc"].to_numpy()
+    maxn = pdf["max_tfnorm"].to_numpy()
+    lo = int(first.min())
+    hi = int(last.max())
+    win = WAND_WINDOW
+    n_win = (hi - lo) // win + 1
+
+    # per-group, per-window upper bound = idf * max(max_tfnorm of
+    # overlapping blocks); conservative since blocks can span windows
+    ub = np.zeros((n_groups, n_win))
+    blk_rows_by_gid: list[list[int]] = [[] for _ in range(n_groups)]
+    terms_arr = pdf["term"].to_numpy()
+    for i in range(len(pdf)):
+        for gi in term_gid.get(terms_arr[i], ()):
+            blk_rows_by_gid[gi].append(i)
+            w0 = (int(first[i]) - lo) // win
+            w1 = (int(last[i]) - lo) // win
+            seg = ub[gi, w0:w1 + 1]
+            np.maximum(seg, plan.idfs[gi] * maxn[i], out=seg)
+
+    if mode == "and":
+        # a window missing any group can't match
+        alive = (ub > 0).all(axis=0)
+        win_ub = ub.sum(axis=0) * alive
+    else:
+        win_ub = ub.sum(axis=0)
+
+    order = np.argsort(-win_ub, kind="stable")
+    topk_scores = np.full(0, 0.0)
+    results: list[tuple] = []  # (score, doc_id)
+    theta = -1.0
+
+    k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+
+    def decode_group_window(gi: int, d0: int, d1: int):
+        """decoded merged postings of group gi limited to [d0, d1)."""
+        docs_all, tfs_all, dls_all = [], [], []
+        for i in blk_rows_by_gid[gi]:
+            if first[i] >= d1 or last[i] < d0:
+                continue  # block skip
+            docs, tfs = decode_block(int(first[i]), pdf["doc_bytes"].iat[i],
+                                     pdf["tf_bytes"].iat[i],
+                                     int(pdf["n_docs"].iat[i]))
+            dls = varint_decode(pdf["dl_bytes"].iat[i],
+                                int(pdf["n_docs"].iat[i])).astype(np.int64)
+            m = (docs >= d0) & (docs < d1)
+            docs_all.append(docs[m]); tfs_all.append(tfs[m]); dls_all.append(dls[m])
+        if not docs_all:
+            return (np.zeros(0, np.int64),) * 3
+        docs = np.concatenate(docs_all)
+        tfs = np.concatenate(tfs_all)
+        dls = np.concatenate(dls_all)
+        # merge alternatives: sum tf per doc
+        udocs, inv = np.unique(docs, return_inverse=True)
+        utf = np.zeros(len(udocs), np.int64)
+        np.add.at(utf, inv, tfs)
+        udl = np.zeros(len(udocs), np.int64)
+        udl[inv] = dls
+        return udocs, utf, udl
+
+    for w in order:
+        bound = float(win_ub[w])
+        # strict < so exact score ties (identical docs) are never pruned
+        # away from the doc_id ASC tie-break — rank-identity guarantee
+        if bound <= 0 or (len(results) >= k and bound < theta):
+            continue  # pruned: window can't beat current top-k
+        d0, d1 = lo + w * win, lo + (w + 1) * win
+        scores: dict[int, float] = {}
+        counts: dict[int, int] = {}
+        dls_seen: dict[int, int] = {}
+        for gi in range(n_groups):
+            udocs, utf, udl = decode_group_window(gi, d0, d1)
+            if len(udocs) == 0:
+                if mode == "and":
+                    scores = {}
+                    break
+                continue
+            tfn = utf / (utf + k1 * (1 - b + b * udl / avgdl))
+            gsc = plan.idfs[gi] * tfn
+            for d, s, dl in zip(udocs.tolist(), gsc.tolist(), udl.tolist()):
+                scores[d] = scores.get(d, 0.0) + s
+                counts[d] = counts.get(d, 0) + 1
+                dls_seen[d] = dl
+        for d, s in scores.items():
+            if mode == "and" and counts[d] != n_groups:
+                continue
+            results.append((s, d))
+        if results:
+            results.sort(key=lambda x: (-x[0], x[1]))
+            del results[k:]
+            if len(results) >= k:
+                theta = results[-1][0]
+
+    out = pd.DataFrame(
+        {"doc_id": [d for _s, d in results],
+         "score": [s for s, _d in results]})
+    return out.astype({"doc_id": "int64", "score": "float64"}) if len(out) \
+        else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "score": pd.Series([], dtype="float64")})
+
+
+def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
+           mode: str = "and", phrase: bool = False,
+           syn: SynonymDict | None = None,
+           cfg: TokenizerConfig | None = None) -> DataFrame:
+    """BM25 top-k via shard-parallel block-max WAND; optionally verify
+    phrase adjacency (positions) on the candidates."""
+    plan = plan_query(spark, store, text, syn, cfg)
+    if not plan.groups:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    blocks = store.segments(spark) \
+        .filter(F.col("term").isin(plan.terms)) \
+        .select("term", "shard", "first_doc", "last_doc", "n_docs",
+                "max_tfnorm", "doc_bytes", "tf_bytes", "dl_bytes",
+                "pos_bytes")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return _wand_shard(pdf, plan, k, mode, None)
+
+    topk = blocks.groupBy("shard").applyInPandas(
+        run, schema="doc_id long, score double")
+    result = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if phrase:
+        cand = result
+        matched = phrase_filter(spark, store, cand, plan)
+        return matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return result
+
+
+# --------------------------------------------------------------------
+# positional phrase verification (E9)
+# --------------------------------------------------------------------
+
+def _doc_positions(pdf: pd.DataFrame, wanted: np.ndarray) -> dict:
+    """{(term, doc_id): np.ndarray positions} for docs in ``wanted``."""
+    out: dict = {}
+    for i in range(len(pdf)):
+        nd = int(pdf["n_docs"].iat[i])
+        docs, tfs = decode_block(int(pdf["first_doc"].iat[i]),
+                                 pdf["doc_bytes"].iat[i],
+                                 pdf["tf_bytes"].iat[i], nd)
+        if not np.isin(docs, wanted).any():
+            continue
+        pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
+        offs = np.concatenate(([0], np.cumsum(tfs)))
+        term = pdf["term"].iat[i]
+        for j, d in enumerate(docs):
+            if d in wanted:
+                out[(term, int(d))] = pos[offs[j]:offs[j + 1]]
+    return out
+
+
+def phrase_filter(spark: SparkSession, store: IndexStore,
+                  candidates: DataFrame, plan: QueryPlan) -> DataFrame:
+    """Keep candidate docs where some alternative of every query
+    position occurs at consecutive index positions (MultiPhraseQuery)."""
+    cand = candidates.collect()
+    if not cand:
+        return candidates
+    wanted = np.array(sorted({r["doc_id"] for r in cand}), dtype=np.int64)
+    blocks = (store.segments(spark)
+              .filter(F.col("term").isin(plan.terms))
+              .filter(F.col("last_doc") >= int(wanted.min()))
+              .filter(F.col("first_doc") <= int(wanted.max()))
+              .select("term", "first_doc", "n_docs", "doc_bytes",
+                      "tf_bytes", "pos_bytes")
+              .toPandas())
+    posmap = _doc_positions(blocks, wanted)
+    keep = []
+    for r in cand:
+        d = int(r["doc_id"])
+        # candidate start positions: group 0 alternatives' positions
+        starts: set[int] | None = None
+        ok = True
+        for j, g in enumerate(plan.groups):
+            s_j: set[int] = set()
+            for t in g:
+                p = posmap.get((t, d))
+                if p is not None:
+                    s_j.update((p - j).tolist())
+            starts = s_j if starts is None else (starts & s_j)
+            if not starts:
+                ok = False
+                break
+        if ok:
+            keep.append((d, float(r["score"])))
+    return spark.createDataFrame(keep or [], "doc_id long, score double")

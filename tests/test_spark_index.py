@@ -1,0 +1,213 @@
+"""Tier-2: Spark pipeline correctness — tokenize UDF parity, index
+build, codec round-trip through the store, WAND ≡ naive oracle,
+reference hit-count fixtures (SynonymPluginTest truth table),
+sha256 invariant, determinism + resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synspark.corpus import generate_corpus, with_sha256
+from synspark.docids import assign_doc_ids
+from synspark.index_store import build_index, verify_content_sha, IndexStore
+from synspark.indexer import build_postings, build_doc_stats, tokenize_corpus
+from synspark.query import (analyze_query, decoded_postings, plan_query,
+                            score_naive, search)
+from synspark.synonyms import SynonymDict
+from synspark.tokenizer import TokenizerConfig, tokenize
+
+JP_DICT = "あ,かき,さしす,たちつて,なにぬねの\n東京,とうきょう"
+CFG2 = TokenizerConfig(n=2, expand=True, ignore_case=True)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_corpus(spark, 300, partitions=4).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("idx") / "index"
+    syn = SynonymDict.parse(JP_DICT)
+    return build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
+                       n_shards=4, target_postings_per_task=500,
+                       source="generate_corpus(300)")
+
+
+@pytest.fixture(scope="module")
+def es_index(spark, tmp_path_factory):
+    """The reference e2e fixture: 1,000 identical docs あいうえお
+    (SynonymPluginTest.java:133-139), n=2, jp1 dict, expand=true."""
+    docs = spark.range(1000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"),
+        F.col("id").cast("string").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.lit("あいうえお").alias("content"))
+    out = tmp_path_factory.mktemp("es") / "index"
+    syn = SynonymDict.parse(JP_DICT)
+    return build_index(spark, docs, str(out), cfg=CFG2, syn=syn,
+                       n_shards=4, source="es-fixture")
+
+
+def test_corpus_deterministic(spark):
+    a = generate_corpus(spark, 50, partitions=2).orderBy("repo", "path").collect()
+    b = generate_corpus(spark, 50, partitions=5).orderBy("repo", "path").collect()
+    assert a == b
+
+
+def test_doc_ids_dense_and_deterministic(spark, corpus):
+    d1 = assign_doc_ids(corpus).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in d1)
+    assert ids == list(range(300))
+    d2 = assign_doc_ids(corpus.repartition(7)) \
+        .select("repo", "path", "commit", "doc_id").collect()
+    m1 = {(r["repo"], r["path"], r["commit"]): r["doc_id"]
+          for r in assign_doc_ids(corpus).select(
+              "repo", "path", "commit", "doc_id").collect()}
+    m2 = {(r["repo"], r["path"], r["commit"]): r["doc_id"] for r in d2}
+    assert m1 == m2
+
+
+def test_tokenize_udf_matches_pure(spark, corpus):
+    syn = SynonymDict.parse(JP_DICT)
+    docs = assign_doc_ids(corpus)
+    toks = tokenize_corpus(docs, CFG2, syn)
+    sample = {r["doc_id"]: r["content"]
+              for r in docs.limit(20).collect()}
+    got = {}
+    for r in toks.filter(F.col("doc_id").isin(list(sample))).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["start"], r["end"], r["pos_inc"]))
+    for did, content in sample.items():
+        assert got.get(did, []) == tokenize(content, CFG2, syn), did
+
+
+def test_doc_stats_dl_is_position_count(spark):
+    # expand stacking must not inflate dl (discountOverlaps)
+    docs = spark.createDataFrame(
+        [(0, "あいうえお")], "doc_id long, content string")
+    syn = SynonymDict.parse(JP_DICT)
+    toks = tokenize_corpus(docs, CFG2, syn)
+    dl = build_doc_stats(toks).collect()[0]["dl"]
+    no_syn = tokenize_corpus(docs, TokenizerConfig(n=2, expand=False), None)
+    dl_plain = build_doc_stats(no_syn).collect()[0]["dl"]
+    assert dl == dl_plain == 4  # あい いう うえ えお
+
+
+def test_index_decode_matches_postings(spark, corpus, index):
+    """Codec round-trip through the store: decoded segments ==
+    raw postings aggregation."""
+    syn = SynonymDict.parse(JP_DICT)
+    docs = assign_doc_ids(with_sha256(corpus))
+    toks = tokenize_corpus(docs, CFG2, syn)
+    raw = {(r["term"], r["doc_id"]): r["tf"]
+           for r in build_postings(toks, store_positions=False).collect()}
+    terms = sorted({t for t, _ in raw})
+    dec = {(r["term"], r["doc_id"]): r["tf"]
+           for r in decoded_postings(spark, index, terms).collect()}
+    assert raw == dec
+
+
+def test_termstats_df(spark, index):
+    ts = {r["term"]: r["df"] for r in index.termstats(spark).collect()}
+    dp = decoded_postings(spark, index, list(ts))
+    check = {r["term"]: r["cnt"] for r in
+             dp.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    assert ts == check
+
+
+def test_sha256_invariant(spark, corpus, index):
+    assert verify_content_sha(spark, corpus, index) == 0
+
+
+QUERIES = ["in re", "def", "あいうえお", "かき", "東京", "abb a",
+           "edcba", "ロンウイット", "val int str"]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_rank_identical_to_naive(spark, index, q):
+    syn = SynonymDict.parse(JP_DICT)
+    for mode in ("and", "or"):
+        naive = [(r["doc_id"], round(r["score"], 9))
+                 for r in score_naive(spark, index, q, k=10, mode=mode,
+                                      syn=syn).collect()]
+        wand = [(r["doc_id"], round(r["score"], 9))
+                for r in search(spark, index, q, k=10, mode=mode,
+                                syn=syn).collect()]
+        assert wand == naive, (q, mode)
+
+
+# reference truth table (SynonymPluginTest.java:149-161): index=1000
+# identical docs あいうえお, n=2, dict あ,かき,..., expand=true
+HIT_FIXTURES = [
+    ("あ", True), ("あい", True), ("あいう", True), ("あいうえ", True),
+    ("あいうえお", True), ("かいうえお", False),
+    ("かきいうえお", True), ("かきいうえ", True), ("かきいう", True),
+    ("かきい", True), ("かき", True), ("か", False),
+]
+
+
+@pytest.mark.parametrize("q,hits", HIT_FIXTURES)
+def test_reference_hit_fixtures(spark, es_index, q, hits):
+    syn = SynonymDict.parse(JP_DICT)
+    res = search(spark, es_index, q, k=1000, mode="and", phrase=True,
+                 syn=syn)
+    n = res.count()
+    assert (n == 1000) if hits else (n == 0), (q, n)
+
+
+def test_empty_dict_hit_fixtures(spark, tmp_path_factory):
+    """Control variant (SynonymPluginTest.java:343-363): empty dict —
+    あ no longer matches (bigram index), かき* never match."""
+    docs = spark.range(50).select(
+        F.col("id").cast("string").alias("repo"),
+        F.lit("f").alias("path"), F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"), F.lit("あいうえお").alias("content"))
+    out = tmp_path_factory.mktemp("nodict") / "index"
+    idx = build_index(spark, docs, str(out),
+                      cfg=TokenizerConfig(n=2, expand=True), syn=None,
+                      n_shards=2, source="nodict")
+    for q, hits in [("あ", False), ("あい", True), ("あいうえお", True),
+                    ("かき", False), ("かきいうえお", False)]:
+        n = search(spark, idx, q, k=100, mode="and", phrase=True).count()
+        assert (n == 50) if hits else (n == 0), q
+
+
+def test_deterministic_rebuild(spark, corpus, tmp_path_factory):
+    syn = SynonymDict.parse(JP_DICT)
+    outs = []
+    for name in ("d1", "d2"):
+        out = tmp_path_factory.mktemp(name) / "index"
+        st = build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
+                         n_shards=4, resume=False, source="det")
+        outs.append({k: v["digest"] for k, v in
+                     st.manifest()["shards"].items()})
+    assert outs[0] == outs[1]
+
+
+def test_resume_after_partial_failure(spark, corpus, index,
+                                      tmp_path_factory):
+    """Simulate a crash that lost two shards: wipe their partitions +
+    manifest entries; resumed build recomputes ONLY those and the
+    digests match the original (byte-identical resume)."""
+    import json
+    import shutil
+    syn = SynonymDict.parse(JP_DICT)
+    out = tmp_path_factory.mktemp("resume") / "index"
+    st = build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
+                     n_shards=4, source="resume-test")
+    orig = {k: v["digest"] for k, v in st.manifest()["shards"].items()}
+
+    m = st.manifest()
+    for k in ("1", "2"):
+        m["shards"].pop(k)
+        shutil.rmtree(st.path / "segments" / f"shard={k}", ignore_errors=True)
+    st._write_manifest(m)
+
+    st2 = build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
+                      n_shards=4, source="resume-test", resume=True)
+    after = {k: v["digest"] for k, v in st2.manifest()["shards"].items()}
+    assert after == orig
