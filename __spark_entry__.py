@@ -1,38 +1,479 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from
+SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL (omitted for genuinely non-SQL-expressible
+ops: WAND internals are oracled by the naive scorer in pytest, synonym
+expansion + simhash + IVF probing get rows-only checks here).
+
+Engine queries build a bigram index (n=2, expand=false, no dict — the
+SQL-mirrorable configuration) over the ``documents`` table, cached
+under /tmp keyed by sf_dir (build_index is resumable/idempotent, so
+repeat calls are cheap). Synonym-mode coverage is exercised by its own
+query + the pytest golden suite.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------
+
+BM25_QUERY = "data sort merge"
+PHRASE = "key order"
+K1, B = 1.2, 0.75
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make synspark importable on executors regardless of the driver's
+    cwd (spark-submit --py-files equivalent)."""
+    try:
+        from synspark.session import package_zip
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Bigram index over documents(text), cached per sf_dir."""
+    from synspark.index_store import IndexStore, build_index
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}|bigram-v1".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=2, expand=False, ignore_case=True), syn=None,
+        n_shards=4, source=f"{sf_dir}/documents.parquet", resume=True)
+
+
+def _query_bigrams(text: str) -> list[str]:
+    from synspark.tokenizer import TokenizerConfig, tokenize
+    return [w for w, *_ in
+            tokenize(text, TokenizerConfig(n=2, expand=False), None)]
+
+
+def _rounded_topk(df: DataFrame, k: int = 10) -> DataFrame:
+    """Order by ROUNDED score then doc_id so cross-engine ULP noise
+    can't flip ranks at the k boundary."""
+    return (df.withColumn("score_r", F.round("score", 6))
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(k).select("doc_id", "score_r"))
+
+
+# ---------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the bigram index over sf0.001 documents, answer
+    a BM25 top-10 via shard-parallel block-max WAND."""
+    from synspark.query import search
+    store = _index(spark, DEFAULT_SF)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
+# ---------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------
+
+def q_fts_term_stats(spark, sf_dir):
+    store = _index(spark, sf_dir)
+    return (store.termstats(spark)
+            .orderBy(F.desc("df"), F.asc("term")).limit(100)
+            .select("term", "df", "cf"))
+
+
+def q_fts_doc_lengths(spark, sf_dir):
+    store = _index(spark, sf_dir)
+    return store.docstats(spark).select("doc_id", "dl")
+
+
+def q_fts_bm25_topk(spark, sf_dir):
+    from synspark.query import score_naive
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        score_naive(spark, store, BM25_QUERY, k=1_000_000, mode="and"), 10)
+
+
+def q_fts_wand_topk(spark, sf_dir):
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
+def q_fts_phrase_hits(spark, sf_dir):
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    n = search(spark, store, PHRASE, k=10_000_000, mode="and",
+               phrase=True).count()
+    return spark.createDataFrame([(n,)], "hits long")
+
+
+def q_fts_synonym_bm25(spark, sf_dir):
+    """Synonym-expanded query (dict data,info): rows-only check here;
+    rank-identity vs naive + golden fixtures live in pytest."""
+    from synspark.index_store import build_index
+    from synspark.query import search
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(f"{sf_dir}|syn-v1".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    syn = SynonymDict.parse("data,info\nsort,order")
+    store = build_index(spark, corpus, str(out),
+                        cfg=TokenizerConfig(n=2, expand=True), syn=syn,
+                        n_shards=4, source=f"{sf_dir}:syn", resume=True)
+    return _rounded_topk(
+        search(spark, store, "info sort", k=200, mode="and", syn=syn), 10)
+
+
+def q_dp_exact_dups(spark, sf_dir):
+    from synspark.datapipe.dedup import exact_dup_groups
+    return exact_dup_groups(_docs(spark, sf_dir)) \
+        .select("dup_key", "n_docs", "keep_doc_id")
+
+
+def q_dp_token_counts(spark, sf_dir):
+    from synspark.datapipe.textstats import token_counts
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_dp_quality(spark, sf_dir):
+    from synspark.datapipe.textstats import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_dp_lang_id(spark, sf_dir):
+    from synspark.datapipe.textstats import language_id
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_dp_fingerprints(spark, sf_dir):
+    from synspark.datapipe.textstats import fingerprints
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_dp_minhash_lsh(spark, sf_dir):
+    from synspark.datapipe.dedup import (lsh_candidate_groups,
+                                         minhash_signatures, word_shingles)
+    sh = word_shingles(_docs(spark, sf_dir), k=3)
+    return lsh_candidate_groups(minhash_signatures(sh, 8), bands=4,
+                                rows_per_band=2) \
+        .select("band_id", "band_key", "n_docs", "keep_doc_id")
+
+
+def q_dp_jaccard_pairs(spark, sf_dir):
+    from synspark.datapipe.dedup import jaccard_pairs, word_shingles
+    sh = word_shingles(_docs(spark, sf_dir), k=3)
+    return jaccard_pairs(sh, threshold=0.2).select("a", "b", "n_inter",
+                                                   "jaccard")
+
+
+def q_dp_simhash_dups(spark, sf_dir):
+    """SimHash near-dups (pandas UDF + pigeonhole blocking) — bit-level
+    md5 math isn't reasonably SQL-mirrorable: rows-only check."""
+    from synspark.datapipe.dedup import simhash, simhash_near_dups
+    s = simhash(_docs(spark, sf_dir))
+    return simhash_near_dups(s, max_hamming=3)
+
+
+def q_dp_ann_cosine(spark, sf_dir):
+    from synspark.datapipe.similarity import brute_force_topk
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return (brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .select("vec_id", "cosine"))
+
+
+def q_dp_ann_ivf(spark, sf_dir):
+    """IVF/LSH-bucketed ANN (scale path) — approximate: rows-only check;
+    recall vs brute force asserted in pytest."""
+    from synspark.datapipe.similarity import ivf_topk, with_ivf_bucket
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    dim = len(qv)
+    bucketed = with_ivf_bucket(emb.filter(F.col("vec_id") != 0), dim)
+    return ivf_topk(bucketed, qv, dim, k=10, probes=16)
+
+
+def q_dp_media_meta(spark, sf_dir):
+    from synspark.datapipe.multimodal import as_media, decode_media
+    media = as_media(_docs(spark, sf_dir))
+    return decode_media(media).select("media_id", "kind", "n_bytes",
+                                      "sha256")
+
+
+def q_dp_frame_plan(spark, sf_dir):
+    from synspark.datapipe.multimodal import (as_media, decode_media,
+                                              frame_sample_plan)
+    decoded = decode_media(as_media(_docs(spark, sf_dir)))
+    return frame_sample_plan(decoded, every_n=30)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fts_term_stats": q_fts_term_stats,
+        "fts_doc_lengths": q_fts_doc_lengths,
+        "fts_bm25_topk": q_fts_bm25_topk,
+        "fts_wand_topk": q_fts_wand_topk,
+        "fts_phrase_hits": q_fts_phrase_hits,
+        "fts_synonym_bm25": q_fts_synonym_bm25,
+        "dp_exact_dups": q_dp_exact_dups,
+        "dp_token_counts": q_dp_token_counts,
+        "dp_quality": q_dp_quality,
+        "dp_lang_id": q_dp_lang_id,
+        "dp_fingerprints": q_dp_fingerprints,
+        "dp_minhash_lsh": q_dp_minhash_lsh,
+        "dp_jaccard_pairs": q_dp_jaccard_pairs,
+        "dp_simhash_dups": q_dp_simhash_dups,
+        "dp_ann_cosine": q_dp_ann_cosine,
+        "dp_ann_ivf": q_dp_ann_ivf,
+        "dp_media_meta": q_dp_media_meta,
+        "dp_frame_plan": q_dp_frame_plan,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------
+
+_DELIMS = "[ \t\n\r　]+"
+
+# bigram tokenization of documents.text — mirrors the engine's
+# tokenizer at n=2, expand=false, no dict (short blocks emit whole-span)
+_GRAMS_CTE = f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
+  FROM documents
+), nb AS (
+  SELECT doc_id, blk FROM blocks WHERE length(blk) > 0
+), gi AS (
+  SELECT doc_id, blk, unnest(generate_series(1, length(blk)-1)) AS i
+  FROM nb WHERE length(blk) >= 2
+), grams AS (
+  SELECT doc_id, blk AS term FROM nb WHERE length(blk) < 2
+  UNION ALL
+  SELECT doc_id, substr(blk, i, 2) AS term FROM gi
+)
+"""
+
+_WORDS_CTE = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     w -> length(w) > 0) AS ws,
+         text
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DELIMS}'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+), sh_long AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        FROM words WHERE len(ws) >= 3)
+), sh_short AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS shingle
+  FROM words WHERE len(ws) < 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short)
+  WHERE length(shingle) > 0
+)
+"""
+
+
+def _bm25_oracle() -> str:
+    terms = sorted(set(_query_bigrams(BM25_QUERY)))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    ng = len(terms)
+    return _GRAMS_CTE + f"""
+, qterms AS (SELECT * FROM (VALUES {vals}) AS q(term))
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) AS ng
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {ng}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = _bm25_oracle()
+    phrase_re = PHRASE.replace(" ", "[ \t\n\r　]+")
+    return {
+        "fts_term_stats": _GRAMS_CTE + """
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM grams GROUP BY term ORDER BY df DESC, term LIMIT 100
+""",
+        "fts_doc_lengths": _GRAMS_CTE + """
+SELECT doc_id, count(*)::INT AS dl FROM grams GROUP BY doc_id
+""",
+        "fts_bm25_topk": bm25,
+        "fts_wand_topk": bm25,
+        "fts_phrase_hits": f"""
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_matches(text, '{phrase_re}')
+""",
+        "dp_exact_dups": """
+SELECT md5(text) AS dup_key, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+""",
+        "dp_token_counts": _WORDS_CTE + """
+SELECT doc_id, len(ws)::INT AS n_tokens, length(text)::INT AS n_chars,
+       strlen(text)::INT AS n_bytes
+FROM words
+""",
+        "dp_quality": _WORDS_CTE + """
+SELECT doc_id, len(ws)::INT AS n_tokens,
+  round(CASE WHEN len(ws) > 0 THEN
+    list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+    ELSE 0 END, 6) AS mean_word_len,
+  round(CASE WHEN len(ws) > 0 THEN
+    len(list_filter(ws, w -> lower(w) IN
+      ('the','of','and','to','in','a','is','for','on','with')))::DOUBLE
+      / len(ws) ELSE 0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0 THEN
+    length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+      / length(text) ELSE 0 END, 6) AS alnum_ratio
+FROM words
+""",
+        "dp_lang_id": """
+SELECT doc_id,
+  CASE
+    WHEN length(text) = 0 THEN 'other'
+    WHEN (length(text) - length(regexp_replace(text,
+          '[\\u3040-\\u30ff\\u4e00-\\u9fff]', '', 'g')))::DOUBLE
+         / length(text) > 0.2 THEN 'ja'
+    WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+         / length(text) > 0.5 THEN 'en'
+    ELSE 'other'
+  END AS lang_pred
+FROM documents
+""",
+        "dp_fingerprints": f"""
+SELECT doc_id, sha256(text) AS sha256,
+       md5(regexp_replace(lower(trim(text)), '{_DELIMS}', ' ', 'g'))
+         AS norm_md5
+FROM documents
+""",
+        "dp_minhash_lsh": _SHINGLES_CTE + """
+, sigs AS (
+  SELECT doc_id,
+    min(md5('0' || shingle)) AS mh0, min(md5('1' || shingle)) AS mh1,
+    min(md5('2' || shingle)) AS mh2, min(md5('3' || shingle)) AS mh3,
+    min(md5('4' || shingle)) AS mh4, min(md5('5' || shingle)) AS mh5,
+    min(md5('6' || shingle)) AS mh6, min(md5('7' || shingle)) AS mh7
+  FROM shingles GROUP BY doc_id
+), banded AS (
+  SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sigs
+  UNION ALL
+  SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sigs
+  UNION ALL
+  SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sigs
+  UNION ALL
+  SELECT 3, md5(mh6 || '|' || mh7), doc_id FROM sigs
+)
+SELECT band_id, band_key, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM banded GROUP BY band_id, band_key HAVING count(*) > 1
+""",
+        "dp_jaccard_pairs": _SHINGLES_CTE + """
+, counts AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles
+             GROUP BY doc_id)
+, inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS n_inter
+  FROM shingles s1 JOIN shingles s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT a, b, n_inter,
+       round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
+""",
+        "dp_ann_cosine": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY round(list_dot_product(embedding::DOUBLE[], q.qv) /
+        (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, vec_id
+LIMIT 10
+""",
+        "dp_media_meta": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       strlen(text)::INT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+        # fts_synonym_bm25, dp_simhash_dups, dp_ann_ivf, dp_frame_plan:
+        # intentionally no SQL oracle (non-SQL-expressible; see pytest)
+    }

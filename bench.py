@@ -1,0 +1,124 @@
+"""Headline benchmark (driver-run per round; ONE JSON line on stdout).
+
+Workload (SPARK_GRAFT_SF_DIR, default sf0.1; local[$SPARK_GRAFT_CPUS]):
+  - index-build throughput over the deterministic synthetic source-code
+    corpus (BASELINE.md headline: docs/sec), full engine config
+    (n=2, synonym dict, expand=true, positions stored)
+  - bigram index build over the sf documents table
+  - BM25/WAND/phrase query latencies (p50 over repeats)
+  - representative datapipe ops (minhash-LSH dedup, ANN cosine)
+
+Scaling-efficiency evidence (north rule, N vs 4N executors) lives in
+BENCH/scaling.py — run separately, results recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def main() -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from synspark.corpus import generate_corpus
+    from synspark.index_store import build_index
+    from synspark.query import search
+    from synspark.session import get_spark
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+
+    spark = get_spark(app="synspark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # -- 1. engine index build over synthetic corpus (headline) -------
+    syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
+    cfg = TokenizerConfig(n=2, expand=True, ignore_case=True)
+    tmp = tempfile.mkdtemp(prefix="synspark_bench_")
+    # materialize the synthetic corpus as parquet first: the headline
+    # times the ENGINE (read → tokenize → invert → encode → write),
+    # not the data generator — mirrors reading a real source table
+    generate_corpus(spark, BENCH_DOCS, partitions=CPUS * 2) \
+        .write.mode("overwrite").parquet(f"{tmp}/corpus")
+    corpus = spark.read.parquet(f"{tmp}/corpus")
+    t0 = time.time()
+    store = build_index(spark, corpus, f"{tmp}/idx", cfg=cfg, syn=syn,
+                        n_shards=CPUS, target_postings_per_task=1 << 18,
+                        source="bench", resume=False)
+    build_sec = time.time() - t0
+    queries["index_build_synthetic"] = round(build_sec, 3)
+
+    # -- 2. bigram index over sf documents ----------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumnRenamed("text", "content")
+    t0 = time.time()
+    store_docs = build_index(
+        spark, docs, f"{tmp}/idx_docs",
+        cfg=TokenizerConfig(n=2, expand=False), syn=None,
+        n_shards=8, source=f"{SF_DIR}/documents", resume=False)
+    queries["index_build_documents"] = round(time.time() - t0, 3)
+
+    # -- 3. query latencies -------------------------------------------
+    def lat(name, fn):
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        queries[name] = round(statistics.median(ts), 3)
+
+    lat("q_bm25_wand", lambda: search(
+        spark, store_docs, "data sort merge", k=10, mode="and").collect())
+    lat("q_bm25_or", lambda: search(
+        spark, store_docs, "data sort merge", k=10, mode="or").collect())
+    lat("q_phrase", lambda: search(
+        spark, store_docs, "key order", k=1000, mode="and",
+        phrase=True).count())
+    lat("q_synonym_wand", lambda: search(
+        spark, store, "かきいうえお", k=10, mode="and", syn=syn).collect())
+
+    # -- 4. datapipe ops ----------------------------------------------
+    t0 = time.time()
+    entrymod.q_dp_minhash_lsh(spark, SF_DIR).count()
+    queries["dp_minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod.q_dp_ann_cosine(spark, SF_DIR).collect()
+    queries["dp_ann_cosine"] = round(time.time() - t0, 3)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in SF_DIR else 0.0
+    out = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "bench_docs": BENCH_DOCS,
+        "docs_per_sec": round(BENCH_DOCS / build_sec, 1),
+        "cpus": CPUS,
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

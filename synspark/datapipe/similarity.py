@@ -1,0 +1,76 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the baseline/oracle. Pure
+  built-in expressions (zip_with + aggregate → codegen) so DuckDB's
+  list_cosine_similarity can mirror it.
+- ivf_topk: the scale path — IVF-style bucketing by deterministic
+  hyperplane signs (LSH): probe only buckets near the query. Returns
+  approximate top-k; recall measured in tests against brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cosine(vec_col, qlits: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in qlits])
+    dot = F.aggregate(F.zip_with(vec_col, q, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(vec_col, lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = float(np.sqrt(np.dot(qlits, qlits)))
+    return dot / (na * F.lit(nb))
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: map-only score + global top-k (Spark's
+    TakeOrderedAndProject — no full sort shuffle)."""
+    return (df.select(F.col(id_col),
+                      F.round(_cosine(F.col(vec_col).cast("array<double>"),
+                                      query_vec), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_ivf_bucket(df: DataFrame, dim: int, n_planes: int = 6,
+                    seed: int = 42, vec_col: str = "embedding") -> DataFrame:
+    """Deterministic LSH bucket id = sign bits against fixed random
+    hyperplanes. Built-in expressions only; at 100 TB this column is
+    precomputed once and the table is written bucketed by it."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p_i, plane in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(F.col(vec_col).cast("array<double>"),
+                                     parr, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+    return df.withColumn("ivf_bucket", bucket.cast("int"))
+
+
+def ivf_topk(df_bucketed: DataFrame, query_vec: list[float], dim: int,
+             k: int = 10, n_planes: int = 6, seed: int = 42, probes: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Probe the query's bucket + nearest (by Hamming) buckets, exact
+    cosine within. probes=2^n_planes degenerates to brute force."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = int(sum((1 << i) for i, d in
+                    enumerate(planes @ np.asarray(query_vec)) if d >= 0))
+    all_buckets = sorted(range(1 << n_planes),
+                         key=lambda b: (bin(b ^ qbits).count("1"), b))
+    probe_set = all_buckets[:probes]
+    return (df_bucketed.filter(F.col("ivf_bucket").isin(probe_set))
+            .select(F.col(id_col),
+                    F.round(_cosine(F.col(vec_col).cast("array<double>"),
+                                    query_vec), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))

@@ -46,6 +46,16 @@ from .tokenizer import TokenizerConfig
 DEFAULT_SHARDS = 8
 
 
+def _with_ids(corpus: DataFrame, docid_mode: str) -> DataFrame:
+    """Corpora that already carry a dense 0..N-1 ``doc_id`` (e.g. the
+    driver's documents table) keep it; otherwise assign deterministically
+    from the (repo, path, commit) key."""
+    df = with_sha256(corpus)
+    if "doc_id" in corpus.columns:
+        return df
+    return assign_doc_ids(df, mode=docid_mode)
+
+
 @dataclass
 class IndexMeta:
     build_id: str
@@ -136,7 +146,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         n_docs, avgdl = meta.n_docs, meta.avgdl
     else:
         # ---- stage A ----
-        docs = assign_doc_ids(with_sha256(corpus), mode=docid_mode).persist()
+        docs = _with_ids(corpus, docid_mode).persist()
         keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                             "content_sha256"] if c in docs.columns]
         docs.select(*keep).write.mode("overwrite") \
@@ -166,7 +176,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     if missing:
         if tokens is None:
             # resume path: recompute tokens deterministically
-            docs = assign_doc_ids(with_sha256(corpus), mode=docid_mode)
+            docs = _with_ids(corpus, docid_mode)
             tokens = tokenize_corpus(docs, cfg, syn)
         postings = build_postings(tokens, store_positions=store_positions)
         doc_stats = spark.read.parquet(str(store.path / "docstats"))
