@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from .corpus import with_sha256
 from .docids import assign_doc_ids
-from .indexer import (build_doc_stats, build_postings, encode_segments,
+from .indexer import (build_doc_stats, encode_segments_from_tokens,
                       tokenize_corpus)
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig
@@ -175,22 +175,34 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     missing = [k for k in range(n_shards) if k not in done]
     if missing:
         if tokens is None:
-            # resume path: recompute tokens deterministically
+            # resume path: recompute tokens deterministically; force
+            # materialization NOW so the tokenizer UDF (fat content
+            # strings) doesn't run under the big-batch Arrow conf below
             docs = _with_ids(corpus, docid_mode)
-            tokens = tokenize_corpus(docs, cfg, syn)
-        postings = build_postings(tokens, store_positions=store_positions)
+            tokens = tokenize_corpus(docs, cfg, syn).persist()
+            tokens.count()
         doc_stats = spark.read.parquet(str(store.path / "docstats"))
-        segs = encode_segments(
-            postings, doc_stats, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
+        segs = encode_segments_from_tokens(
+            tokens, doc_stats, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
             n_shards=n_shards,
-            target_postings_per_task=target_postings_per_task)
+            target_tokens_per_task=target_postings_per_task,
+            store_positions=store_positions)
         if len(missing) < n_shards:
             segs = segs.filter(F.col("shard").isin(missing))
-        (segs.repartition(max(len(missing), 1), "shard")
-             .sortWithinPartitions("term", "salt", "block_seq")
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("shard").parquet(seg_dir))
+        # token rows are slim — stream them to the Python encoder in
+        # big Arrow batches (the session default is sized for fat
+        # content strings and would add per-batch overhead ×1000)
+        batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old_batch = spark.conf.get(batch_key, "10000")
+        spark.conf.set(batch_key, "131072")
+        try:
+            (segs.repartition(max(len(missing), 1), "shard")
+                 .sortWithinPartitions("term", "salt", "block_seq")
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("shard").parquet(seg_dir))
+        finally:
+            spark.conf.set(batch_key, old_batch)
 
         # checkpoint: per-shard rows/bytes/digest lineage
         stats = (spark.read.parquet(seg_dir)

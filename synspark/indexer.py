@@ -148,6 +148,100 @@ def plan_salts(postings: DataFrame, target_postings_per_task: int) -> DataFrame:
     )
 
 
+def encode_segments_from_tokens(tokens: DataFrame, doc_stats: DataFrame,
+                                n_docs: int, avgdl: float,
+                                k1: float = 1.2, b: float = 0.75,
+                                n_shards: int = 8,
+                                target_tokens_per_task: int = 1 << 20,
+                                block_docs: int = BLOCK_DOCS,
+                                store_positions: bool = True,
+                                num_partitions: int | None = None) -> DataFrame:
+    """Single-stream segment build (the fast path used by build_index):
+
+      tokens ⋈ dl ──repartition(term, shard, salt)──sortWithinPartitions
+             ──mapInPandas(batch encoder)──▶ segment blocks
+
+    vs. the classic postings-aggregate + per-group applyInPandas
+    (``encode_segments``) this removes one full shuffle (the
+    collect_list invert) and the per-group pandas overhead — the
+    encoder consumes each sorted partition as a stream, computing tf /
+    positions / tfnorm with numpy per (term, shard, salt) run (Lucene's
+    per-segment postings writer, expressed as a Spark partition
+    stream). Skew census counts token OCCURRENCES (cheap map-side
+    partial agg) and bounds rows-per-encoder-group via per-term doc
+    sub-range salts.
+    """
+    census = (tokens.groupBy("term").agg(F.count("*").alias("occ"))
+              .filter(F.col("occ") > target_tokens_per_task)
+              .withColumn("n_salts",
+                          F.ceil(F.col("occ") / F.lit(target_tokens_per_task))
+                          .cast("int"))
+              .select("term", "n_salts"))
+    nd = max(n_docs, 1)
+    t = (tokens.select("doc_id", "term", "pos")
+         .join(F.broadcast(census), "term", "left")
+         .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+         .join(doc_stats, "doc_id")
+         .withColumn("shard", ((F.col("doc_id") * F.lit(n_shards))
+                               / F.lit(nd)).cast("int"))
+         .withColumn("salt", (((F.col("doc_id") * F.lit(n_shards)
+                                * F.col("n_salts")) / F.lit(nd)).cast("long")
+                              - F.col("shard").cast("long")
+                              * F.col("n_salts")).cast("int"))
+         .select("term", "shard", "salt", "doc_id", "pos", "dl"))
+
+    parts = num_partitions or tokens.sparkSession.sparkContext \
+        .defaultParallelism
+    part = (t.repartition(parts, "term", "shard", "salt")
+            .sortWithinPartitions("term", "shard", "salt", "doc_id", "pos"))
+
+    out_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+
+    def encode_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for (term, shard, salt), g in pdf.groupby(
+                ["term", "shard", "salt"], sort=False):
+            doc = g["doc_id"].to_numpy()
+            udocs, starts, tfs = np.unique(doc, return_index=True,
+                                           return_counts=True)
+            dls = g["dl"].to_numpy()[starts].astype(np.int64)
+            tfs = tfs.astype(np.int64)
+            tfn = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+            pos = (g["pos"].to_numpy().astype(np.int64)
+                   if store_positions else None)
+            # np.unique sorts ascending and the partition is sorted by
+            # (doc_id, pos), so positions are already grouped per doc
+            for i, r in enumerate(encode_blocks(udocs.astype(np.int64),
+                                                tfs, tfn, pos, dls,
+                                                block_docs)):
+                recs.append({"term": term, "shard": int(shard),
+                             "salt": int(salt), "block_seq": i, **r})
+        return pd.DataFrame(recs, columns=out_cols)
+
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            term = pdf["term"].to_numpy()
+            shard = pdf["shard"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            last_key = (term[-1], shard[-1], salt[-1])
+            not_last = np.flatnonzero(
+                (term != last_key[0]) | (shard != last_key[1])
+                | (salt != last_key[2]))
+            cut = int(not_last[-1]) + 1 if len(not_last) else 0
+            complete, buf = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(complete):
+                yield encode_pdf(complete)
+        if buf is not None and len(buf):
+            yield encode_pdf(buf)
+
+    return part.mapInPandas(run, schema=SEGMENT_SCHEMA)
+
+
 def encode_segments(postings: DataFrame, doc_stats: DataFrame,
                     n_docs: int, avgdl: float,
                     k1: float = 1.2, b: float = 0.75,
