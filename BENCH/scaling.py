@@ -1,55 +1,73 @@
 """Scaling-efficiency evidence for the north rule (N vs 4N executors).
 
 No real cluster in this sandbox, so the same index-build job runs at
-two parallelism levels — local[N] and local[4N] — on the same
-materialized input, each in a FRESH SparkSession (JVM reused, thread
-pool resized). Efficiency = (T_N / T_4N) / 4; the rule wants >= 0.8.
+two parallelism levels — local[N] and local[4N] — over the same
+materialized parquet input. Each run is an isolated SUBPROCESS (fresh
+JVM: no heap/scheduler contamination between runs). The job is
+identical apart from thread count (same n_shards, same encode
+partitioning), so wall-clock ratio isolates parallel speedup.
+Efficiency = (T_N / T_4N) / 4; the rule wants >= 0.8.
 
-Usage: python BENCH/scaling.py [n_docs] [N]   (defaults 100000, 8)
-Writes results JSON to stdout; record in BENCH/BASELINE.md.
+Usage: python BENCH/scaling.py [n_docs] [N] [--repeats R]
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-sys.path.insert(0, str(REPO))
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from synspark.index_store import build_index
+from synspark.session import get_spark
+from synspark.synonyms import SynonymDict
+from synspark.tokenizer import TokenizerConfig
+
+threads = {threads}
+spark = get_spark(app=f"scaling-{{threads}}", master=f"local[{{threads}}]",
+                  shuffle_partitions=threads)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet({corpus!r})
+corpus.count()  # warm FS cache/metadata outside the timer
+syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
+t0 = time.time()
+build_index(spark, corpus, {out!r},
+            cfg=TokenizerConfig(n=2, expand=True), syn=syn,
+            n_shards={n_shards}, target_postings_per_task=1 << 18,
+            source="scaling", resume=False)
+print("ELAPSED", time.time() - t0)
+spark.stop()
+"""
 
 
-def run_build(master_threads: int, corpus_path: str, out: str,
-              n_docs: int) -> float:
-    from synspark.index_store import build_index
-    from synspark.session import get_spark
-    from synspark.synonyms import SynonymDict
-    from synspark.tokenizer import TokenizerConfig
-
-    spark = get_spark(app=f"scaling-{master_threads}",
-                      master=f"local[{master_threads}]",
-                      shuffle_partitions=master_threads)
-    spark.sparkContext.setLogLevel("ERROR")
-    corpus = spark.read.parquet(corpus_path)
-    syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
-    t0 = time.time()
-    build_index(spark, corpus, out,
-                cfg=TokenizerConfig(n=2, expand=True), syn=syn,
-                n_shards=max(master_threads, 8),
-                target_postings_per_task=1 << 18,
-                source="scaling", resume=False)
-    dt = time.time() - t0
-    spark.stop()
-    return dt
+def run_build(threads: int, corpus: str, out: str, n_shards: int) -> float:
+    code = CHILD.format(repo=str(REPO), threads=threads, corpus=corpus,
+                        out=out, n_shards=n_shards)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1800)
+    for line in r.stdout.splitlines():
+        if line.startswith("ELAPSED"):
+            return float(line.split()[1])
+    raise RuntimeError(f"child failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 400_000
+    n = int(args[1]) if len(args) > 1 else 8
+    repeats = 2 if "--repeats" not in sys.argv else \
+        int(sys.argv[sys.argv.index("--repeats") + 1])
+    n_shards = 4 * n  # fixed across both runs: identical job/output
 
-    # materialize input once
     from synspark.corpus import generate_corpus
     from synspark.session import get_spark
     tmp = tempfile.mkdtemp(prefix="synspark_scaling_")
@@ -59,8 +77,10 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{tmp}/corpus")
     s.stop()
 
-    t_small = run_build(n, f"{tmp}/corpus", f"{tmp}/idx_small", n_docs)
-    t_big = run_build(4 * n, f"{tmp}/corpus", f"{tmp}/idx_big", n_docs)
+    t_small = min(run_build(n, f"{tmp}/corpus", f"{tmp}/idx_s{i}", n_shards)
+                  for i in range(repeats))
+    t_big = min(run_build(4 * n, f"{tmp}/corpus", f"{tmp}/idx_b{i}", n_shards)
+                for i in range(repeats))
     eff = (t_small / t_big) / 4.0
     print(json.dumps({
         "n_docs": n_docs,

@@ -60,10 +60,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _index(spark: SparkSession, sf_dir: str):
     """Bigram index over documents(text), cached per sf_dir."""
-    from synspark.index_store import IndexStore, build_index
+    from synspark.index_store import FORMAT_VERSION, build_index
     from synspark.tokenizer import TokenizerConfig
     _ensure_shipped(spark)
-    key = hashlib.md5(f"{sf_dir}|bigram-v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf_dir}|bigram-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
     out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
     corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     return build_index(
@@ -140,12 +141,13 @@ def q_fts_phrase_hits(spark, sf_dir):
 def q_fts_synonym_bm25(spark, sf_dir):
     """Synonym-expanded query (dict data,info): rows-only check here;
     rank-identity vs naive + golden fixtures live in pytest."""
-    from synspark.index_store import build_index
+    from synspark.index_store import FORMAT_VERSION, build_index
     from synspark.query import search
     from synspark.synonyms import SynonymDict
     from synspark.tokenizer import TokenizerConfig
     _ensure_shipped(spark)
-    key = hashlib.md5(f"{sf_dir}|syn-v1".encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        f"{sf_dir}|syn-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
     out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
     corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     syn = SynonymDict.parse("data,info\nsort,order")

@@ -24,11 +24,13 @@ import numpy as np
 BLOCK_DOCS = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varint encode of a uint64 array, vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple:
+    """LEB128-style varint encode of a uint64 array, vectorized.
+    Returns (uint8 array, per-value byte lengths) so callers can slice
+    per-block ranges without re-encoding."""
     v = values.astype(np.uint64, copy=False)
     if len(v) == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1
     nbits = np.zeros(len(v), dtype=np.int64)
     tmp = v.copy()
@@ -49,6 +51,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
         more = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | more
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varint encode of a uint64 array, vectorized."""
+    out, _ = varint_encode_with_lengths(values)
     return out.tobytes()
 
 
@@ -106,7 +114,6 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
 
 
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
-                  tfnorms: np.ndarray | None = None,
                   positions_concat: np.ndarray | None = None,
                   dls: np.ndarray | None = None,
                   block_docs: int = BLOCK_DOCS) -> list[dict]:
@@ -137,7 +144,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
             "n_docs": int(b1 - b0),
             "max_tf": int(block_tfs.max()),
             "sum_tf": int(block_tfs.sum()),
-            "max_tfnorm": float(tfnorms[b0:b1].max()) if tfnorms is not None else 0.0,
+            "min_dl": int(dls[b0:b1].min()) if dls is not None else 0,
             "doc_bytes": varint_encode(gaps),
             "tf_bytes": varint_encode(block_tfs),
             "dl_bytes": (varint_encode(dls[b0:b1].astype(np.uint64))
@@ -149,6 +156,108 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
             rec["pos_bytes"] = encode_positions(
                 np.asarray(seg), tfs[b0:b1].astype(np.int64))
         out.append(rec)
+    return out
+
+
+def encode_sorted_batch(grp_change: np.ndarray, doc: np.ndarray,
+                        pos: np.ndarray | None, dl_tok: np.ndarray,
+                        block_docs: int = BLOCK_DOCS) -> dict:
+    """Encode a token batch covering COMPLETE posting groups into block
+    rows — fully vectorized (no per-group Python).
+
+    Input arrays are token-level, sorted by (group, doc, pos):
+      - grp_change: bool, True where a new (term, shard, salt) run
+        begins (grp_change[0] must be True)
+      - doc / pos / dl_tok: per-token doc_id, position, doc length
+
+    Output: dict of per-BLOCK numpy arrays + byte-slice lists, with
+    ``doc_start_tok`` mapping blocks back to token index space (for
+    recovering per-block term/shard/salt in the caller). Byte output is
+    identical to encode_blocks per group (same deltas, same varints) —
+    pinned by tests.
+    """
+    n = len(doc)
+    doc_change = grp_change.copy()
+    doc_change[1:] |= doc[1:] != doc[:-1]
+    doc_starts = np.flatnonzero(doc_change)          # token idx per doc run
+    tf = np.diff(np.append(doc_starts, n)).astype(np.int64)
+    udoc = doc[doc_starts]
+    udl = dl_tok[doc_starts].astype(np.int64)
+    D = len(udoc)
+
+    grp_first = grp_change[doc_starts]               # doc-space group starts
+    grp_doc_starts = np.flatnonzero(grp_first)
+    docs_per_grp = np.diff(np.append(grp_doc_starts, D))
+    rank_in_grp = np.arange(D) - np.repeat(grp_doc_starts, docs_per_grp)
+
+    blk_first = grp_first | (rank_in_grp % block_docs == 0)
+    blk_starts = np.flatnonzero(blk_first)           # doc-space block starts
+    docs_per_blk = np.diff(np.append(blk_starts, D)).astype(np.int64)
+    NB = len(blk_starts)
+
+    # block_seq within group
+    grp_id_per_doc = np.cumsum(grp_first) - 1
+    blk_grp = grp_id_per_doc[blk_starts]
+    first_blk_of_grp = np.zeros(int(blk_grp[-1]) + 1, dtype=np.int64)
+    # first block index per group: blocks are ordered, find boundaries
+    gchg = np.empty(NB, dtype=bool)
+    gchg[0] = True
+    gchg[1:] = blk_grp[1:] != blk_grp[:-1]
+    first_blk_of_grp[blk_grp[gchg]] = np.flatnonzero(gchg)
+    block_seq = np.arange(NB) - first_blk_of_grp[blk_grp]
+
+    # doc gaps (0 at block starts; blocks decode standalone)
+    gaps = np.empty(D, dtype=np.int64)
+    gaps[0] = 0
+    gaps[1:] = udoc[1:] - udoc[:-1]
+    gaps[blk_starts] = 0
+
+    gap_raw, gap_len = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tf_raw, tf_len = varint_encode_with_lengths(tf.astype(np.uint64))
+    dl_raw, dl_len = varint_encode_with_lengths(udl.astype(np.uint64))
+
+    def block_slices(raw: np.ndarray, lens: np.ndarray,
+                     starts_in_space: np.ndarray,
+                     counts: np.ndarray) -> list:
+        off = np.concatenate(([0], np.cumsum(lens)))
+        b0 = off[starts_in_space]
+        b1 = off[starts_in_space + counts]
+        rb = raw.tobytes()
+        return [rb[int(s):int(e)] for s, e in zip(b0, b1)]
+
+    blk_end = blk_starts + docs_per_blk
+    out = {
+        "block_seq": block_seq.astype(np.int32),
+        "first_doc": udoc[blk_starts].astype(np.int64),
+        "last_doc": udoc[blk_end - 1].astype(np.int64),
+        "n_docs": docs_per_blk.astype(np.int32),
+        "max_tf": np.maximum.reduceat(tf, blk_starts).astype(np.int32),
+        "sum_tf": np.add.reduceat(tf, blk_starts).astype(np.int64),
+        # block-max data as (max_tf, min_dl) — the WAND upper bound
+        # idf*tfnorm(max_tf, min_dl) is computed at query time, so k1/b/
+        # avgdl are query parameters, not baked into the index (Lucene
+        # impacts do the same)
+        "min_dl": np.minimum.reduceat(udl, blk_starts).astype(np.int32),
+        "doc_bytes": block_slices(gap_raw, gap_len, blk_starts, docs_per_blk),
+        "tf_bytes": block_slices(tf_raw, tf_len, blk_starts, docs_per_blk),
+        "dl_bytes": block_slices(dl_raw, dl_len, blk_starts, docs_per_blk),
+        "doc_start_tok": doc_starts[blk_starts],  # token idx of block start
+    }
+
+    if pos is not None:
+        pdelta = np.empty(n, dtype=np.int64)
+        pdelta[0] = pos[0]
+        pdelta[1:] = pos[1:] - pos[:-1]
+        pdelta[doc_starts] = pos[doc_starts]  # absolute at each doc start
+        pos_raw, pos_len = varint_encode_with_lengths(
+            pdelta.astype(np.uint64))
+        # token-space ranges per block
+        tok_starts = doc_starts[blk_starts]
+        tok_ends = np.append(doc_starts, n)[blk_end]
+        out["pos_bytes"] = block_slices(pos_raw, pos_len, tok_starts,
+                                        tok_ends - tok_starts)
+    else:
+        out["pos_bytes"] = [None] * NB
     return out
 
 

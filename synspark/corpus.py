@@ -56,13 +56,20 @@ def _content_for(i: int) -> str:
     """Deterministic content for global row id ``i`` (seed=42 folded in)."""
     kind = i % 10
     rng = np.random.RandomState((42 * 1_000_003 + i) % (2**31 - 1))
-    if kind <= 3:  # code-like, Zipf-skewed vocabulary
-        n_words = 40 + int(rng.zipf(1.7) % 200)
+    if kind <= 3:  # code-like: Zipf-hot keywords + unique identifiers
+        n_words = 60 + int(rng.zipf(1.7) % 240)
         idx = np.minimum(rng.zipf(1.3, size=n_words) - 1, len(_VOCAB) - 1)
         seps = rng.choice([" ", " ", " ", "\t", "\n"], size=n_words)
+        # ~1/3 unique identifiers (realistic for source code; keeps the
+        # tokenizer honest — an all-hot-vocab corpus is 100% memoizable)
+        uniq = rng.random_sample(size=n_words) < 0.33
+        suffix = rng.randint(0, 1 << 30, size=n_words)
         parts = []
         for j, w in enumerate(idx):
-            parts.append(_VOCAB[w])
+            if uniq[j]:
+                parts.append(f"{_VOCAB[w]}_{suffix[j]:x}")
+            else:
+                parts.append(_VOCAB[w])
             parts.append(seps[j])
         return "".join(parts[:-1])
     if kind <= 5:  # golden-alphabet strings incl. exact fixture inputs
@@ -102,7 +109,7 @@ def generate_corpus(spark: SparkSession, n_docs: int,
     return (
         spark.range(0, n_docs, numPartitions=parts)
         .mapInPandas(gen, schema=CORPUS_SCHEMA)
-        .drop("row_id")
+        .withColumnRenamed("row_id", "doc_id")
     )
 
 

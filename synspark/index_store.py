@@ -28,22 +28,36 @@ stats prune term lookups at query time (predicate pushdown).
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 from pathlib import Path
+
+
+@contextmanager
+def _timed(stage: str):
+    """Stage timing, printed when SYNSPARK_TIMING=1."""
+    t0 = time.time()
+    yield
+    if os.environ.get("SYNSPARK_TIMING"):
+        print(f"[synspark-timing] {stage}: {time.time() - t0:.2f}s",
+              flush=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus import with_sha256
 from .docids import assign_doc_ids
-from .indexer import (build_doc_stats, encode_segments_from_tokens,
-                      tokenize_corpus)
+from .indexer import (DOCSTATS_TERM, build_doc_stats,
+                      build_segments_maponly, decode_docstats_rows,
+                      encode_segments_from_tokens, tokenize_corpus)
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig
 
 DEFAULT_SHARDS = 8
+FORMAT_VERSION = 2  # bump when SEGMENT_SCHEMA / block encoding changes
 
 
 def _with_ids(corpus: DataFrame, docid_mode: str) -> DataFrame:
@@ -69,12 +83,13 @@ class IndexMeta:
     source: str
     store_positions: bool
     created_utc: float
+    layout: str = "doc"
 
 
 def _digest_expr():
     return F.expr(
-        "bit_xor(xxhash64(term, salt, block_seq, first_doc, last_doc, "
-        "n_docs, max_tf, sum_tf, doc_bytes, tf_bytes, dl_bytes))"
+        "bit_xor(xxhash64(term, block_seq, first_doc, last_doc, "
+        "n_docs, max_tf, sum_tf, min_dl, doc_bytes, tf_bytes, dl_bytes))"
     ).alias("digest")
 
 
@@ -123,6 +138,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 store_positions: bool = True,
                 target_postings_per_task: int = 1 << 20,
                 docid_mode: str = "bucketed",
+                layout: str = "doc",
                 source: str = "<dataframe>",
                 resume: bool = True) -> IndexStore:
     """End-to-end resumable index build.
@@ -130,6 +146,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     Stage A (docmap + docstats + meta), then stage B (segments shard by
     shard, recorded in the manifest with rows/bytes/digest lineage).
     On restart with ``resume``, completed shards are skipped.
+
+    ``layout="doc"`` (default): document-routed map-only build — one
+    corpus repartition, zero token shuffle (indexer.
+    build_segments_maponly). ``layout="term"``: salted
+    repartition-by-term stream encode (indexer.
+    encode_segments_from_tokens). Decoded postings are identical.
     """
     cfg = cfg or TokenizerConfig()
     store = IndexStore(out_dir)
@@ -138,74 +160,69 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     manifest = store.manifest() if resume else {"shards": {}}
     done = {int(k) for k, v in manifest["shards"].items()
             if v.get("status") == "done"}
-    meta_exists = (store.path / "meta.json").exists()
+    # meta is written LAST: its presence marks a complete build
+    if resume and (store.path / "meta.json").exists() \
+            and len(done) >= n_shards:
+        return store
 
-    tokens = None
-    if meta_exists and resume:
-        meta = store.meta()
-        n_docs, avgdl = meta.n_docs, meta.avgdl
-    else:
-        # ---- stage A ----
-        docs = _with_ids(corpus, docid_mode).persist()
-        keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
-                            "content_sha256"] if c in docs.columns]
-        docs.select(*keep).write.mode("overwrite") \
-            .parquet(str(store.path / "docmap"))
-
-        tokens = tokenize_corpus(docs, cfg, syn).persist()
-        build_doc_stats(tokens).write.mode("overwrite") \
-            .parquet(str(store.path / "docstats"))
-
+    # ---- stage A: docmap (ids + sha) ----
+    docs = _with_ids(corpus, docid_mode).persist()
+    docmap_dir = store.path / "docmap"
+    with _timed("A.docmap"):
+        if not (resume and docmap_dir.exists()):
+            keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
+                                "content_sha256"] if c in docs.columns]
+            docs.select(*keep).write.mode("overwrite") \
+                .parquet(str(docmap_dir))
         n_docs = docs.count()
-        row = spark.read.parquet(str(store.path / "docstats")) \
-            .agg(F.avg("dl").alias("avgdl")).collect()[0]
-        avgdl = float(row["avgdl"] or 1.0)
-        meta = IndexMeta(
-            build_id=uuid.uuid4().hex, n_docs=n_docs, avgdl=avgdl,
-            n_shards=n_shards, k1=k1, b=b,
-            cfg={"n": cfg.n, "delimiters": cfg.delimiters,
-                 "expand": cfg.expand, "ignore_case": cfg.ignore_case},
-            dict_fingerprint=syn.fingerprint() if syn else None,
-            source=source, store_positions=store_positions,
-            created_utc=time.time())
-        store._write_meta(meta)
-        docs.unpersist()
+
+    # term layout needs docstats (dl) BEFORE encoding; doc layout emits
+    # dl in-pass as pseudo-term rows and derives docstats afterwards
+    if layout == "term" and not (resume and (store.path / "docstats").exists()):
+        build_doc_stats(tokenize_corpus(docs, cfg, syn)) \
+            .write.mode("overwrite").parquet(str(store.path / "docstats"))
 
     # ---- stage B: segments per shard ----
     missing = [k for k in range(n_shards) if k not in done]
     if missing:
-        if tokens is None:
-            # resume path: recompute tokens deterministically; force
-            # materialization NOW so the tokenizer UDF (fat content
-            # strings) doesn't run under the big-batch Arrow conf below
-            docs = _with_ids(corpus, docid_mode)
-            tokens = tokenize_corpus(docs, cfg, syn).persist()
-            tokens.count()
-        doc_stats = spark.read.parquet(str(store.path / "docstats"))
-        segs = encode_segments_from_tokens(
-            tokens, doc_stats, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
-            n_shards=n_shards,
-            target_tokens_per_task=target_postings_per_task,
-            store_positions=store_positions)
-        if len(missing) < n_shards:
-            segs = segs.filter(F.col("shard").isin(missing))
-        # token rows are slim — stream them to the Python encoder in
-        # big Arrow batches (the session default is sized for fat
-        # content strings and would add per-batch overhead ×1000)
         batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
         old_batch = spark.conf.get(batch_key, "10000")
-        spark.conf.set(batch_key, "131072")
+        if layout == "doc":
+            segs = build_segments_maponly(
+                docs, cfg, syn, n_docs=n_docs, n_shards=n_shards,
+                store_positions=store_positions)
+            if len(missing) < n_shards:
+                segs = segs.filter(F.col("shard").isin(missing))
+            # already partitioned by shard + term-sorted by the worker
+            write_df = segs
+        else:
+            tokens = tokenize_corpus(docs, cfg, syn).persist()
+            tokens.count()  # materialize before the big-batch conf below
+            doc_stats = spark.read.parquet(str(store.path / "docstats"))
+            segs = encode_segments_from_tokens(
+                tokens, doc_stats, n_docs=n_docs, n_shards=n_shards,
+                target_tokens_per_task=target_postings_per_task,
+                store_positions=store_positions)
+            if len(missing) < n_shards:
+                segs = segs.filter(F.col("shard").isin(missing))
+            write_df = (segs.repartition(max(len(missing), 1), "shard")
+                        .sortWithinPartitions("term", "salt", "block_seq"))
+            # token rows are slim — stream them to the Python encoder in
+            # big Arrow batches (the session default is sized for fat
+            # content strings)
+            spark.conf.set(batch_key, "131072")
         try:
-            (segs.repartition(max(len(missing), 1), "shard")
-                 .sortWithinPartitions("term", "salt", "block_seq")
-                 .write.mode("overwrite")
+            with _timed("B.segments"):
+                (write_df.write.mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("shard").parquet(seg_dir))
         finally:
             spark.conf.set(batch_key, old_batch)
 
         # checkpoint: per-shard rows/bytes/digest lineage
-        stats = (spark.read.parquet(seg_dir)
+        build_id = uuid.uuid4().hex
+        with _timed("B.manifest"):
+            stats = (spark.read.parquet(seg_dir)
                  .filter(F.col("shard").isin(missing))
                  .groupBy("shard")
                  .agg(F.count("*").alias("rows"),
@@ -220,24 +237,47 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             manifest["shards"][str(int(r["shard"]))] = {
                 "status": "done", "rows": int(r["rows"]),
                 "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
-                "build_id": store.meta().build_id}
+                "build_id": build_id}
         for k in missing:
             if k not in found:  # shard legitimately empty
                 manifest["shards"][str(k)] = {
                     "status": "done", "rows": 0, "bytes": 0, "digest": 0,
-                    "build_id": store.meta().build_id}
+                    "build_id": build_id}
         store._write_manifest(manifest)
-        if hasattr(tokens, "unpersist"):
-            tokens.unpersist()
+    docs.unpersist()
 
-    # ---- termstats (small idempotent job) ----
+    # ---- stage C: derived stats + meta (idempotent small jobs) ----
+    segs_all = spark.read.parquet(seg_dir)
+    with _timed("C.docstats"):
+        if layout == "doc" and (missing or
+                                not (store.path / "docstats").exists()):
+            decode_docstats_rows(
+                segs_all.filter(F.col("term") == DOCSTATS_TERM)) \
+                .write.mode("overwrite").parquet(str(store.path / "docstats"))
+
     ts_dir = store.path / "termstats"
-    if not ts_dir.exists() or missing:
-        (spark.read.parquet(seg_dir)
-         .groupBy("term")
-         .agg(F.sum("n_docs").cast("long").alias("df"),
-              F.sum("sum_tf").alias("cf"))
-         .write.mode("overwrite").parquet(str(ts_dir)))
+    with _timed("C.termstats"):
+        if not ts_dir.exists() or missing:
+            (segs_all.filter(F.col("term") != DOCSTATS_TERM)
+             .groupBy("term")
+             .agg(F.sum("n_docs").cast("long").alias("df"),
+                  F.sum("sum_tf").alias("cf"))
+             .write.mode("overwrite").parquet(str(ts_dir)))
+
+    with _timed("C.avgdl"):
+        row = spark.read.parquet(str(store.path / "docstats")) \
+            .agg(F.avg("dl").alias("avgdl")).collect()[0]
+    meta = IndexMeta(
+        build_id=manifest["shards"].get("0", {}).get("build_id",
+                                                     uuid.uuid4().hex),
+        n_docs=n_docs, avgdl=float(row["avgdl"] or 1.0),
+        n_shards=n_shards, k1=k1, b=b,
+        cfg={"n": cfg.n, "delimiters": cfg.delimiters,
+             "expand": cfg.expand, "ignore_case": cfg.ignore_case},
+        dict_fingerprint=syn.fingerprint() if syn else None,
+        source=source, store_positions=store_positions,
+        created_utc=time.time(), layout=layout)
+    store._write_meta(meta)
     return store
 
 

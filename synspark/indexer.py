@@ -1,30 +1,31 @@
 """Inverted-index construction (SURVEY §2.4 E3–E7).
 
-Pipeline (all DataFrame; Python only inside Arrow-batched UDFs):
+Two physical strategies build identical logical postings:
 
-  corpus ──mapInPandas(tokenize)──▶ tokens(doc_id, term, pos, pos_inc)
-         ──groupBy(term, doc_id)──▶ postings(term, doc_id, tf, positions)
-         ──salt join (hot terms)──▶ (term, salt) groups
-         ──applyInPandas(encode)──▶ segment blocks (delta+varint, block-max)
-         ──write parquet partitioned by term bucket, sorted by term──▶ index
+1. ``build_segments_maponly`` (default) — the document-routed plan:
+   docs are ranged into shards (one repartition of the CORPUS, the
+   cheapest thing to shuffle), then each shard partition is tokenized,
+   inverted, and block-encoded entirely inside one Arrow-batched
+   Python worker — zero token shuffle, embarrassingly parallel, the
+   same shape Elasticsearch/Lucene use for sharded indexing. Shard
+   count is the task-size knob (choose so a shard's tokens fit a
+   worker: tokens_per_shard ≈ corpus_tokens / n_shards).
 
-Scale notes (designed for 10^12 docs / 1000 executors, tested local):
-  - tokenization is map-only (no shuffle); Arrow batch size bounds the
-    Python worker's memory; per-block memoization exploits the heavy
-    repetition in code corpora.
-  - the invert groupBy benefits from partial (map-side) aggregation of
-    tf; positions use collect_list which Spark aggregates partially too.
-  - term skew (Zipf bigrams) is handled explicitly: a first-pass df
-    count assigns ``s_t = ceil(df/target)`` salts per hot term; the
-    salt is derived from ``doc_id`` by RANGE (``doc_id * s_t // N``),
-    so per-salt blocks cover disjoint docID ranges and the global
-    posting list is the salt-ordered concatenation — merge is free
-    (SURVEY E5/E6). AQE alone can't fix aggregation skew; this can.
+2. ``encode_segments_from_tokens`` — the term-routed plan named by the
+   north star: tokens are salted-repartitioned by (term, shard-range,
+   salt) with explicit skew splitting for hot n-grams (two-pass df
+   census -> per-term doc sub-ranges), sorted, and stream-encoded.
+   Produces per-term globally-mergeable runs; pays one shuffle of the
+   token stream. Kept as ``layout="term"``; the doc-routed plan wins
+   on wall-clock because the corpus is always smaller than its token
+   stream.
+
+Both paths emit SEGMENT_SCHEMA blocks whose decoded postings are
+identical (tests pin this); only physical grouping (salt) differs.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import numpy as np
@@ -33,11 +34,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
-from .codec import BLOCK_DOCS, encode_blocks
+from .codec import (BLOCK_DOCS, encode_sorted_batch, varint_decode,
+                    varint_encode)
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig, _tokenize_block, blocks
 
@@ -60,12 +61,69 @@ SEGMENT_SCHEMA = StructType([
     StructField("n_docs", IntegerType(), False),
     StructField("max_tf", IntegerType(), False),
     StructField("sum_tf", LongType(), False),
-    StructField("max_tfnorm", DoubleType(), False),
+    StructField("min_dl", IntegerType(), False),
     StructField("doc_bytes", BinaryType(), False),
     StructField("tf_bytes", BinaryType(), False),
     StructField("dl_bytes", BinaryType(), False),
     StructField("pos_bytes", BinaryType(), True),
 ])
+
+_SEG_COLS = [f.name for f in SEGMENT_SCHEMA.fields]
+
+# pseudo-term row carrying per-shard (doc_id, dl) pairs: doc lengths
+# ride along in the same map-only pass instead of paying a second
+# tokenize pass. "\x00" sorts before every real term.
+DOCSTATS_TERM = "\x00docstats"
+_DOCSTATS_BLOCK = 4096
+
+
+class _Interner:
+    """Per-worker token interning: block -> (term-id array, pos-inc
+    array), memoized. Keeps the hot path in int numpy arrays instead of
+    per-token Python strings (string churn is memory-bandwidth bound
+    and kills >8-way scaling)."""
+
+    def __init__(self, cfg_tuple, syn):
+        self.cfg_tuple = cfg_tuple
+        self.syn = syn
+        self.vocab: dict = {}
+        self.vlist: list = []
+        self.cache: dict = {}
+
+    def block_ids(self, block: str):
+        ent = self.cache.get(block)
+        if ent is None:
+            n, expand, ignore_case, _ = self.cfg_tuple
+            toks = _tokenize_block(block, n, expand, ignore_case, self.syn)
+            tids = np.empty(len(toks), dtype=np.int32)
+            pincs = np.empty(len(toks), dtype=np.int32)
+            vocab, vlist = self.vocab, self.vlist
+            for j, (w, _s, _e, pi) in enumerate(toks):
+                tid = vocab.get(w)
+                if tid is None:
+                    tid = len(vlist)
+                    vocab[w] = tid
+                    vlist.append(w)
+                tids[j] = tid
+                pincs[j] = pi
+            ent = (tids, pincs)
+            if len(self.cache) < 65536:
+                self.cache[block] = ent
+        return ent
+
+    def doc_ids(self, text: str):
+        """-> (tid array, position array, dl) for one document."""
+        delims = self.cfg_tuple[3]
+        tid_parts, pinc_parts = [], []
+        for _bs, block in blocks(text, delims):
+            t, p = self.block_ids(block)
+            tid_parts.append(t)
+            pinc_parts.append(p)
+        if not tid_parts:
+            return None
+        tids = np.concatenate(tid_parts)
+        pos = np.cumsum(np.concatenate(pinc_parts), dtype=np.int64) - 1
+        return tids, pos, int(pos[-1]) + 1 if len(pos) else 0
 
 
 def tokenize_corpus(df: DataFrame, cfg: TokenizerConfig,
@@ -73,9 +131,8 @@ def tokenize_corpus(df: DataFrame, cfg: TokenizerConfig,
                     id_col: str = "doc_id", text_col: str = "content",
                     keep_offsets: bool = True) -> DataFrame:
     """corpus -> flat tokens DataFrame via mapInPandas (Arrow batches,
-    flat numpy/list output — faster than ArrayType(Struct)+explode
-    because no struct-array materialization). Lucene position = running
-    cumsum of pos_inc - 1 per doc."""
+    flat numpy/list output — faster than ArrayType(Struct)+explode).
+    Lucene position = running cumsum of pos_inc - 1 per doc."""
     n, expand, ignore_case, delims = cfg.n, cfg.expand, cfg.ignore_case, cfg.delimiters
     syn_local = syn  # closure-captured; pickled once per python worker
 
@@ -119,7 +176,8 @@ def tokenize_corpus(df: DataFrame, cfg: TokenizerConfig,
 
 def build_postings(tokens: DataFrame, store_positions: bool = True) -> DataFrame:
     """tokens -> postings(term, doc_id, tf[, positions]) — plain hash
-    aggregation (partial+final, whole-stage codegen)."""
+    aggregation (partial+final, whole-stage codegen). Used by tests and
+    the naive-oracle cross-checks."""
     aggs = [F.count("*").cast("int").alias("tf")]
     if store_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
@@ -134,53 +192,180 @@ def build_doc_stats(tokens: DataFrame) -> DataFrame:
         F.sum("pos_inc").cast("int").alias("dl"))
 
 
-def plan_salts(postings: DataFrame, target_postings_per_task: int) -> DataFrame:
-    """First pass of the two-pass skew plan: df per term -> number of
-    salts for hot terms. Returns only terms with s_t > 1 (broadcast-able:
-    Zipf head is small by definition)."""
-    return (
-        postings.groupBy("term").agg(F.count("*").alias("df"))
-        .withColumn("n_salts",
-                    F.ceil(F.col("df") / F.lit(target_postings_per_task))
-                    .cast("int"))
-        .filter(F.col("n_salts") > 1)
-        .select("term", "n_salts")
-    )
+# ---------------------------------------------------------------------
+# strategy 1: document-routed, map-only (default)
+# ---------------------------------------------------------------------
 
+def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
+                           syn: SynonymDict | None,
+                           n_docs: int, n_shards: int = 8,
+                           store_positions: bool = True,
+                           block_docs: int = BLOCK_DOCS,
+                           id_col: str = "doc_id",
+                           text_col: str = "content") -> DataFrame:
+    """corpus -> segment blocks with ZERO token shuffle.
+
+    ``shard = doc_id * n_shards // N``; one repartition routes each doc
+    range to one partition; inside the partition a Python worker
+    tokenizes (memoized), locally inverts with np.unique/lexsort, and
+    block-encodes. Output rows arrive already grouped by shard and
+    sorted by term. salt is always 0 (skew is bounded by shard size;
+    size shards by token volume at scale)."""
+    cfg_tuple = (cfg.n, cfg.expand, cfg.ignore_case, cfg.delimiters)
+    syn_local = syn
+    nd = max(n_docs, 1)
+
+    # 4x partitions vs shard keys: hash collisions otherwise give some
+    # tasks 2-3 shards (balls-in-bins) and halve effective parallelism;
+    # with the spread, nearly every shard gets its own task
+    routed = (docs.select(id_col, text_col)
+              .withColumn("shard", ((F.col(id_col) * F.lit(n_shards))
+                                    / F.lit(nd)).cast("int"))
+              .repartition(n_shards * 4, "shard"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        interner = _Interner(cfg_tuple, syn_local)
+        # hash routing may co-locate several shard keys in one partition:
+        # accumulate per shard (int arrays only), encode each shard
+        acc: dict = {}  # shard -> (tid chunks, doc chunks, pos chunks, dl chunks)
+
+        for pdf in batches:
+            for did, text, sh in zip(pdf[id_col].to_numpy(), pdf[text_col],
+                                     pdf["shard"].to_numpy()):
+                if not text:
+                    continue
+                out = interner.doc_ids(text)
+                if out is None:
+                    continue
+                tids, pos, dl = out
+                a = acc.setdefault(int(sh), ([], [], [], [], [], []))
+                a[0].append(tids)
+                a[1].append(np.full(len(tids), did, dtype=np.int64))
+                a[2].append(pos)
+                a[3].append(np.full(len(tids), dl, dtype=np.int64))
+                a[4].append(did)
+                a[5].append(dl)
+
+        if not acc:
+            yield pd.DataFrame(columns=_SEG_COLS)
+            return
+
+        # lexicographic term order for the output (parquet row-group
+        # min/max stats on sorted term -> query-time pruning)
+        vlist = interner.vlist
+        order_v = sorted(range(len(vlist)), key=vlist.__getitem__)
+        rank = np.empty(len(vlist), dtype=np.int64)
+        rank[np.asarray(order_v, dtype=np.int64)] = np.arange(len(vlist))
+        sorted_vocab = np.array([vlist[i] for i in order_v], dtype=object)
+
+        for sh in sorted(acc):
+            tid_chunks, docs_all, pos_all, dl_all, sdocs, sdls = acc[sh]
+            rtid = rank[np.concatenate(tid_chunks)]
+            doc_arr = np.concatenate(docs_all)
+            pos_arr = np.concatenate(pos_all)
+            dl_arr = np.concatenate(dl_all)
+            # local inversion: docs arrive in arbitrary order after the
+            # shuffle — lexsort tokens by (term rank, doc, pos)
+            order = np.lexsort((pos_arr, doc_arr, rtid))
+            rtid = rtid[order]
+            doc_s, pos_s, dl_s = doc_arr[order], pos_arr[order], dl_arr[order]
+            grp_change = np.empty(len(rtid), dtype=bool)
+            grp_change[0] = True
+            grp_change[1:] = rtid[1:] != rtid[:-1]
+            enc = encode_sorted_batch(grp_change, doc_s,
+                                      pos_s if store_positions else None,
+                                      dl_s, block_docs)
+            tok_idx = enc.pop("doc_start_tok")
+            nb = len(tok_idx)
+            yield pd.DataFrame({
+                "term": sorted_vocab[rtid[tok_idx]],
+                "shard": np.full(nb, sh, dtype=np.int32),
+                "salt": np.zeros(nb, dtype=np.int32),
+                **enc,
+            }, columns=_SEG_COLS)
+
+            # docstats pseudo-term rows: (doc gaps, dls) varint blocks
+            sd = np.asarray(sdocs, dtype=np.int64)
+            sl = np.asarray(sdls, dtype=np.int64)
+            o = np.argsort(sd)
+            sd, sl = sd[o], sl[o]
+            recs = []
+            for seq, b0 in enumerate(range(0, len(sd), _DOCSTATS_BLOCK)):
+                b1 = min(b0 + _DOCSTATS_BLOCK, len(sd))
+                gaps = np.diff(sd[b0:b1], prepend=sd[b0]).astype(np.uint64)
+                recs.append({
+                    "term": DOCSTATS_TERM, "shard": int(sh), "salt": 0,
+                    "block_seq": seq, "first_doc": int(sd[b0]),
+                    "last_doc": int(sd[b1 - 1]), "n_docs": int(b1 - b0),
+                    "max_tf": 0, "sum_tf": 0, "min_dl": 0,
+                    "doc_bytes": varint_encode(gaps),
+                    "tf_bytes": b"",
+                    "dl_bytes": varint_encode(sl[b0:b1].astype(np.uint64)),
+                    "pos_bytes": None,
+                })
+            yield pd.DataFrame(recs, columns=_SEG_COLS)
+
+    return routed.mapInPandas(run, schema=SEGMENT_SCHEMA)
+
+
+def decode_docstats_rows(rows: DataFrame) -> DataFrame:
+    """Inverse of the docstats pseudo-term rows -> (doc_id, dl)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dls = [], []
+            for fd, nd, db, lb in zip(pdf["first_doc"], pdf["n_docs"],
+                                      pdf["doc_bytes"], pdf["dl_bytes"]):
+                gaps = varint_decode(db, int(nd)).astype(np.int64)
+                ids.append(np.cumsum(gaps) + int(fd) - int(gaps[0])
+                           if len(gaps) else np.zeros(0, np.int64))
+                dls.append(varint_decode(lb, int(nd)).astype(np.int64))
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids) if ids else
+                np.zeros(0, np.int64),
+                "dl": (np.concatenate(dls) if dls
+                       else np.zeros(0, np.int64)).astype(np.int32),
+            })
+
+    return rows.select("first_doc", "n_docs", "doc_bytes", "dl_bytes") \
+        .mapInPandas(run, schema="doc_id long, dl int")
+
+
+# ---------------------------------------------------------------------
+# strategy 2: term-routed with explicit skew salting (north-star E5)
+# ---------------------------------------------------------------------
 
 def encode_segments_from_tokens(tokens: DataFrame, doc_stats: DataFrame,
-                                n_docs: int, avgdl: float,
-                                k1: float = 1.2, b: float = 0.75,
+                                n_docs: int,
                                 n_shards: int = 8,
                                 target_tokens_per_task: int = 1 << 20,
                                 block_docs: int = BLOCK_DOCS,
                                 store_positions: bool = True,
                                 num_partitions: int | None = None) -> DataFrame:
-    """Single-stream segment build (the fast path used by build_index):
+    """Salted repartition-by-term segment build:
 
-      tokens ⋈ dl ──repartition(term, shard, salt)──sortWithinPartitions
-             ──mapInPandas(batch encoder)──▶ segment blocks
+      tokens ⋈ dl ──repartition(term-id, shard, salt)──sort──mapInPandas
 
-    vs. the classic postings-aggregate + per-group applyInPandas
-    (``encode_segments``) this removes one full shuffle (the
-    collect_list invert) and the per-group pandas overhead — the
-    encoder consumes each sorted partition as a stream, computing tf /
-    positions / tfnorm with numpy per (term, shard, salt) run (Lucene's
-    per-segment postings writer, expressed as a Spark partition
-    stream). Skew census counts token OCCURRENCES (cheap map-side
-    partial agg) and bounds rows-per-encoder-group via per-term doc
-    sub-range salts.
+    One vocabulary census pass provides (a) hot-term salt counts
+    (``s_t = ceil(occ / target)`` doc sub-ranges per shard — explicit
+    skew splitting; per-salt ranges are disjoint so the shard's posting
+    list is the salt-ordered concatenation, merge is free) and (b) a
+    dictionary encoding term -> int id so the token shuffle carries only
+    fixed-width ints (n-gram vocabularies are tiny next to the corpus).
     """
-    census = (tokens.groupBy("term").agg(F.count("*").alias("occ"))
-              .filter(F.col("occ") > target_tokens_per_task)
-              .withColumn("n_salts",
-                          F.ceil(F.col("occ") / F.lit(target_tokens_per_task))
-                          .cast("int"))
-              .select("term", "n_salts"))
+    spark = tokens.sparkSession
+    vocab = sorted(
+        (r["term"], int(r["occ"])) for r in
+        tokens.groupBy("term").agg(F.count("*").alias("occ")).collect())
+    terms_arr = np.array([t for t, _ in vocab], dtype=object)
+    vdf = spark.createDataFrame(
+        [(t, tid, max(1, -(-occ // target_tokens_per_task)))
+         for tid, (t, occ) in enumerate(vocab)],
+        "term string, tid int, n_salts int")
+
     nd = max(n_docs, 1)
     t = (tokens.select("doc_id", "term", "pos")
-         .join(F.broadcast(census), "term", "left")
-         .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+         .join(F.broadcast(vdf), "term")
          .join(doc_stats, "doc_id")
          .withColumn("shard", ((F.col("doc_id") * F.lit(n_shards))
                                / F.lit(nd)).cast("int"))
@@ -188,35 +373,33 @@ def encode_segments_from_tokens(tokens: DataFrame, doc_stats: DataFrame,
                                 * F.col("n_salts")) / F.lit(nd)).cast("long")
                               - F.col("shard").cast("long")
                               * F.col("n_salts")).cast("int"))
-         .select("term", "shard", "salt", "doc_id", "pos", "dl"))
+         .select("tid", "shard", "salt", "doc_id", "pos", "dl"))
 
-    parts = num_partitions or tokens.sparkSession.sparkContext \
-        .defaultParallelism
-    part = (t.repartition(parts, "term", "shard", "salt")
-            .sortWithinPartitions("term", "shard", "salt", "doc_id", "pos"))
-
-    out_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    part = (t.repartition(parts, "tid", "shard", "salt")
+            .sortWithinPartitions("tid", "shard", "salt", "doc_id", "pos"))
 
     def encode_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-        recs = []
-        for (term, shard, salt), g in pdf.groupby(
-                ["term", "shard", "salt"], sort=False):
-            doc = g["doc_id"].to_numpy()
-            udocs, starts, tfs = np.unique(doc, return_index=True,
-                                           return_counts=True)
-            dls = g["dl"].to_numpy()[starts].astype(np.int64)
-            tfs = tfs.astype(np.int64)
-            tfn = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
-            pos = (g["pos"].to_numpy().astype(np.int64)
-                   if store_positions else None)
-            # np.unique sorts ascending and the partition is sorted by
-            # (doc_id, pos), so positions are already grouped per doc
-            for i, r in enumerate(encode_blocks(udocs.astype(np.int64),
-                                                tfs, tfn, pos, dls,
-                                                block_docs)):
-                recs.append({"term": term, "shard": int(shard),
-                             "salt": int(salt), "block_seq": i, **r})
-        return pd.DataFrame(recs, columns=out_cols)
+        tid = pdf["tid"].to_numpy()
+        shard = pdf["shard"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        doc = pdf["doc_id"].to_numpy()
+        grp_change = np.empty(len(pdf), dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = ((tid[1:] != tid[:-1]) | (shard[1:] != shard[:-1])
+                          | (salt[1:] != salt[:-1]))
+        enc = encode_sorted_batch(
+            grp_change, doc,
+            pdf["pos"].to_numpy().astype(np.int64) if store_positions
+            else None,
+            pdf["dl"].to_numpy(), block_docs)
+        tok_idx = enc.pop("doc_start_tok")
+        return pd.DataFrame({
+            "term": terms_arr[tid[tok_idx]],  # id -> surface (broadcast)
+            "shard": shard[tok_idx].astype(np.int32),
+            "salt": salt[tok_idx].astype(np.int32),
+            **enc,
+        }, columns=_SEG_COLS)
 
     def run(batches):
         buf = None
@@ -225,12 +408,12 @@ def encode_segments_from_tokens(tokens: DataFrame, doc_stats: DataFrame,
                 pdf = pd.concat([buf, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            term = pdf["term"].to_numpy()
+            tid = pdf["tid"].to_numpy()
             shard = pdf["shard"].to_numpy()
             salt = pdf["salt"].to_numpy()
-            last_key = (term[-1], shard[-1], salt[-1])
+            last_key = (tid[-1], shard[-1], salt[-1])
             not_last = np.flatnonzero(
-                (term != last_key[0]) | (shard != last_key[1])
+                (tid != last_key[0]) | (shard != last_key[1])
                 | (salt != last_key[2]))
             cut = int(not_last[-1]) + 1 if len(not_last) else 0
             complete, buf = pdf.iloc[:cut], pdf.iloc[cut:]
@@ -240,75 +423,3 @@ def encode_segments_from_tokens(tokens: DataFrame, doc_stats: DataFrame,
             yield encode_pdf(buf)
 
     return part.mapInPandas(run, schema=SEGMENT_SCHEMA)
-
-
-def encode_segments(postings: DataFrame, doc_stats: DataFrame,
-                    n_docs: int, avgdl: float,
-                    k1: float = 1.2, b: float = 0.75,
-                    n_shards: int = 8,
-                    target_postings_per_task: int = 1 << 20,
-                    block_docs: int = BLOCK_DOCS) -> DataFrame:
-    """postings -> encoded segment blocks, document-sharded + skew-salted.
-
-    Two-level doc-range partitioning (both deterministic arithmetic on
-    the dense doc_id — no sampling, so rebuilds are identical):
-
-    - ``shard = doc_id * n_shards // N`` — the GLOBAL doc-range shard
-      shared by all terms (classic document-partitioned index: every
-      shard holds complete postings for its docs, so query workers are
-      independent per shard).
-    - ``salt`` — within (term, shard), hot terms (df from a first-pass
-      count) are further split into ``s_t`` doc SUB-ranges, bounding the
-      per-task group size; per-salt ranges stay disjoint, so the shard's
-      posting list is the salt-ordered concatenation (merge is free).
-
-    tfnorm = tf / (tf + k1*(1-b+b*dl/avgdl)) is precomputed per posting
-    so each block carries its exact BM25 block-max (max_tfnorm); WAND
-    upper-bounds a block by idf*max_tfnorm. dl is embedded per posting
-    (varint) so scoring needs no docstats join at query time.
-    """
-    has_pos = "positions" in postings.columns
-    salt_map = plan_salts(postings, target_postings_per_task)
-    nd = max(n_docs, 1)
-
-    p = (
-        postings.join(F.broadcast(salt_map), "term", "left")
-        .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
-        .withColumn("shard", ((F.col("doc_id") * F.lit(n_shards))
-                              / F.lit(nd)).cast("int"))
-        .withColumn("salt", (((F.col("doc_id") * F.lit(n_shards)
-                               * F.col("n_salts")) / F.lit(nd)).cast("long")
-                             - F.col("shard").cast("long")
-                             * F.col("n_salts")).cast("int"))
-        .join(doc_stats.hint("shuffle_hash"), "doc_id")
-        .withColumn("tfnorm",
-                    F.col("tf") / (F.col("tf") + F.lit(k1) *
-                                   (F.lit(1 - b) + F.lit(b) * F.col("dl")
-                                    / F.lit(avgdl))))
-    )
-
-    cols = ["term", "shard", "salt", "doc_id", "tf", "dl", "tfnorm"] + \
-        (["positions"] if has_pos else [])
-
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard, salt = key
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        docs = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        dls = pdf["dl"].to_numpy()[order].astype(np.int64)
-        tfnorms = pdf["tfnorm"].to_numpy()[order]
-        pos_concat = None
-        if has_pos:
-            plists = pdf["positions"].to_numpy()[order]
-            pos_concat = (np.concatenate([np.asarray(x, dtype=np.int64)
-                                          for x in plists])
-                          if len(plists) else np.zeros(0, np.int64))
-        recs = encode_blocks(docs, tfs, tfnorms, pos_concat, dls, block_docs)
-        return pd.DataFrame([
-            {"term": term, "shard": int(shard), "salt": int(salt),
-             "block_seq": i, **r}
-            for i, r in enumerate(recs)
-        ], columns=[f.name for f in SEGMENT_SCHEMA.fields])
-
-    return p.select(*cols).groupBy("term", "shard", "salt").applyInPandas(
-        encode, schema=SEGMENT_SCHEMA)

@@ -206,27 +206,41 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         for t in g:
             term_gid.setdefault(t, []).append(gi)
 
-    # organize blocks per group
+    # organize blocks per group; block upper bound from (max_tf, min_dl)
     first = pdf["first_doc"].to_numpy()
     last = pdf["last_doc"].to_numpy()
-    maxn = pdf["max_tfnorm"].to_numpy()
+    mtf = pdf["max_tf"].to_numpy().astype(np.float64)
+    mdl = pdf["min_dl"].to_numpy().astype(np.float64)
+    maxn = mtf / (mtf + plan.k1 * (1 - plan.b + plan.b * mdl / plan.avgdl))
     lo = int(first.min())
     hi = int(last.max())
     win = WAND_WINDOW
     n_win = (hi - lo) // win + 1
 
-    # per-group, per-window upper bound = idf * max(max_tfnorm of
-    # overlapping blocks); conservative since blocks can span windows
-    ub = np.zeros((n_groups, n_win))
-    blk_rows_by_gid: list[list[int]] = [[] for _ in range(n_groups)]
+    # Per-group, per-window upper bound. Within one term: max of its
+    # blocks' tfnorm bound. Across a group's alternative terms the
+    # blended tf SUMS, and tfnorm is subadditive with sup 1.0, so the
+    # valid group bound is idf * min(1, Σ_terms max_block_tfnorm) —
+    # taking the max across alternatives would under-bound and could
+    # prune true top-k docs.
     terms_arr = pdf["term"].to_numpy()
+    uterms = {t: i for i, t in enumerate(dict.fromkeys(terms_arr))}
+    ub_term = np.zeros((len(uterms), n_win))
+    blk_rows_by_gid: list[list[int]] = [[] for _ in range(n_groups)]
     for i in range(len(pdf)):
-        for gi in term_gid.get(terms_arr[i], ()):
+        t = terms_arr[i]
+        w0 = (int(first[i]) - lo) // win
+        w1 = (int(last[i]) - lo) // win
+        seg = ub_term[uterms[t], w0:w1 + 1]
+        np.maximum(seg, maxn[i], out=seg)
+        for gi in term_gid.get(t, ()):
             blk_rows_by_gid[gi].append(i)
-            w0 = (int(first[i]) - lo) // win
-            w1 = (int(last[i]) - lo) // win
-            seg = ub[gi, w0:w1 + 1]
-            np.maximum(seg, plan.idfs[gi] * maxn[i], out=seg)
+    ub = np.zeros((n_groups, n_win))
+    for gi, g in enumerate(plan.groups):
+        rows = [uterms[t] for t in g if t in uterms]
+        if rows:
+            ub[gi] = plan.idfs[gi] * np.minimum(
+                ub_term[rows].sum(axis=0), 1.0)
 
     if mode == "and":
         # a window missing any group can't match
@@ -322,7 +336,7 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)) \
         .select("term", "shard", "first_doc", "last_doc", "n_docs",
-                "max_tfnorm", "doc_bytes", "tf_bytes", "dl_bytes",
+                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
                 "pos_bytes")
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:

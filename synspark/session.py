@@ -47,8 +47,18 @@ def get_spark(app: str = "synspark", master: str | None = None,
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions
                     or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))))
+        # small splits so map stages (read→tokenize) parallelize even on
+        # sandbox-sized inputs; a 100 TB deployment overrides this back
+        # to 128m+ via spark-submit conf (inputs there have
+        # plenty of splits)
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # local mode runs every task in the driver JVM. Measured on this
+        # box: 12g G1 beats both 8g (GC thrash at 32 threads) and 24g+
+        # (long young-gen pauses); runs are noisy, 12g is the best median
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -59,3 +59,55 @@ def test_empty():
     assert len(varint_decode(b"")) == 0
     assert encode_blocks(np.zeros(0, dtype=np.int64),
                          np.zeros(0, dtype=np.int64)) == []
+
+
+def test_sorted_batch_equals_per_group_encode():
+    """encode_sorted_batch must be byte-identical to per-group
+    encode_blocks (same deltas, varints, metadata)."""
+    from synspark.codec import encode_sorted_batch
+    rng = np.random.RandomState(11)
+    rows = []  # (grp, doc, pos, dl)
+    for g in range(40):
+        n_docs = rng.randint(1, 400)
+        docs = np.sort(rng.choice(np.arange(5000), size=n_docs,
+                                  replace=False))
+        for d in docs:
+            tf = rng.randint(1, 6)
+            poss = np.sort(rng.choice(np.arange(500), size=tf,
+                                      replace=False))
+            for p in poss:
+                rows.append((g, int(d), int(p), 10 + int(d) % 90))
+    grp = np.array([r[0] for r in rows])
+    doc = np.array([r[1] for r in rows], dtype=np.int64)
+    pos = np.array([r[2] for r in rows], dtype=np.int64)
+    dl = np.array([r[3] for r in rows], dtype=np.int64)
+    chg = np.empty(len(grp), bool); chg[0] = True
+    chg[1:] = grp[1:] != grp[:-1]
+
+    enc = encode_sorted_batch(chg, doc, pos, dl)
+
+    # reference: per-group encode_blocks
+    i = 0
+    bi = 0
+    for g in range(40):
+        mask = grp == g
+        d_g, p_g, dl_g = doc[mask], pos[mask], dl[mask]
+        udocs, starts, tfs = np.unique(d_g, return_index=True,
+                                       return_counts=True)
+        tfs = tfs.astype(np.int64)
+        dls = dl_g[starts].astype(np.int64)
+        recs = encode_blocks(udocs.astype(np.int64), tfs, p_g, dls)
+        for seq, r in enumerate(recs):
+            assert enc["block_seq"][bi] == seq
+            assert enc["first_doc"][bi] == r["first_doc"]
+            assert enc["last_doc"][bi] == r["last_doc"]
+            assert enc["n_docs"][bi] == r["n_docs"]
+            assert enc["max_tf"][bi] == r["max_tf"]
+            assert enc["sum_tf"][bi] == r["sum_tf"]
+            assert enc["min_dl"][bi] == r["min_dl"]
+            assert enc["doc_bytes"][bi] == r["doc_bytes"]
+            assert enc["tf_bytes"][bi] == r["tf_bytes"]
+            assert enc["dl_bytes"][bi] == r["dl_bytes"]
+            assert enc["pos_bytes"][bi] == r["pos_bytes"]
+            bi += 1
+    assert bi == len(enc["first_doc"])

@@ -1,0 +1,145 @@
+"""Tier-2: training-data pipeline operators — dedup finds planted
+duplicates, IVF recall vs brute force, simhash properties, multimodal
+plumbing."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from synspark.datapipe.dedup import (exact_dup_groups, jaccard_pairs,
+                                     lsh_candidate_groups,
+                                     minhash_signatures, simhash,
+                                     simhash_near_dups, word_shingles)
+from synspark.datapipe.multimodal import (as_media, decode_media,
+                                          frame_sample_plan)
+from synspark.datapipe.similarity import (brute_force_topk, ivf_topk,
+                                          with_ivf_bucket)
+from synspark.datapipe.textstats import (fingerprints, language_id,
+                                         quality_scores, token_counts)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with planted exact dups and near-dups."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),       # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),       # near dup
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "sphinx of black quartz judge my vow"),
+        (5, "東京は日本の首都です 今日は晴れ"),
+        (6, "completely different text about spark dataframes"),
+        (7, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (8, ""),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string").cache()
+
+
+def test_exact_dups(spark, docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sh = word_shingles(docs, k=3)
+    cands = lsh_candidate_groups(minhash_signatures(sh, 8)).collect()
+    # docs 0,1 identical shingle sets -> all bands collide; 2/7 likely too
+    grouped_ids = {r["keep_doc_id"] for r in cands}
+    assert 0 in grouped_ids
+    assert all(r["n_docs"] >= 2 for r in cands)
+
+
+def test_jaccard(spark, docs):
+    sh = word_shingles(docs, k=3)
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in jaccard_pairs(sh).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert 0.0 < pairs[(0, 2)] < 1.0     # near dup shares most shingles
+    assert (0, 4) not in pairs           # unrelated: no shared shingle
+
+
+def test_simhash_properties(spark, docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[0] == s[1]                  # identical text -> identical hash
+    ham02 = bin((s[0] ^ s[2]) & (2**64 - 1)).count("1")
+    ham04 = bin((s[0] ^ s[4]) & (2**64 - 1)).count("1")
+    assert ham02 < ham04                 # near dup closer than unrelated
+    assert s[8] == 0                     # empty text
+    near = simhash_near_dups(simhash(docs), max_hamming=3).collect()
+    assert any(r["a"] == 0 and r["b"] == 1 for r in near)
+
+
+def test_textstats(spark, docs):
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[0]["n_tokens"] == 9
+    assert tc[8]["n_tokens"] == 0
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-6)
+    lang = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert lang[0] == "en" and lang[5] == "ja" and lang[8] == "other"
+    fp = {r["doc_id"]: r for r in fingerprints(docs).collect()}
+    assert fp[0]["sha256"] == fp[1]["sha256"]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .cache()
+
+
+def test_ann_bruteforce_self_similarity(spark, embeddings):
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    top = brute_force_topk(embeddings, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0
+
+
+def test_ivf_recall(spark, embeddings):
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in
+             brute_force_topk(embeddings, qv, k=10).collect()}
+    bucketed = with_ivf_bucket(embeddings, dim=16, n_planes=6).cache()
+    # probing half the buckets should recover most of the true top-10
+    approx = {r["vec_id"] for r in
+              ivf_topk(bucketed, qv, dim=16, k=10, n_planes=6,
+                       probes=32).collect()}
+    assert len(exact & approx) >= 7
+    # full probe degenerates to exact
+    full = {r["vec_id"] for r in
+            ivf_topk(bucketed, qv, dim=16, k=10, n_planes=6,
+                     probes=64).collect()}
+    assert full == exact
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = as_media(docs.filter(F.col("doc_id") != 8))
+    decoded = decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert set(rows) == set(range(8))
+    for mid, r in rows.items():
+        assert r["kind"] == ["image", "audio", "video"][mid % 3]
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+        if r["kind"] == "image":
+            assert r["n_frames"] == 1 and r["width"] > 0
+        if r["kind"] == "video":
+            assert r["n_frames"] >= 1
+    plan = frame_sample_plan(decoded, every_n=10)
+    for r in plan.groupBy("media_id").agg(
+            F.count("*").alias("n"), F.max("frame_idx").alias("mx")).collect():
+        assert rows[r["media_id"]]["kind"] == "video"
+        assert r["mx"] < rows[r["media_id"]]["n_frames"]
+
+
+def test_decode_deterministic(spark, docs):
+    m = as_media(docs.limit(5))
+    a = sorted(map(tuple, decode_media(m).collect()))
+    b = sorted(map(tuple, decode_media(m).collect()))
+    assert a == b

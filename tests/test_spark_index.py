@@ -101,7 +101,7 @@ def test_index_decode_matches_postings(spark, corpus, index):
     """Codec round-trip through the store: decoded segments ==
     raw postings aggregation."""
     syn = SynonymDict.parse(JP_DICT)
-    docs = assign_doc_ids(with_sha256(corpus))
+    docs = with_sha256(corpus)  # corpus carries native doc_id (as build_index's _with_ids keeps it)
     toks = tokenize_corpus(docs, CFG2, syn)
     raw = {(r["term"], r["doc_id"]): r["tf"]
            for r in build_postings(toks, store_positions=False).collect()}
@@ -211,3 +211,24 @@ def test_resume_after_partial_failure(spark, corpus, index,
                       n_shards=4, source="resume-test", resume=True)
     after = {k: v["digest"] for k, v in st2.manifest()["shards"].items()}
     assert after == orig
+
+
+def test_term_layout_equivalent(spark, corpus, index, tmp_path_factory):
+    """layout='term' (salted repartition-by-term, north-star E5) must
+    produce identical decoded postings and identical query results to
+    the default document-routed layout."""
+    syn = SynonymDict.parse(JP_DICT)
+    out = tmp_path_factory.mktemp("термидx") / "index"
+    st2 = build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
+                      n_shards=4, layout="term",
+                      target_postings_per_task=500, source="term-layout")
+    terms = [r["term"] for r in index.termstats(spark).limit(50).collect()]
+    a = sorted(map(tuple, decoded_postings(spark, index, terms).collect()))
+    b = sorted(map(tuple, decoded_postings(spark, st2, terms).collect()))
+    assert a == b
+    for q in ("あいうえお", "in re", "かき"):
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, index, q, k=10, syn=syn).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, st2, q, k=10, syn=syn).collect()]
+        assert ra == rb, q
