@@ -66,7 +66,9 @@ def main() -> None:
     n = int(args[1]) if len(args) > 1 else 8
     repeats = 2 if "--repeats" not in sys.argv else \
         int(sys.argv[sys.argv.index("--repeats") + 1])
-    n_shards = 4 * n  # fixed across both runs: identical job/output
+    # shards sized by data volume (≈12.5k docs ≈ 2M tokens per worker),
+    # fixed across both parallelism levels: identical job and output
+    n_shards = max(4 * n, n_docs // 12_500)
 
     from synspark.corpus import generate_corpus
     from synspark.session import get_spark

@@ -61,8 +61,7 @@ def main() -> None:
     corpus = spark.read.parquet(f"{tmp}/corpus")
     t0 = time.time()
     store = build_index(spark, corpus, f"{tmp}/idx", cfg=cfg, syn=syn,
-                        n_shards=CPUS, target_postings_per_task=1 << 18,
-                        source="bench", resume=False)
+                        n_shards=None, source="bench", resume=False)
     build_sec = time.time() - t0
     queries["index_build_synthetic"] = round(build_sec, 3)
 

@@ -1,0 +1,108 @@
+"""spark-submit entry points.
+
+    spark-submit --py-files synspark.zip -m ... synspark/cli.py build \
+        --input /data/corpus --output /data/index --synonyms dict.txt \
+        --n 2 --expand --shards 4096
+    spark-submit ... synspark/cli.py query --index /data/index \
+        --text "かきいうえお" --k 10 --phrase
+    python -m synspark.cli analyze --text "東京タワー" --synonyms dict.txt
+
+(The session helper also self-ships the package, so plain
+``python -m synspark.cli`` works for local runs.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--synonyms", help="Solr-format synonym rules file")
+    p.add_argument("--n", type=int, default=2)
+    p.add_argument("--no-expand", dest="expand", action="store_false")
+    p.add_argument("--case-sensitive", dest="ignore_case",
+                   action="store_false")
+
+
+def _load_syn(args):
+    from .synonyms import SynonymDict
+    if not args.synonyms:
+        return None
+    with open(args.synonyms, encoding="utf-8") as f:
+        return SynonymDict.parse(f.read(), ignore_case=args.ignore_case)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="synspark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index")
+    b.add_argument("--input", required=True, help="parquet/iceberg corpus")
+    b.add_argument("--output", required=True)
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--layout", choices=["doc", "term"], default="doc")
+    b.add_argument("--no-positions", dest="positions", action="store_false")
+    b.add_argument("--no-resume", dest="resume", action="store_false")
+    _add_common(b)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["and", "or"], default="and")
+    q.add_argument("--phrase", action="store_true")
+    _add_common(q)
+
+    a = sub.add_parser("analyze", help="_analyze-style token debug")
+    a.add_argument("--text", required=True)
+    _add_common(a)
+
+    v = sub.add_parser("verify", help="check sha256 invariant vs source")
+    v.add_argument("--index", required=True)
+    v.add_argument("--input", required=True)
+
+    args = ap.parse_args(argv)
+    from .tokenizer import TokenizerConfig, tokenize_to_string
+    cfg = TokenizerConfig(n=getattr(args, "n", 2),
+                          expand=getattr(args, "expand", True),
+                          ignore_case=getattr(args, "ignore_case", True))
+
+    if args.cmd == "analyze":  # no Spark needed (E12)
+        print(tokenize_to_string(args.text, cfg, _load_syn(args)))
+        return 0
+
+    from .session import get_spark
+    spark = get_spark(app=f"synspark-{args.cmd}")
+    try:
+        if args.cmd == "build":
+            from .index_store import build_index
+            store = build_index(
+                spark, spark.read.parquet(args.input), args.output,
+                cfg=cfg, syn=_load_syn(args), n_shards=args.shards,
+                layout=args.layout, store_positions=args.positions,
+                source=args.input, resume=args.resume)
+            print(json.dumps({"meta": store.meta().__dict__,
+                              "shards_done": sorted(store.completed_shards())}))
+        elif args.cmd == "query":
+            from .index_store import IndexStore
+            from .query import search
+            rows = search(spark, IndexStore(args.index), args.text,
+                          k=args.k, mode=args.mode, phrase=args.phrase,
+                          syn=_load_syn(args)).collect()
+            for r in rows:
+                print(f"{r['doc_id']}\t{r['score']:.6f}")
+        elif args.cmd == "verify":
+            from .index_store import IndexStore, verify_content_sha
+            n = verify_content_sha(spark, spark.read.parquet(args.input),
+                                   IndexStore(args.index))
+            print(json.dumps({"sha_mismatches": n}))
+            return 0 if n == 0 else 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

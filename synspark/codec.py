@@ -13,8 +13,9 @@ Block layout (one logical posting list = ordered blocks):
   - ``tf_bytes``: varint term frequencies, same order.
   - ``pos_bytes`` (optional): per-doc delta-encoded positions,
     concatenated (tf values give the per-doc counts).
-  - metadata: ``first_doc, last_doc, n_docs, max_tf, max_tfnorm`` —
-    skip + block-max data for WAND.
+  - metadata: ``first_doc, last_doc, n_docs, max_tf, min_dl`` — skip +
+    block-max data for WAND (bound computed at query time from
+    tfnorm(max_tf, min_dl), so k1/b/avgdl stay query parameters).
 """
 
 from __future__ import annotations

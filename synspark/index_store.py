@@ -134,7 +134,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 cfg: TokenizerConfig | None = None,
                 syn: SynonymDict | None = None,
                 k1: float = 1.2, b: float = 0.75,
-                n_shards: int = DEFAULT_SHARDS,
+                n_shards: int | None = DEFAULT_SHARDS,
                 store_positions: bool = True,
                 target_postings_per_task: int = 1 << 20,
                 docid_mode: str = "bucketed",
@@ -152,6 +152,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     build_segments_maponly). ``layout="term"``: salted
     repartition-by-term stream encode (indexer.
     encode_segments_from_tokens). Decoded postings are identical.
+
+    ``n_shards=None`` auto-sizes shards by data volume (~12.5k docs ≈
+    ~2M tokens per encode worker), floored at 4x parallelism —
+    deterministic in n_docs, so resumes agree.
     """
     cfg = cfg or TokenizerConfig()
     store = IndexStore(out_dir)
@@ -162,19 +166,44 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             if v.get("status") == "done"}
     # meta is written LAST: its presence marks a complete build
     if resume and (store.path / "meta.json").exists() \
-            and len(done) >= n_shards:
+            and (n_shards is None or len(done) >= n_shards):
         return store
 
     # ---- stage A: docmap (ids + sha) ----
-    docs = _with_ids(corpus, docid_mode).persist()
+    # persist only when ids had to be assigned (window shuffle worth
+    # caching); native-id corpora re-read parquet cheaper than cache
+    assigned = "doc_id" not in corpus.columns
+    docs = _with_ids(corpus, docid_mode)
+    if assigned:
+        docs = docs.persist()
     docmap_dir = store.path / "docmap"
-    with _timed("A.docmap"):
+
+    def _write_docmap():
         if not (resume and docmap_dir.exists()):
             keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                                 "content_sha256"] if c in docs.columns]
             docs.select(*keep).write.mode("overwrite") \
                 .parquet(str(docmap_dir))
+
+    docmap_thread = None
+    with _timed("A.count"):
         n_docs = docs.count()
+    if assigned or layout == "term":
+        # window output cached; run serially (thread adds no overlap)
+        with _timed("A.docmap"):
+            _write_docmap()
+    else:
+        # independent of stage B — overlap the two jobs (Spark schedules
+        # concurrent jobs from separate threads)
+        import threading
+        docmap_thread = threading.Thread(target=_write_docmap, daemon=True)
+        docmap_thread.start()
+    if n_shards is None:
+        n_shards = max(4 * spark.sparkContext.defaultParallelism,
+                       n_docs // 12_500)
+        if resume and len(done) >= n_shards \
+                and (store.path / "meta.json").exists():
+            return store
 
     # term layout needs docstats (dl) BEFORE encoding; doc layout emits
     # dl in-pass as pseudo-term rows and derives docstats afterwards
@@ -220,6 +249,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             spark.conf.set(batch_key, old_batch)
 
         # checkpoint: per-shard rows/bytes/digest lineage
+        if docmap_thread is not None:
+            docmap_thread.join()
+            docmap_thread = None
         build_id = uuid.uuid4().hex
         with _timed("B.manifest"):
             stats = (spark.read.parquet(seg_dir)
@@ -244,25 +276,37 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                     "status": "done", "rows": 0, "bytes": 0, "digest": 0,
                     "build_id": build_id}
         store._write_manifest(manifest)
-    docs.unpersist()
+    if docmap_thread is not None:
+        docmap_thread.join()
+    if assigned:
+        docs.unpersist()
 
-    # ---- stage C: derived stats + meta (idempotent small jobs) ----
+    # ---- stage C: derived stats + meta (independent small jobs,
+    # scheduled concurrently from threads) ----
+    import threading
     segs_all = spark.read.parquet(seg_dir)
-    with _timed("C.docstats"):
+    ts_dir = store.path / "termstats"
+
+    def _docstats_job():
         if layout == "doc" and (missing or
                                 not (store.path / "docstats").exists()):
             decode_docstats_rows(
                 segs_all.filter(F.col("term") == DOCSTATS_TERM)) \
                 .write.mode("overwrite").parquet(str(store.path / "docstats"))
 
-    ts_dir = store.path / "termstats"
-    with _timed("C.termstats"):
+    def _termstats_job():
         if not ts_dir.exists() or missing:
             (segs_all.filter(F.col("term") != DOCSTATS_TERM)
              .groupBy("term")
              .agg(F.sum("n_docs").cast("long").alias("df"),
                   F.sum("sum_tf").alias("cf"))
              .write.mode("overwrite").parquet(str(ts_dir)))
+
+    with _timed("C.stats"):
+        threads = [threading.Thread(target=f, daemon=True)
+                   for f in (_docstats_job, _termstats_job)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
 
     with _timed("C.avgdl"):
         row = spark.read.parquet(str(store.path / "docstats")) \

@@ -24,7 +24,7 @@ shards in parallel (applyInPandas over shard groups), each worker
 holding only the query terms' blocks for its shard — self-contained
 (dl is embedded in blocks), no shuffle beyond the tiny top-k union.
 Block-max pruning: docs are swept in windows; a window is decoded only
-if sum_p idf_p*max(block max_tfnorm) can beat the running kth score.
+if its bound (from per-block max_tf/min_dl) can beat the kth score.
 """
 
 from __future__ import annotations

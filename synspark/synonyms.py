@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from dataclasses import dataclass, field
 
 
@@ -154,6 +155,37 @@ class SynonymDict:
         """Expansion set for a matched surface: mapped words in rule
         order, surface excluded (NGramSynonymTokenizerTest.java:308-327)."""
         return [w for w in self.mapping.get(surface, []) if w != surface]
+
+    # -- wordnet format (SynonymLoader.java:89-91) --------------------
+    @classmethod
+    def parse_wordnet(cls, rules: str | list[str] | None,
+                      expand: bool = True,
+                      ignore_case: bool = True) -> "SynonymDict | None":
+        """WordNet prolog format: ``s(<synset>,<num>,'<word>',...).``
+        Words sharing a synset id form a group (quote escape: '')."""
+        if rules is None:
+            return None
+        lines = rules.splitlines() if isinstance(rules, str) else rules
+        groups: dict[str, list[str]] = {}
+        rx = re.compile(r"^s\(\s*(\d+)\s*,\s*\d+\s*,\s*'((?:[^']|'')*)'")
+        for raw in lines:
+            m = rx.match(raw.strip())
+            if not m:
+                continue
+            word = m.group(2).replace("''", "'")
+            g = groups.setdefault(m.group(1), [])
+            if word not in g:
+                g.append(word)
+        d = cls(expand=expand, ignore_case=ignore_case)
+        for g in groups.values():
+            terms = [_fold(t) for t in g] if ignore_case else g
+            targets = terms if expand else terms[:1]
+            for t in terms:
+                d._add(t, targets)
+        if not d.mapping:
+            return None
+        d._build_trie()
+        return d
 
     # -- lineage -----------------------------------------------------
     def fingerprint(self) -> str:
