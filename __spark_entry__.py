@@ -159,8 +159,14 @@ def q_fts_synonym_bm25(spark, sf_dir):
 
 
 def q_dp_exact_dups(spark, sf_dir):
+    """Exact dedup over documents + deterministically injected dups
+    (doc_id+10^6 clones of the first 50 docs) so the check is
+    non-trivial even on a dup-free table."""
     from synspark.datapipe.dedup import exact_dup_groups
-    return exact_dup_groups(_docs(spark, sf_dir)) \
+    docs = _docs(spark, sf_dir)
+    clones = (docs.filter(F.col("doc_id") < 50)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return exact_dup_groups(docs.unionByName(clones)) \
         .select("dup_key", "n_docs", "keep_doc_id")
 
 
@@ -375,9 +381,14 @@ SELECT count(*)::BIGINT AS hits FROM documents
 WHERE regexp_matches(text, '{phrase_re}')
 """,
         "dp_exact_dups": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
 SELECT md5(text) AS dup_key, count(*)::BIGINT AS n_docs,
        min(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM aug GROUP BY md5(text) HAVING count(*) > 1
 """,
         "dp_token_counts": _WORDS_CTE + """
 SELECT doc_id, len(ws)::INT AS n_tokens, length(text)::INT AS n_chars,
