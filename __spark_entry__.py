@@ -158,6 +158,34 @@ def q_fts_synonym_bm25(spark, sf_dir):
         search(spark, store, "info sort", k=200, mode="and", syn=syn), 10)
 
 
+def q_fts_analyze(spark, sf_dir):
+    """_analyze debug API (E12): token stream for a fixture string.
+    Deterministic constant output — oracle inlines the expected rows."""
+    from synspark.query import analyze_df
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+    syn = SynonymDict.parse("あ,かき")
+    return analyze_df(spark, "かきいうえお",
+                      TokenizerConfig(n=2, expand=True), syn)
+
+
+def q_fts_synfilter(spark, sf_dir):
+    """Token-level synonym filter (SURVEY §2.3) over word tokens of the
+    documents table: rows-only check (pytest pins semantics)."""
+    from synspark.datapipe.textstats import DELIM_RE  # noqa: F401
+    from synspark.indexer import tokenize_corpus
+    from synspark.synfilter import expand_tokens_df
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    toks = tokenize_corpus(docs, TokenizerConfig(n=999, expand=False), None)
+    syn = SynonymDict.parse("data,info\nsort,order")
+    out = expand_tokens_df(toks, syn)
+    return (out.groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(50))
+
+
 def q_dp_exact_dups(spark, sf_dir):
     """Exact dedup over documents + deterministically injected dups
     (doc_id+10^6 clones of the first 50 docs) so the check is
@@ -258,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_wand_topk": q_fts_wand_topk,
         "fts_phrase_hits": q_fts_phrase_hits,
         "fts_synonym_bm25": q_fts_synonym_bm25,
+        "fts_analyze": q_fts_analyze,
+        "fts_synfilter": q_fts_synfilter,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_quality": q_dp_quality,
@@ -376,6 +406,15 @@ SELECT doc_id, count(*)::INT AS dl FROM grams GROUP BY doc_id
 """,
         "fts_bm25_topk": bm25,
         "fts_wand_topk": bm25,
+        # the LUCENE-5252 boundary-expansion stream for かきいうえお with
+        # dict あ,かき (reference-documented, SURVEY §3.2)
+        "fts_analyze": """
+SELECT * FROM (VALUES
+  ('かき', 0, 2, 1, 0), ('あ', 0, 2, 0, 0),
+  ('い', 2, 3, 1, 1), ('いう', 2, 4, 0, 1),
+  ('うえ', 3, 5, 1, 2), ('えお', 4, 6, 1, 3)
+) AS t(token, start_offset, end_offset, pos_inc, position)
+""",
         "fts_phrase_hits": f"""
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE regexp_matches(text, '{phrase_re}')

@@ -47,8 +47,25 @@ WAND_WINDOW = 4096  # docs per pruning window
 
 
 # --------------------------------------------------------------------
-# query analysis (E8)
+# query analysis (E8) + _analyze debug API (E12)
 # --------------------------------------------------------------------
+
+def analyze_df(spark: SparkSession, text: str,
+               cfg: TokenizerConfig | None = None,
+               syn: SynonymDict | None = None) -> DataFrame:
+    """The reference's `_analyze` REST surface as a DataFrame
+    (SynonymPluginTest.java:438-448): token, start/end offsets,
+    position."""
+    cfg = cfg or TokenizerConfig()
+    toks = tokenize(text, cfg, syn)
+    pos = -1
+    rows = []
+    for w, s, e, pi in toks:
+        pos += pi
+        rows.append((w, s, e, pi, pos))
+    return spark.createDataFrame(
+        rows or [], "token string, start_offset int, end_offset int, "
+                    "pos_inc int, position int")
 
 def analyze_query(text: str, cfg: TokenizerConfig,
                   syn: SynonymDict | None) -> list[list[str]]:
