@@ -88,7 +88,12 @@ def main(argv=None):
         elif args.cmd == "query":
             from .index_store import IndexStore
             from .query import search
-            rows = search(spark, IndexStore(args.index), args.text,
+            store = IndexStore(args.index)
+            if not (store.path / "meta.json").exists():
+                print(f"error: no index at {args.index} "
+                      f"(missing meta.json)", file=sys.stderr)
+                return 2
+            rows = search(spark, store, args.text,
                           k=args.k, mode=args.mode, phrase=args.phrase,
                           syn=_load_syn(args)).collect()
             for r in rows:

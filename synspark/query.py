@@ -35,7 +35,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .codec import decode_block, decode_positions, varint_decode
@@ -370,6 +370,67 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
         matched = phrase_filter(spark, store, cand, plan)
         return matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return result
+
+
+def search_batch(spark: SparkSession, store: IndexStore,
+                 texts: list[str], k: int = 10, mode: str = "and",
+                 syn: SynonymDict | None = None,
+                 cfg: TokenizerConfig | None = None) -> DataFrame:
+    """Answer MANY queries in one Spark job: one planning pass, one
+    blocks scan for the union of all query terms, per-shard workers run
+    every query's WAND against their slice. Amortizes per-job overhead
+    (~1s) across the batch — the realistic offline-serving shape.
+    Returns (query_id, doc_id, score), each query's exact top-k,
+    rank-identical to per-query ``search``."""
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    groups_per_q = [analyze_query(t, cfg, syn) for t in texts]
+    all_terms = sorted({t for gs in groups_per_q for g in gs for t in g})
+    if not all_terms:
+        return spark.createDataFrame([],
+                                     "query_id int, doc_id long, score double")
+    dfs = {r["term"]: int(r["df"]) for r in
+           store.termstats(spark).filter(F.col("term").isin(all_terms))
+           .collect()}
+    plans = []
+    for gs in groups_per_q:
+        idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
+                for g in gs]
+        plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=meta.n_docs,
+                               avgdl=meta.avgdl, k1=meta.k1, b=meta.b))
+
+    blocks = store.segments(spark) \
+        .filter(F.col("term").isin(all_terms)) \
+        .select("term", "shard", "first_doc", "last_doc", "n_docs",
+                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes")
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for qi, plan in enumerate(plans):
+            if not plan.groups or len(pdf) == 0:
+                continue
+            terms = set(plan.terms)
+            sub = pdf[pdf["term"].isin(terms)]
+            if not len(sub):
+                continue
+            res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
+                              None)
+            if len(res):
+                res.insert(0, "query_id", np.int32(qi))
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    topk = blocks.groupBy("shard").applyInPandas(
+        run, schema="query_id int, doc_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (topk.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k).drop("_r")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
 
 # --------------------------------------------------------------------

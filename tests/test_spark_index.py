@@ -232,3 +232,19 @@ def test_term_layout_equivalent(spark, corpus, index, tmp_path_factory):
         rb = [(r["doc_id"], round(r["score"], 9)) for r in
               search(spark, st2, q, k=10, syn=syn).collect()]
         assert ra == rb, q
+
+
+def test_search_batch_rank_identical(spark, index):
+    from synspark.query import search, search_batch
+    syn = SynonymDict.parse(JP_DICT)
+    texts = ["in re", "あいうえお", "かき", "val int str", "zzz絶対ない"]
+    batch = search_batch(spark, index, texts, k=10, mode="and", syn=syn)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qi, t in enumerate(texts):
+        single = [(r["doc_id"], round(r["score"], 9)) for r in
+                  search(spark, index, t, k=10, mode="and", syn=syn)
+                  .collect()]
+        assert got.get(qi, []) == single, t
