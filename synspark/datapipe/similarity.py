@@ -58,6 +58,35 @@ def with_ivf_bucket(df: DataFrame, dim: int, n_planes: int = 6,
     return df.withColumn("ivf_bucket", bucket.cast("int"))
 
 
+def write_ivf_index(df: DataFrame, path: str, dim: int,
+                    n_planes: int = 6, seed: int = 42,
+                    vec_col: str = "embedding") -> None:
+    """Persist the embedding table partitioned by IVF bucket: probing
+    then becomes PARTITION PRUNING at the parquet scan (only probed
+    bucket directories are read) — the 100 TB layout for ANN."""
+    (with_ivf_bucket(df, dim, n_planes, seed, vec_col)
+     .repartition("ivf_bucket")
+     .write.mode("overwrite").partitionBy("ivf_bucket").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float], dim: int,
+                     k: int = 10, n_planes: int = 6, seed: int = 42,
+                     probes: int = 8, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """ANN over a write_ivf_index table; bucket filter prunes
+    partitions before any row is read."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = int(sum((1 << i) for i, d in
+                    enumerate(planes @ np.asarray(query_vec)) if d >= 0))
+    probe_set = sorted(range(1 << n_planes),
+                       key=lambda b: (bin(b ^ qbits).count("1"), b))[:probes]
+    df = spark.read.parquet(path).filter(F.col("ivf_bucket").isin(probe_set))
+    return (df.select(F.col(id_col),
+                      F.round(_cosine(F.col(vec_col).cast("array<double>"),
+                                      query_vec), 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
 def ivf_topk(df_bucketed: DataFrame, query_vec: list[float], dim: int,
              k: int = 10, n_planes: int = 6, seed: int = 42, probes: int = 8,
              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:

@@ -60,11 +60,12 @@ DEFAULT_SHARDS = 8
 FORMAT_VERSION = 2  # bump when SEGMENT_SCHEMA / block encoding changes
 
 
-def _with_ids(corpus: DataFrame, docid_mode: str) -> DataFrame:
+def _with_ids(corpus: DataFrame, docid_mode: str,
+              text_col: str = "content") -> DataFrame:
     """Corpora that already carry a dense 0..N-1 ``doc_id`` (e.g. the
     driver's documents table) keep it; otherwise assign deterministically
     from the (repo, path, commit) key."""
-    df = with_sha256(corpus)
+    df = with_sha256(corpus, col=text_col)
     if "doc_id" in corpus.columns:
         return df
     return assign_doc_ids(df, mode=docid_mode)
@@ -139,6 +140,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 target_postings_per_task: int = 1 << 20,
                 docid_mode: str = "bucketed",
                 layout: str = "doc",
+                text_col: str = "content",
                 source: str = "<dataframe>",
                 resume: bool = True) -> IndexStore:
     """End-to-end resumable index build.
@@ -152,6 +154,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     build_segments_maponly). ``layout="term"``: salted
     repartition-by-term stream encode (indexer.
     encode_segments_from_tokens). Decoded postings are identical.
+
+    Multi-field documents (the reference's msg1/msg2) compose as one
+    index per field: call build_index once per text column via
+    ``text_col`` (per-field norms/df/avgdl fall out naturally).
 
     ``n_shards=None`` auto-sizes shards by data volume (~12.5k docs ≈
     ~2M tokens per encode worker), floored at 4x parallelism —
@@ -173,7 +179,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     # persist only when ids had to be assigned (window shuffle worth
     # caching); native-id corpora re-read parquet cheaper than cache
     assigned = "doc_id" not in corpus.columns
-    docs = _with_ids(corpus, docid_mode)
+    docs = _with_ids(corpus, docid_mode, text_col)
     if assigned:
         docs = docs.persist()
     docmap_dir = store.path / "docmap"
@@ -208,7 +214,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     # term layout needs docstats (dl) BEFORE encoding; doc layout emits
     # dl in-pass as pseudo-term rows and derives docstats afterwards
     if layout == "term" and not (resume and (store.path / "docstats").exists()):
-        build_doc_stats(tokenize_corpus(docs, cfg, syn)) \
+        build_doc_stats(tokenize_corpus(docs, cfg, syn,
+                                        text_col=text_col)) \
             .write.mode("overwrite").parquet(str(store.path / "docstats"))
 
     # ---- stage B: segments per shard ----
@@ -219,13 +226,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         if layout == "doc":
             segs = build_segments_maponly(
                 docs, cfg, syn, n_docs=n_docs, n_shards=n_shards,
-                store_positions=store_positions)
+                store_positions=store_positions, text_col=text_col)
             if len(missing) < n_shards:
                 segs = segs.filter(F.col("shard").isin(missing))
             # already partitioned by shard + term-sorted by the worker
             write_df = segs
         else:
-            tokens = tokenize_corpus(docs, cfg, syn).persist()
+            tokens = tokenize_corpus(docs, cfg, syn,
+                                     text_col=text_col).persist()
             tokens.count()  # materialize before the big-batch conf below
             doc_stats = spark.read.parquet(str(store.path / "docstats"))
             segs = encode_segments_from_tokens(

@@ -143,3 +143,47 @@ def test_decode_deterministic(spark, docs):
     a = sorted(map(tuple, decode_media(m).collect()))
     b = sorted(map(tuple, decode_media(m).collect()))
     assert a == b
+
+
+def test_multifield_compose(spark, tmp_path):
+    """Reference indexes msg1/msg2 — compose as one index per field."""
+    from synspark.index_store import build_index
+    from synspark.query import search
+    from synspark.tokenizer import TokenizerConfig
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "gamma delta"), (1, "epsilon", "alpha")],
+        "doc_id long, msg1 string, msg2 string")
+    cfg = TokenizerConfig(n=2, expand=False)
+    i1 = build_index(spark, docs, str(tmp_path / "f1"), cfg=cfg,
+                     n_shards=2, text_col="msg1", source="msg1")
+    i2 = build_index(spark, docs, str(tmp_path / "f2"), cfg=cfg,
+                     n_shards=2, text_col="msg2", source="msg2")
+    h1 = {r["doc_id"] for r in
+          search(spark, i1, "alpha", k=10, phrase=True).collect()}
+    h2 = {r["doc_id"] for r in
+          search(spark, i2, "alpha", k=10, phrase=True).collect()}
+    assert h1 == {0} and h2 == {1}
+
+
+def test_ivf_indexed_partition_pruning(spark, embeddings, tmp_path):
+    from synspark.datapipe.similarity import (brute_force_topk,
+                                              ivf_topk_indexed,
+                                              write_ivf_index)
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "ivf")
+    write_ivf_index(embeddings, path, dim=16)
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    approx = ivf_topk_indexed(spark, path, qv, dim=16, k=10, probes=32)
+    # partition pruning visible in the plan
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_bucket" in plan
+    exact = {r["vec_id"] for r in
+             brute_force_topk(embeddings, qv, k=10).collect()}
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(exact & got) >= 7
+    # full probe == exact
+    full = {r["vec_id"] for r in
+            ivf_topk_indexed(spark, path, qv, dim=16, k=10,
+                             probes=64).collect()}
+    assert full == exact
