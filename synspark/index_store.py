@@ -333,6 +333,110 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     return store
 
 
+def append_to_index(spark: SparkSession, store: IndexStore,
+                    new_corpus: DataFrame,
+                    syn: SynonymDict | None = None,
+                    docs_per_shard: int | None = None,
+                    source: str = "<append>") -> IndexStore:
+    """Incrementally add documents: new docs get ids starting at the
+    current N and become NEW shards appended after the existing ones —
+    existing segment partitions are untouched (the doc-range sharding
+    makes appends pure partition additions, like Lucene adding
+    segments). Global stats (N, avgdl, termstats) are refreshed so idf
+    and norms stay exact; queries need no code path changes.
+
+    The batch analogue of the reference's dynamic dictionary reload is
+    intentionally NOT smuggled in here: the dictionary is pinned per
+    build (meta.dict_fingerprint); pass the same rules (or reindex).
+    """
+    meta = store.meta()
+    cfg = TokenizerConfig(**meta.cfg)
+    if syn is None and meta.dict_fingerprint is not None:
+        raise ValueError("index was built with a synonym dictionary; "
+                         "pass the same rules to append_to_index")
+    if syn is not None and syn.fingerprint() != meta.dict_fingerprint:
+        raise ValueError("synonym dictionary differs from the one the "
+                         "index was built with (fingerprint mismatch); "
+                         "rebuild instead of appending")
+
+    old_n, old_shards = meta.n_docs, meta.n_shards
+    per_shard = docs_per_shard or max(1, (old_n + old_shards - 1)
+                                      // old_shards)
+
+    # ids continue after the existing range; deterministic like stage A
+    base = with_sha256(new_corpus)
+    if "doc_id" in new_corpus.columns:
+        docs = base.withColumn("doc_id", F.col("doc_id") + F.lit(old_n))
+    else:
+        docs = assign_doc_ids(base).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(old_n))
+    docs = docs.persist()
+    n_new = docs.count()
+    add_shards = max(1, (n_new + per_shard - 1) // per_shard)
+    new_total_shards = old_shards + add_shards
+
+    # docmap append
+    keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
+                        "content_sha256"] if c in docs.columns]
+    docs.select(*keep).write.mode("append") \
+        .parquet(str(store.path / "docmap"))
+
+    # segments for the new doc range only: shift ids into [0, n_new),
+    # shard locally, then shift shard numbers up past the old ones
+    shifted = docs.withColumn("doc_id", F.col("doc_id") - F.lit(old_n))
+    segs = build_segments_maponly(
+        shifted, cfg, syn, n_docs=n_new, n_shards=add_shards,
+        store_positions=meta.store_positions)
+    segs = (segs
+            .withColumn("shard", F.col("shard") + F.lit(old_shards))
+            .withColumn("first_doc", F.col("first_doc") + F.lit(old_n))
+            .withColumn("last_doc", F.col("last_doc") + F.lit(old_n)))
+    # NOTE doc gaps inside blocks are shift-invariant (deltas); only
+    # first_doc anchors them, and docstats pseudo-rows shift the same way
+    seg_dir = str(store.path / "segments")
+    (segs.write.mode("append").partitionBy("shard").parquet(seg_dir))
+
+    # manifest entries for the new shards
+    manifest = store.manifest()
+    build_id = uuid.uuid4().hex
+    stats = (spark.read.parquet(seg_dir)
+             .filter(F.col("shard") >= old_shards)
+             .groupBy("shard")
+             .agg(F.count("*").alias("rows"),
+                  (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes"))
+                   + F.sum(F.length("dl_bytes"))).alias("bytes"),
+                  _digest_expr())
+             .collect())
+    for r in stats:
+        manifest["shards"][str(int(r["shard"]))] = {
+            "status": "done", "rows": int(r["rows"]),
+            "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+            "build_id": build_id}
+    store._write_manifest(manifest)
+    docs.unpersist()
+
+    # refresh derived stats (idempotent full rebuild of the small tables)
+    segs_all = spark.read.parquet(seg_dir)
+    decode_docstats_rows(segs_all.filter(F.col("term") == DOCSTATS_TERM)) \
+        .write.mode("overwrite").parquet(str(store.path / "docstats"))
+    (segs_all.filter(F.col("term") != DOCSTATS_TERM)
+     .groupBy("term")
+     .agg(F.sum("n_docs").cast("long").alias("df"),
+          F.sum("sum_tf").alias("cf"))
+     .write.mode("overwrite").parquet(str(store.path / "termstats")))
+    row = spark.read.parquet(str(store.path / "docstats")) \
+        .agg(F.avg("dl").alias("avgdl")).collect()[0]
+    store._write_meta(IndexMeta(
+        build_id=build_id, n_docs=old_n + n_new,
+        avgdl=float(row["avgdl"] or 1.0),
+        n_shards=new_total_shards, k1=meta.k1, b=meta.b, cfg=meta.cfg,
+        dict_fingerprint=meta.dict_fingerprint,
+        source=f"{meta.source} + {source}",
+        store_positions=meta.store_positions,
+        created_utc=time.time(), layout=meta.layout))
+    return store
+
+
 def verify_content_sha(spark: SparkSession, corpus: DataFrame,
                        store: IndexStore) -> int:
     """Per-row invariant vs the source (north rule): every (key, sha256)

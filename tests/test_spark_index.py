@@ -248,3 +248,53 @@ def test_search_batch_rank_identical(spark, index):
                   search(spark, index, t, k=10, mode="and", syn=syn)
                   .collect()]
         assert got.get(qi, []) == single, t
+
+
+def test_append_to_index(spark, tmp_path_factory):
+    """Incremental append == full rebuild: same decoded postings, same
+    query results, updated global stats."""
+    from synspark.index_store import append_to_index
+    from synspark.query import search, score_naive
+
+    def mk(n0, n1):
+        return spark.range(n0, n1).select(
+            (F.col("id") - n0).alias("doc_id"),
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.lit("f").alias("path"), F.lit("c").alias("commit"),
+            F.lit("t").alias("lang"),
+            F.when(F.col("id") % 3 == 0, F.lit("alpha beta gamma"))
+             .when(F.col("id") % 3 == 1, F.lit("delta epsilon alpha"))
+             .otherwise(F.lit("zeta eta theta")).alias("content"))
+
+    cfg = TokenizerConfig(n=2, expand=False)
+    base, extra = mk(0, 120), mk(120, 200)
+    full = mk(0, 200)
+
+    out_a = tmp_path_factory.mktemp("app") / "index"
+    st = build_index(spark, base, str(out_a), cfg=cfg, n_shards=3,
+                     source="base")
+    st = append_to_index(spark, st, extra.withColumnRenamed("doc_id", "x")
+                         .withColumnRenamed("x", "doc_id"), source="extra")
+    assert st.meta().n_docs == 200
+    assert st.meta().n_shards > 3
+
+    out_b = tmp_path_factory.mktemp("full") / "index"
+    st_full = build_index(spark, full, str(out_b), cfg=cfg, n_shards=3,
+                          source="full")
+
+    terms = [r["term"] for r in st_full.termstats(spark).collect()]
+    a = sorted(map(tuple, decoded_postings(spark, st, terms).collect()))
+    b = sorted(map(tuple, decoded_postings(spark, st_full, terms).collect()))
+    assert a == b
+
+    for q in ("alpha beta", "zeta", "epsilon alpha"):
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, st, q, k=20, phrase=True).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, st_full, q, k=20, phrase=True).collect()]
+        assert ra == rb, q
+
+    # dict-mismatch guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        append_to_index(spark, st, extra, syn=SynonymDict.parse("a,b"))
