@@ -1,0 +1,64 @@
+"""Continuous index ingestion (Structured Streaming).
+
+The reference is batch-per-document with a hot-reloadable dictionary —
+no stream semantics to port (SURVEY §2.5: "we do not fabricate"
+watermarks/session windows). What a production engine DOES need is
+index tailing: new corpus files appear, the index follows. That is
+exactly micro-batch ``foreachBatch`` over a file source feeding
+``append_to_index`` — each micro-batch becomes new shards with
+manifest lineage, atomically visible to queries after its commit, with
+exactly-once file tracking from the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .index_store import IndexStore, append_to_index, build_index
+from .synonyms import SynonymDict
+from .tokenizer import TokenizerConfig
+
+STREAM_SCHEMA = ("repo string, path string, commit string, "
+                 "lang string, content string")
+
+
+def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
+                  checkpoint_dir: str,
+                  cfg: TokenizerConfig | None = None,
+                  syn: SynonymDict | None = None,
+                  n_shards_first: int = 8,
+                  poll_files_per_batch: int = 64,
+                  schema=None):
+    """Tail ``input_dir`` (parquet corpus files) into the index at
+    ``index_dir``. Returns the StreamingQuery; callers own its
+    lifecycle (``awaitTermination`` / ``stop``).
+
+    First micro-batch bootstraps the index (build_index); later ones
+    append. The streaming checkpoint gives exactly-once file pickup;
+    the index manifest gives per-shard lineage within each batch.
+    """
+    cfg = cfg or TokenizerConfig()
+    stream = (spark.readStream
+              .schema(schema or STREAM_SCHEMA)
+              .option("maxFilesPerTrigger", poll_files_per_batch)
+              .parquet(input_dir))
+
+    def process(batch_df, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        # drop any streaming-unsafe native ids: append assigns from keys
+        bdf = batch_df.drop("doc_id")
+        store = IndexStore(index_dir)
+        if (store.path / "meta.json").exists():
+            append_to_index(batch_df.sparkSession, store, bdf, syn=syn,
+                            source=f"stream-batch-{batch_id}")
+        else:
+            build_index(batch_df.sparkSession, bdf, index_dir, cfg=cfg,
+                        syn=syn, n_shards=n_shards_first,
+                        source=f"stream-batch-{batch_id}")
+
+    return (stream.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime="1 second")
+            .start())

@@ -1,0 +1,73 @@
+"""Continuous index ingestion: Structured Streaming foreachBatch →
+bootstrap + append; exactly-once file pickup via checkpoint."""
+
+import time
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synspark.index_store import IndexStore
+from synspark.query import search
+from synspark.streaming import stream_ingest
+from synspark.tokenizer import TokenizerConfig
+
+pytestmark = pytest.mark.spark
+
+
+def _drop(spark, path: Path, n0: int, n1: int, text: str):
+    df = spark.range(n0, n1).select(
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"),
+        F.col("id").cast("string").alias("commit"),
+        F.lit("t").alias("lang"),
+        F.lit(text).alias("content"))
+    df.coalesce(1).write.mode("append").parquet(str(path))
+
+
+def _wait_docs(store: IndexStore, want: int, timeout: float = 90.0) -> int:
+    t0 = time.time()
+    n = -1
+    while time.time() - t0 < timeout:
+        try:
+            n = store.meta().n_docs
+            if n >= want:
+                return n
+        except Exception:
+            pass
+        time.sleep(1.0)
+    return n
+
+
+def test_stream_ingest(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx = tmp_path / "idx"
+    chk = tmp_path / "chk"
+
+    _drop(spark, inp, 0, 40, "alpha beta gamma")
+    q = stream_ingest(spark, str(inp), str(idx), str(chk),
+                      cfg=TokenizerConfig(n=2, expand=False),
+                      n_shards_first=2)
+    try:
+        store = IndexStore(str(idx))
+        assert _wait_docs(store, 40) == 40
+
+        _drop(spark, inp, 1000, 1025, "delta epsilon")
+        assert _wait_docs(store, 65) == 65
+
+        hits_a = search(spark, store, "alpha beta", k=100,
+                        phrase=True).count()
+        hits_d = search(spark, store, "delta", k=100).count()
+        assert hits_a == 40 and hits_d == 25
+    finally:
+        q.stop()
+    # restart with same checkpoint: no reprocessing of old files
+    q2 = stream_ingest(spark, str(inp), str(idx), str(chk),
+                       cfg=TokenizerConfig(n=2, expand=False))
+    try:
+        time.sleep(6)
+        assert IndexStore(str(idx)).meta().n_docs == 65
+    finally:
+        q2.stop()
