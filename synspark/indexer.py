@@ -226,25 +226,31 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         interner = _Interner(cfg_tuple, syn_local)
         # hash routing may co-locate several shard keys in one partition:
-        # accumulate per shard (int arrays only), encode each shard
-        acc: dict = {}  # shard -> (tid chunks, doc chunks, pos chunks, dl chunks)
+        # accumulate per shard as raw per-BLOCK chunks; positions / dl /
+        # doc arrays are derived vectorized per shard (zero per-doc
+        # numpy work in the loop — this loop runs per document)
+        acc: dict = {}  # shard -> [tid_chunks, pinc_chunks, doc_ids, tok_counts]
+        block_ids = interner.block_ids
+        delims = cfg_tuple[3]
 
         for pdf in batches:
             for did, text, sh in zip(pdf[id_col].to_numpy(), pdf[text_col],
                                      pdf["shard"].to_numpy()):
                 if not text:
                     continue
-                out = interner.doc_ids(text)
-                if out is None:
-                    continue
-                tids, pos, dl = out
-                a = acc.setdefault(int(sh), ([], [], [], [], [], []))
-                a[0].append(tids)
-                a[1].append(np.full(len(tids), did, dtype=np.int64))
-                a[2].append(pos)
-                a[3].append(np.full(len(tids), dl, dtype=np.int64))
-                a[4].append(did)
-                a[5].append(dl)
+                a = acc.get(int(sh))
+                if a is None:
+                    a = acc[int(sh)] = ([], [], [], [])
+                ntok = 0
+                for _bs, block in blocks(text, delims):
+                    t, p = block_ids(block)
+                    if len(t):
+                        a[0].append(t)
+                        a[1].append(p)
+                        ntok += len(t)
+                if ntok:
+                    a[2].append(did)
+                    a[3].append(ntok)
 
         if not acc:
             yield pd.DataFrame(columns=_SEG_COLS)
@@ -259,11 +265,20 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
         sorted_vocab = np.array([vlist[i] for i in order_v], dtype=object)
 
         for sh in sorted(acc):
-            tid_chunks, docs_all, pos_all, dl_all, sdocs, sdls = acc[sh]
+            tid_chunks, pinc_chunks, doc_ids_l, tok_counts_l = acc[sh]
             rtid = rank[np.concatenate(tid_chunks)]
-            doc_arr = np.concatenate(docs_all)
-            pos_arr = np.concatenate(pos_all)
-            dl_arr = np.concatenate(dl_all)
+            counts = np.asarray(tok_counts_l, dtype=np.int64)
+            doc_arr = np.repeat(np.asarray(doc_ids_l, dtype=np.int64),
+                                counts)
+            # positions: cumsum of pos_inc, reset per doc; dl = last
+            # position + 1 per doc (sum of pos_inc)
+            cp = np.cumsum(np.concatenate(pinc_chunks), dtype=np.int64)
+            ends = np.cumsum(counts) - 1          # token idx of doc ends
+            prev_total = np.concatenate(([0], cp[ends[:-1]]))
+            pos_arr = cp - np.repeat(prev_total, counts) - 1
+            sdls = cp[ends] - prev_total          # dl per doc
+            sdocs = np.asarray(doc_ids_l, dtype=np.int64)
+            dl_arr = np.repeat(sdls, counts)
             # local inversion: docs arrive in arbitrary order after the
             # shuffle — lexsort tokens by (term rank, doc, pos)
             order = np.lexsort((pos_arr, doc_arr, rtid))
