@@ -218,7 +218,7 @@ def test_term_layout_equivalent(spark, corpus, index, tmp_path_factory):
     produce identical decoded postings and identical query results to
     the default document-routed layout."""
     syn = SynonymDict.parse(JP_DICT)
-    out = tmp_path_factory.mktemp("термидx") / "index"
+    out = tmp_path_factory.mktemp("termidx") / "index"
     st2 = build_index(spark, corpus, str(out), cfg=CFG2, syn=syn,
                       n_shards=4, layout="term",
                       target_postings_per_task=500, source="term-layout")
