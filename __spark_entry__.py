@@ -131,11 +131,11 @@ def q_fts_wand_topk(spark, sf_dir):
 
 
 def q_fts_phrase_hits(spark, sf_dir):
-    from synspark.query import search
+    """Distributed phrase hit count: per-shard adjacency verification +
+    one sum — no candidate set ever reaches the driver."""
+    from synspark.query import count_matches
     store = _index(spark, sf_dir)
-    n = search(spark, store, PHRASE, k=10_000_000, mode="and",
-               phrase=True).count()
-    return spark.createDataFrame([(n,)], "hits long")
+    return count_matches(spark, store, PHRASE, mode="and", phrase=True)
 
 
 def q_fts_synonym_bm25(spark, sf_dir):

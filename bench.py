@@ -39,7 +39,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from synspark.corpus import generate_corpus
     from synspark.index_store import build_index
-    from synspark.query import search
+    from synspark.query import count_matches, search
     from synspark.session import get_spark
     from synspark.synonyms import SynonymDict
     from synspark.tokenizer import TokenizerConfig
@@ -88,9 +88,12 @@ def main() -> None:
         spark, store_docs, "data sort merge", k=10, mode="and").collect())
     lat("q_bm25_or", lambda: search(
         spark, store_docs, "data sort merge", k=10, mode="or").collect())
-    lat("q_phrase", lambda: search(
-        spark, store_docs, "key order", k=1000, mode="and",
-        phrase=True).count())
+    lat("q_phrase", lambda: count_matches(
+        spark, store_docs, "key order", mode="and",
+        phrase=True).collect())
+    lat("q_phrase_topk", lambda: search(
+        spark, store_docs, "key order", k=10, mode="and",
+        phrase=True).collect())
     lat("q_synonym_wand", lambda: search(
         spark, store, "かきいうえお", k=10, mode="and", syn=syn).collect())
 

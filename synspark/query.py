@@ -15,8 +15,12 @@ scorer is the in-repo oracle and the WAND path must be rank-identical):
 - mode="and": doc must match every group (conjunctive, the
   match_phrase-shaped semantics of the reference fixtures);
   mode="or": disjunctive (classic WAND setting).
-- phrase=True additionally verifies positional adjacency
-  (MultiPhraseQuery semantics) using the stored positions.
+- phrase=True restricts ranking to docs passing positional-adjacency
+  verification (MultiPhraseQuery semantics: Lucene ranks among
+  phrase-matching docs only); verification happens inside each shard
+  worker before top-k admission. count_matches() gives exact hit
+  totals as a distributed aggregate (the reference's total-hits idiom)
+  without materializing candidates.
 - Rank determinism: (score DESC, doc_id ASC), float64 end-to-end.
 
 Execution: the index is document-sharded; the WAND runner processes
@@ -29,6 +33,7 @@ if its bound (from per-block max_tf/min_dl) can beat the kth score.
 
 from __future__ import annotations
 
+import heapq
 import math
 from dataclasses import dataclass
 
@@ -213,10 +218,16 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
 # --------------------------------------------------------------------
 
 def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
-                phrase_offsets: list[int] | None) -> pd.DataFrame:
+                phrase: bool = False) -> pd.DataFrame:
     """Exact top-k for one shard. Windowed block-max pruning: windows
     are visited in descending upper bound; a window is decoded only if
-    its bound beats the running kth-best score."""
+    its bound beats the running kth-best score.
+
+    ``phrase=True`` verifies positional adjacency (MultiPhraseQuery —
+    some alternative of every query position at consecutive index
+    positions) INSIDE the worker, per window, BEFORE top-k admission:
+    ranking is among phrase-matching docs only (Lucene semantics), all
+    shard-local — no candidate set ever leaves the executor."""
     n_groups = len(plan.groups)
     term_gid = {}
     for gi, g in enumerate(plan.groups):
@@ -267,27 +278,38 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         win_ub = ub.sum(axis=0)
 
     order = np.argsort(-win_ub, kind="stable")
-    topk_scores = np.full(0, 0.0)
-    results: list[tuple] = []  # (score, doc_id)
+    # bounded top-k state: min-heap of (score, -doc_id) — root is the
+    # WORST kept hit under the (score DESC, doc_id ASC) rank order, so
+    # heappushpop keeps exactly the k best regardless of k (no
+    # sort-per-window, no unbounded list)
+    heap: list[tuple[float, int]] = []
     theta = -1.0
 
     k1, b, avgdl = plan.k1, plan.b, plan.avgdl
 
-    def decode_group_window(gi: int, d0: int, d1: int):
-        """decoded merged postings of group gi limited to [d0, d1)."""
+    def decode_group_window(gi: int, d0: int, d1: int, want_pos: bool):
+        """decoded merged postings of group gi limited to [d0, d1);
+        with ``want_pos`` also the flat (doc, position) occurrence
+        arrays (union over the group's alternative terms)."""
         docs_all, tfs_all, dls_all = [], [], []
+        pdocs_all, pvals_all = [], []
         for i in blk_rows_by_gid[gi]:
             if first[i] >= d1 or last[i] < d0:
                 continue  # block skip
+            nd = int(pdf["n_docs"].iat[i])
             docs, tfs = decode_block(int(first[i]), pdf["doc_bytes"].iat[i],
-                                     pdf["tf_bytes"].iat[i],
-                                     int(pdf["n_docs"].iat[i]))
-            dls = varint_decode(pdf["dl_bytes"].iat[i],
-                                int(pdf["n_docs"].iat[i])).astype(np.int64)
+                                     pdf["tf_bytes"].iat[i], nd)
+            dls = varint_decode(pdf["dl_bytes"].iat[i], nd).astype(np.int64)
             m = (docs >= d0) & (docs < d1)
             docs_all.append(docs[m]); tfs_all.append(tfs[m]); dls_all.append(dls[m])
+            if want_pos and m.any():
+                pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
+                mk = np.repeat(m, tfs)
+                pdocs_all.append(np.repeat(docs, tfs)[mk])
+                pvals_all.append(pos[mk])
         if not docs_all:
-            return (np.zeros(0, np.int64),) * 3
+            z = np.zeros(0, np.int64)
+            return z, z, z, z, z
         docs = np.concatenate(docs_all)
         tfs = np.concatenate(tfs_all)
         dls = np.concatenate(dls_all)
@@ -297,44 +319,74 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         np.add.at(utf, inv, tfs)
         udl = np.zeros(len(udocs), np.int64)
         udl[inv] = dls
-        return udocs, utf, udl
+        pdocs = np.concatenate(pdocs_all) if pdocs_all else np.zeros(0, np.int64)
+        pvals = np.concatenate(pvals_all) if pvals_all else np.zeros(0, np.int64)
+        return udocs, utf, udl, pdocs, pvals
 
     for w in order:
         bound = float(win_ub[w])
         # strict < so exact score ties (identical docs) are never pruned
         # away from the doc_id ASC tie-break — rank-identity guarantee
-        if bound <= 0 or (len(results) >= k and bound < theta):
+        if bound <= 0 or (len(heap) >= k and bound < theta):
             continue  # pruned: window can't beat current top-k
         d0, d1 = lo + w * win, lo + (w + 1) * win
-        scores: dict[int, float] = {}
-        counts: dict[int, int] = {}
-        dls_seen: dict[int, int] = {}
+        gdocs: list[np.ndarray] = []
+        gscores: list[np.ndarray] = []
+        starts: np.ndarray | None = None  # phrase: (doc,start) keys alive
+        dead = False
         for gi in range(n_groups):
-            udocs, utf, udl = decode_group_window(gi, d0, d1)
+            udocs, utf, udl, pdocs, pvals = \
+                decode_group_window(gi, d0, d1, phrase)
             if len(udocs) == 0:
-                if mode == "and":
-                    scores = {}
+                # a phrase needs every group regardless of boolean mode
+                if mode == "and" or phrase:
+                    dead = True
                     break
                 continue
             tfn = utf / (utf + k1 * (1 - b + b * udl / avgdl))
-            gsc = plan.idfs[gi] * tfn
-            for d, s, dl in zip(udocs.tolist(), gsc.tolist(), udl.tolist()):
-                scores[d] = scores.get(d, 0.0) + s
-                counts[d] = counts.get(d, 0) + 1
-                dls_seen[d] = dl
-        for d, s in scores.items():
-            if mode == "and" and counts[d] != n_groups:
-                continue
-            results.append((s, d))
-        if results:
-            results.sort(key=lambda x: (-x[0], x[1]))
-            del results[k:]
-            if len(results) >= k:
-                theta = results[-1][0]
+            gdocs.append(udocs)
+            gscores.append(plan.idfs[gi] * tfn)
+            if phrase:
+                # candidate phrase-start keys contributed by group gi:
+                # (doc - d0) << 32 | (pos - gi); intersect across groups
+                ok = pvals >= gi
+                enc = ((pdocs[ok] - d0) << np.int64(32)) | (pvals[ok] - gi)
+                enc = np.unique(enc)
+                starts = enc if starts is None else \
+                    np.intersect1d(starts, enc, assume_unique=True)
+                if len(starts) == 0:
+                    dead = True
+                    break
+        if dead or not gdocs:
+            continue
+        # vectorized merge: concatenation is gid-major, and np.add.at
+        # applies additions in element order — so each doc's group
+        # scores accumulate in ascending-gid order, bit-identical to
+        # the oracle's ordered left-fold (float addition order matters)
+        alldocs = np.concatenate(gdocs)
+        allsc = np.concatenate(gscores)
+        u, inv = np.unique(alldocs, return_inverse=True)
+        sc = np.zeros(len(u), np.float64)
+        np.add.at(sc, inv, allsc)
+        keep = np.ones(len(u), dtype=bool)
+        if mode == "and":
+            keep &= np.bincount(inv, minlength=len(u)) == n_groups
+        if phrase:
+            verified = np.unique(starts >> np.int64(32)) + d0
+            keep &= np.isin(u, verified)
+        for d, s in zip(u[keep].tolist(), sc[keep].tolist()):
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heappushpop(heap, item)
+        if len(heap) >= k:
+            theta = heap[0][0]
 
+    results = sorted(heap, key=lambda x: (-x[0], -x[1]))
     out = pd.DataFrame(
-        {"doc_id": [d for _s, d in results],
-         "score": [s for s, _d in results]})
+        {"doc_id": [-nd for _s, nd in results],
+         "score": [s for s, _nd in results]})
     return out.astype({"doc_id": "int64", "score": "float64"}) if len(out) \
         else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                            "score": pd.Series([], dtype="float64")})
@@ -344,8 +396,10 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            mode: str = "and", phrase: bool = False,
            syn: SynonymDict | None = None,
            cfg: TokenizerConfig | None = None) -> DataFrame:
-    """BM25 top-k via shard-parallel block-max WAND; optionally verify
-    phrase adjacency (positions) on the candidates."""
+    """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
+    ranks among phrase-matching docs only (MultiPhraseQuery semantics):
+    adjacency is verified inside each shard worker before top-k
+    admission — fully distributed, nothing collected driver-side."""
     plan = plan_query(spark, store, text, syn, cfg)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -360,16 +414,11 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
         if len(pdf) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
-        return _wand_shard(pdf, plan, k, mode, None)
+        return _wand_shard(pdf, plan, k, mode, phrase)
 
     topk = blocks.groupBy("shard").applyInPandas(
         run, schema="doc_id long, score double")
-    result = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if phrase:
-        cand = result
-        matched = phrase_filter(spark, store, cand, plan)
-        return matched.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return result
+    return topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def search_batch(spark: SparkSession, store: IndexStore,
@@ -414,7 +463,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
             if not len(sub):
                 continue
             res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
-                              None)
+                              False)
             if len(res):
                 res.insert(0, "query_id", np.int32(qi))
                 outs.append(res)
@@ -434,60 +483,97 @@ def search_batch(spark: SparkSession, store: IndexStore,
 
 
 # --------------------------------------------------------------------
-# positional phrase verification (E9)
+# distributed boolean / phrase match counting (E9 + E11)
 # --------------------------------------------------------------------
 
-def _doc_positions(pdf: pd.DataFrame, wanted: np.ndarray) -> dict:
-    """{(term, doc_id): np.ndarray positions} for docs in ``wanted``."""
-    out: dict = {}
-    for i in range(len(pdf)):
-        nd = int(pdf["n_docs"].iat[i])
-        docs, tfs = decode_block(int(pdf["first_doc"].iat[i]),
-                                 pdf["doc_bytes"].iat[i],
-                                 pdf["tf_bytes"].iat[i], nd)
-        if not np.isin(docs, wanted).any():
-            continue
-        pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
-        offs = np.concatenate(([0], np.cumsum(tfs)))
-        term = pdf["term"].iat[i]
-        for j, d in enumerate(docs):
-            if d in wanted:
-                out[(term, int(d))] = pos[offs[j]:offs[j + 1]]
-    return out
+def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
+                 phrase: bool) -> int:
+    """Number of matching docs in one shard — whole-shard vectorized
+    set algebra over the decoded postings, no ranking, no top-k state.
+    Phrase adjacency via (doc, start) key intersection across groups."""
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(pdf["term"]):
+        by_term.setdefault(t, []).append(i)
+
+    def group_arrays(g: list[str], want_pos: bool):
+        """(unique doc array, flat (doc,pos) occurrence arrays)."""
+        docs_all, pd_all, pv_all = [], [], []
+        for t in g:
+            for i in by_term.get(t, ()):
+                nd = int(pdf["n_docs"].iat[i])
+                docs, tfs = decode_block(
+                    int(pdf["first_doc"].iat[i]), pdf["doc_bytes"].iat[i],
+                    pdf["tf_bytes"].iat[i], nd)
+                docs_all.append(docs)
+                if want_pos:
+                    pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
+                    pd_all.append(np.repeat(docs, tfs))
+                    pv_all.append(pos)
+        if not docs_all:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        docs = np.unique(np.concatenate(docs_all))
+        pdc = np.concatenate(pd_all) if pd_all else np.zeros(0, np.int64)
+        pvc = np.concatenate(pv_all) if pv_all else np.zeros(0, np.int64)
+        return docs, pdc, pvc
+
+    if phrase:
+        lo = int(pdf["first_doc"].min())
+        starts: np.ndarray | None = None
+        for gi, g in enumerate(plan.groups):
+            _docs, pdc, pvc = group_arrays(g, True)
+            ok = pvc >= gi
+            enc = ((pdc[ok] - lo) << np.int64(32)) | (pvc[ok] - gi)
+            enc = np.unique(enc)
+            starts = enc if starts is None else \
+                np.intersect1d(starts, enc, assume_unique=True)
+            if len(starts) == 0:
+                return 0
+        return len(np.unique(starts >> np.int64(32)))
+
+    acc: np.ndarray | None = None
+    for g in plan.groups:
+        docs, _pd, _pv = group_arrays(g, False)
+        if mode == "and":
+            if len(docs) == 0:
+                return 0
+            acc = docs if acc is None else \
+                np.intersect1d(acc, docs, assume_unique=True)
+            if len(acc) == 0:
+                return 0
+        else:
+            acc = docs if acc is None else \
+                np.union1d(acc, docs)
+    return int(len(acc)) if acc is not None else 0
 
 
-def phrase_filter(spark: SparkSession, store: IndexStore,
-                  candidates: DataFrame, plan: QueryPlan) -> DataFrame:
-    """Keep candidate docs where some alternative of every query
-    position occurs at consecutive index positions (MultiPhraseQuery)."""
-    cand = candidates.collect()
-    if not cand:
-        return candidates
-    wanted = np.array(sorted({r["doc_id"] for r in cand}), dtype=np.int64)
-    blocks = (store.segments(spark)
-              .filter(F.col("term").isin(plan.terms))
-              .filter(F.col("last_doc") >= int(wanted.min()))
-              .filter(F.col("first_doc") <= int(wanted.max()))
-              .select("term", "first_doc", "n_docs", "doc_bytes",
-                      "tf_bytes", "pos_bytes")
-              .toPandas())
-    posmap = _doc_positions(blocks, wanted)
-    keep = []
-    for r in cand:
-        d = int(r["doc_id"])
-        # candidate start positions: group 0 alternatives' positions
-        starts: set[int] | None = None
-        ok = True
-        for j, g in enumerate(plan.groups):
-            s_j: set[int] = set()
-            for t in g:
-                p = posmap.get((t, d))
-                if p is not None:
-                    s_j.update((p - j).tolist())
-            starts = s_j if starts is None else (starts & s_j)
-            if not starts:
-                ok = False
-                break
-        if ok:
-            keep.append((d, float(r["score"])))
-    return spark.createDataFrame(keep or [], "doc_id long, score double")
+def count_matches(spark: SparkSession, store: IndexStore, text: str,
+                  mode: str = "and", phrase: bool = False,
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None) -> DataFrame:
+    """Total hit count (the reference's query-then-read-total idiom,
+    SynonymPluginTest.java:149-169) as a DISTRIBUTED aggregate: each
+    shard worker counts its matches (applyInPandas), partials sum in a
+    single tiny reduction. Never materializes candidate doc ids — the
+    scale-safe replacement for ``search(k=huge).count()``.
+
+    Returns a one-row DataFrame ``hits long``."""
+    plan = plan_query(spark, store, text, syn, cfg)
+    if not plan.groups:
+        return spark.createDataFrame([(0,)], "hits long")
+
+    cols = ["term", "shard", "first_doc", "n_docs", "doc_bytes",
+            "tf_bytes"]
+    if phrase:
+        cols.append("pos_bytes")
+    blocks = store.segments(spark) \
+        .filter(F.col("term").isin(plan.terms)).select(*cols)
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = _count_shard(pdf, plan, mode, phrase) if len(pdf) else 0
+        return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
+
+    partials = blocks.groupBy("shard").applyInPandas(
+        run, schema="hits long")
+    return partials.agg(
+        F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))

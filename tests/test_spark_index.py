@@ -159,6 +159,69 @@ def test_reference_hit_fixtures(spark, es_index, q, hits):
     assert (n == 1000) if hits else (n == 0), (q, n)
 
 
+def test_count_matches_equals_search(spark, index, es_index):
+    """count_matches (distributed per-shard counting) agrees with the
+    reference truth table and with the naive scorer's cardinality."""
+    from synspark.query import count_matches
+    syn = SynonymDict.parse(JP_DICT)
+    for q, hits in HIT_FIXTURES:
+        n = count_matches(spark, es_index, q, phrase=True,
+                          syn=syn).collect()[0]["hits"]
+        assert (n == 1000) if hits else (n == 0), q
+    for q in ["in re", "あいうえお", "def"]:
+        for mode in ("and", "or"):
+            naive_n = score_naive(spark, index, q, k=10**9, mode=mode,
+                                  syn=syn).count()
+            n = count_matches(spark, index, q, mode=mode,
+                              syn=syn).collect()[0]["hits"]
+            assert n == naive_n, (q, mode)
+
+
+def test_phrase_path_is_distributed(spark, es_index):
+    """Phrase verification runs inside the shard workers
+    (FlatMapGroupsInPandas in the physical plan) — never on collected
+    candidates driver-side (round-1 scale-killer)."""
+    from synspark.query import count_matches
+    syn = SynonymDict.parse(JP_DICT)
+    res = search(spark, es_index, "かきいう", k=10, phrase=True, syn=syn)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    cm = count_matches(spark, es_index, "かきいう", phrase=True, syn=syn)
+    plan2 = cm._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan2
+
+
+def test_phrase_ranks_among_matching_docs(spark, tmp_path_factory):
+    """MultiPhraseQuery semantics: a phrase-matching doc must be
+    returned even when non-matching docs out-rank it on BM25 (round-1
+    advice: verification happens BEFORE top-k admission, not after)."""
+    rows = [(0, "ab cd " + "pad " * 60)]  # phrase match, low score
+    rows += [(i, "ab xx cd " * 5) for i in range(1, 6)]  # high BM25, no phrase
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = tmp_path_factory.mktemp("phrank") / "index"
+    idx = build_index(spark, docs, str(out),
+                      cfg=TokenizerConfig(n=2, expand=False), syn=None,
+                      n_shards=2, source="phrase-rank")
+    got = search(spark, idx, "ab cd", k=1, mode="and",
+                 phrase=True).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+@pytest.mark.parametrize("q", ["in re", "あいうえお"])
+def test_wand_large_k_rank_identical(spark, index, q):
+    """Heap-based top-k state: still rank-identical to the naive oracle
+    when k spans most of the corpus."""
+    syn = SynonymDict.parse(JP_DICT)
+    for mode in ("and", "or"):
+        naive = [(r["doc_id"], round(r["score"], 9))
+                 for r in score_naive(spark, index, q, k=500, mode=mode,
+                                      syn=syn).collect()]
+        wand = [(r["doc_id"], round(r["score"], 9))
+                for r in search(spark, index, q, k=500, mode=mode,
+                                syn=syn).collect()]
+        assert wand == naive, (q, mode)
+
+
 def test_empty_dict_hit_fixtures(spark, tmp_path_factory):
     """Control variant (SynonymPluginTest.java:343-363): empty dict —
     あ no longer matches (bigram index), かき* never match."""
