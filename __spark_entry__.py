@@ -228,15 +228,24 @@ def q_dp_minhash_lsh(spark, sf_dir):
 
 
 def q_dp_jaccard_pairs(spark, sf_dir):
-    from synspark.datapipe.dedup import jaccard_pairs, word_shingles
+    """Exact Jaccard verification restricted to the LSH candidate pair
+    set (the scale-correct wiring: the shingle self-join input is
+    bounded by LSH collision groups, never all-pairs)."""
+    from synspark.datapipe.dedup import (jaccard_pairs,
+                                         lsh_candidate_pairs,
+                                         minhash_signatures, word_shingles)
     sh = word_shingles(_docs(spark, sf_dir), k=3)
-    return jaccard_pairs(sh, threshold=0.2).select("a", "b", "n_inter",
-                                                   "jaccard")
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 8), bands=4,
+                               rows_per_band=2)
+    return jaccard_pairs(sh, candidates=cand, threshold=0.2) \
+        .select("a", "b", "n_inter", "jaccard")
 
 
 def q_dp_simhash_dups(spark, sf_dir):
-    """SimHash near-dups (pandas UDF + pigeonhole blocking) — bit-level
-    md5 math isn't reasonably SQL-mirrorable: rows-only check."""
+    """SimHash near-dups. The engine's word hash is defined as DuckDB's
+    md5_number_upper (first 8 md5 bytes little-endian), so the whole
+    operator — signature, pigeonhole blocking, hamming filter — has an
+    exact SQL oracle."""
     from synspark.datapipe.dedup import simhash, simhash_near_dups
     s = simhash(_docs(spark, sf_dir))
     return simhash_near_dups(s, max_hamming=3)
@@ -489,7 +498,27 @@ SELECT band_id, band_key, count(*)::BIGINT AS n_docs,
 FROM banded GROUP BY band_id, band_key HAVING count(*) > 1
 """,
         "dp_jaccard_pairs": _SHINGLES_CTE + """
-, counts AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles
+, sigs AS (
+  SELECT doc_id,
+    min(md5('0' || shingle)) AS mh0, min(md5('1' || shingle)) AS mh1,
+    min(md5('2' || shingle)) AS mh2, min(md5('3' || shingle)) AS mh3,
+    min(md5('4' || shingle)) AS mh4, min(md5('5' || shingle)) AS mh5,
+    min(md5('6' || shingle)) AS mh6, min(md5('7' || shingle)) AS mh7
+  FROM shingles GROUP BY doc_id
+), banded AS (
+  SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sigs
+  UNION ALL
+  SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sigs
+  UNION ALL
+  SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sigs
+  UNION ALL
+  SELECT 3, md5(mh6 || '|' || mh7), doc_id FROM sigs
+), cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM banded b1
+  JOIN banded b2 USING (band_id, band_key)
+  WHERE b1.doc_id < b2.doc_id
+), counts AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles
              GROUP BY doc_id)
 , inter AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS n_inter
@@ -500,6 +529,7 @@ FROM banded GROUP BY band_id, band_key HAVING count(*) > 1
 SELECT a, b, n_inter,
        round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
 FROM inter
+JOIN cand USING (a, b)
 JOIN counts ca ON ca.doc_id = a
 JOIN counts cb ON cb.doc_id = b
 WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) >= 0.2
@@ -526,6 +556,38 @@ SELECT doc_id AS media_id,
        sha256(text) AS sha256
 FROM documents
 """,
-        # fts_synonym_bm25, dp_simhash_dups, dp_ann_ivf, dp_frame_plan:
+        "dp_simhash_dups": f"""
+WITH wx AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '{_DELIMS}'),
+                           x -> length(x) > 0)) AS w
+        FROM documents)
+), h AS (
+  SELECT doc_id, md5_number_upper(word) AS h FROM wx
+), acc AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bs
+  GROUP BY doc_id, b
+), sig0 AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::UBIGINT << b
+                     ELSE 0::UBIGINT END) AS sig
+  FROM acc GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, coalesce(s.sig, 0)::UBIGINT AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+), keyed AS (
+  SELECT doc_id, sig, c, (sig >> (16*c)) & 65535 AS ck
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs
+), pairs AS (
+  SELECT DISTINCT k1.doc_id AS a, k2.doc_id AS b,
+                  k1.sig AS ha, k2.sig AS hb
+  FROM keyed k1 JOIN keyed k2 USING (c, ck)
+  WHERE k1.doc_id < k2.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+""",
+        # fts_synonym_bm25, dp_ann_ivf, dp_frame_plan:
         # intentionally no SQL oracle (non-SQL-expressible; see pytest)
     }

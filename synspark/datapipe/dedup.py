@@ -79,18 +79,58 @@ def lsh_candidate_groups(sigs: DataFrame, bands: int = 4,
             .filter(F.col("n_docs") > 1))
 
 
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
+                        rows_per_band: int = 2,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a, b) doc pairs sharing at least one LSH band bucket —
+    the candidate set for exact verification. The pair join is
+    bucket-equal (band_id, band_key), so its cost is bounded by bucket
+    collision-group sizes, never all-pairs."""
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        out.append(sigs.select(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            F.col(id_col)))
+    un = out[0]
+    for o in out[1:]:
+        un = un.unionAll(o)
+    a = un.select("band_id", "band_key", F.col(id_col).alias("a"))
+    bdf = un.select("band_id", "band_key", F.col(id_col).alias("b"))
+    return (a.join(bdf, ["band_id", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
 def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
                   id_col: str = "doc_id",
                   threshold: float = 0.0) -> DataFrame:
-    """Exact n-gram Jaccard for doc pairs (optionally restricted to LSH
-    candidate buckets): |A∩B| via self-join on shingle, |A∪B| from doc
-    shingle counts. Pair key ordered (a < b) to avoid dupes."""
+    """Exact n-gram Jaccard for doc pairs: |A∩B| via self-join on
+    shingle, |A∪B| from doc shingle counts. Pair key ordered (a < b)
+    to avoid dupes.
+
+    ``candidates`` ((a, b) pairs, e.g. from ``lsh_candidate_pairs``)
+    restricts the computation: shingles are first semi-joined to the
+    candidate doc set (shrinks the self-join input) and the resulting
+    pairs semi-joined to the candidate pair set. At web scale this is
+    mandatory — without it one hot shingle makes the self-join
+    quadratic in the docs sharing it; with it the cost is bounded by
+    the LSH collision groups."""
+    if candidates is not None:
+        cdocs = (candidates.select(F.col("a").alias(id_col))
+                 .union(candidates.select(F.col("b").alias(id_col)))
+                 .distinct())
+        shingles = shingles.join(cdocs, id_col, "leftsemi")
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     bdf = shingles.select(F.col(id_col).alias("b"), "shingle")
     inter = (a.join(bdf, "shingle")
              .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "leftsemi")
     j = (inter
          .join(counts.select(F.col(id_col).alias("a"),
                              F.col("n_sh").alias("na")), "a")
@@ -108,32 +148,51 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (Charikar): sign of the
-    per-bit weighted sum of token hashes. Bit-level work → vectorized
-    pandas UDF (Arrow batches), the sanctioned slow path."""
+    per-bit weighted sum of token hashes. Pandas UDF with BATCH-level
+    vectorization: each unique word in the Arrow batch is md5-hashed
+    once, bit signs scatter-add per (doc, word) pair in one np.add.at
+    — no per-doc inner loops.
+
+    Word hash = first 8 md5 bytes little-endian, i.e. exactly DuckDB's
+    ``md5_number_upper`` — keeps the whole operator SQL-mirrorable for
+    the correctness oracle."""
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        import re
         import hashlib
-        out = np.zeros(len(texts), dtype=np.int64)
+        import re
         splitter = re.compile("[ \t\n\r　]+")
+        n = len(texts)
+        doc_idx, flat = [], []
         for i, t in enumerate(texts):
             if not t:
                 continue
-            words = [w for w in splitter.split(t.lower()) if w]
-            if not words:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
-            shifts = np.arange(bits, dtype=np.uint64)
-            for w in set(words):
-                h = np.uint64(int.from_bytes(
-                    hashlib.md5(w.encode("utf-8")).digest()[:8], "big"))
-                bitsarr = (h >> shifts) & np.uint64(1)
-                acc += np.where(bitsarr == 1, 1, -1)
-            sig = np.uint64(0)
-            for j in np.flatnonzero(acc > 0):
-                sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig.astype(np.int64))
+            ws = [w for w in splitter.split(t.lower()) if w]
+            doc_idx.extend([i] * len(ws))
+            flat.extend(ws)
+        out = np.zeros(n, dtype=np.int64)
+        if not flat:
+            return pd.Series(out)
+        doc_arr = np.asarray(doc_idx, dtype=np.int64)
+        uw, winv = np.unique(np.asarray(flat, dtype=object),
+                             return_inverse=True)
+        # set semantics per doc: dedupe (doc, word) pairs
+        upair = np.unique(doc_arr * np.int64(len(uw)) + winv)
+        pair_doc = (upair // len(uw)).astype(np.int64)
+        pair_word = (upair % len(uw)).astype(np.int64)
+        # one md5 per unique word per batch (amortized across docs)
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8],
+                            "little") for w in uw),
+            dtype=np.uint64, count=len(uw))
+        shifts = np.arange(bits, dtype=np.uint64)
+        sign = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1)          # (V, bits) ±1
+        acc = np.zeros((n, bits), dtype=np.int64)
+        np.add.at(acc, pair_doc, sign[pair_word])
+        sigbits = (acc > 0).astype(np.uint64)
+        out = (sigbits << shifts[None, :]).sum(axis=1).astype(np.uint64) \
+            .view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))

@@ -62,6 +62,37 @@ def test_jaccard(spark, docs):
     assert (0, 4) not in pairs           # unrelated: no shared shingle
 
 
+def test_jaccard_candidate_restriction(spark, docs):
+    """candidates bounds BOTH the self-join input (semi-join to the
+    candidate doc set) and the output pair set — the wiring that keeps
+    a hot shingle from going quadratic at scale."""
+    from synspark.datapipe.dedup import lsh_candidate_pairs
+    # hot-shingle corpus: every doc shares one shingle -> unrestricted
+    # self-join would produce all N^2/2 pairs
+    hot = spark.createDataFrame(
+        [(i, "common anchor words plus unique tail %d %d %d"
+          % (i, i * 7, i * 13)) for i in range(30)],
+        "doc_id long, text string")
+    sh = word_shingles(hot, k=3)
+    cand = spark.createDataFrame([(3, 4), (10, 11)], "a long, b long")
+    out = jaccard_pairs(sh, candidates=cand).collect()
+    assert {(r["a"], r["b"]) for r in out} <= {(3, 4), (10, 11)}
+    # plan shape: both semi-joins present (docs + pairs)
+    plan = jaccard_pairs(sh, candidates=cand)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("LeftSemi") >= 2
+    # LSH-candidate wiring agrees with the unrestricted pairs on the
+    # pairs it covers (same jaccard values)
+    cand_lsh = lsh_candidate_pairs(minhash_signatures(
+        word_shingles(docs, k=3), 8))
+    restricted = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(
+        word_shingles(docs, k=3), candidates=cand_lsh).collect()}
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in jaccard_pairs(word_shingles(docs, k=3)).collect()}
+    assert restricted == {p: j for p, j in full.items() if p in restricted}
+    assert (0, 1) in restricted  # exact dup always survives banding
+
+
 def test_simhash_properties(spark, docs):
     s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert s[0] == s[1]                  # identical text -> identical hash
