@@ -297,6 +297,31 @@ def test_term_layout_equivalent(spark, corpus, index, tmp_path_factory):
         assert ra == rb, q
 
 
+def test_term_layout_no_driver_vocab(spark, corpus, monkeypatch):
+    """The term-routed encode must keep the vocabulary executor-side
+    (round-1 verdict: a full-vocab collect is a driver OOM at CJK-bigram
+    scale): zero DataFrame.collect()/toPandas() anywhere in plan
+    construction or execution of encode_segments_from_tokens."""
+    from pyspark.sql import DataFrame
+    from synspark.indexer import encode_segments_from_tokens
+    syn = SynonymDict.parse(JP_DICT)
+    docs = assign_doc_ids(corpus)
+    toks = tokenize_corpus(docs, CFG2, syn)
+    ds = build_doc_stats(toks)
+    calls = []
+    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
+    monkeypatch.setattr(DataFrame, "collect",
+                        lambda self: (calls.append("collect"),
+                                      orig_collect(self))[1])
+    monkeypatch.setattr(DataFrame, "toPandas",
+                        lambda self: (calls.append("toPandas"),
+                                      orig_topandas(self))[1])
+    segs = encode_segments_from_tokens(toks, ds, n_docs=300, n_shards=4,
+                                       target_tokens_per_task=500)
+    assert segs.count() > 0
+    assert calls == []
+
+
 def test_search_batch_rank_identical(spark, index):
     from synspark.query import search, search_batch
     syn = SynonymDict.parse(JP_DICT)
