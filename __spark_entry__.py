@@ -2,9 +2,10 @@
 
 ``queries()`` exposes every implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL (omitted for genuinely non-SQL-expressible
-ops: WAND internals are oracled by the naive scorer in pytest, synonym
-expansion + simhash + IVF probing get rows-only checks here).
+the DuckDB-equivalent SQL for every query except IVF probing (the one
+genuinely approximate op — its recall is pinned in pytest instead;
+WAND internals are additionally oracled by the naive scorer in
+pytest).
 
 Engine queries build a bigram index (n=2, expand=false, no dict — the
 SQL-mirrorable configuration) over the ``documents`` table, cached
@@ -139,8 +140,13 @@ def q_fts_phrase_hits(spark, sf_dir):
 
 
 def q_fts_synonym_bm25(spark, sf_dir):
-    """Synonym-expanded query (dict data,info): rows-only check here;
-    rank-identity vs naive + golden fixtures live in pytest."""
+    """Synonym-expanded BM25 (dict data,info / sort,order, expand=true,
+    n=2) — fully oracle-checked: with this dict the expanded index is
+    SQL-expressible. Each dict match emits the surface + the stacked
+    alternative at one position, so tf(data)=tf(info)=matches(data|info)
+    (group tf = 2×matches, df identical across the group), boundary
+    partials never change position counts (dl per block = matches +
+    Σ max(1, seg_len-1)), verified against the tokenizer by probe."""
     from synspark.index_store import FORMAT_VERSION, build_index
     from synspark.query import search
     from synspark.synonyms import SynonymDict
@@ -171,7 +177,9 @@ def q_fts_analyze(spark, sf_dir):
 
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
-    documents table: rows-only check (pytest pins semantics)."""
+    documents table. With the fixed single-word dict the expanded term
+    counts are SQL-expressible (each occurrence of a group member emits
+    every member, so each member's count is the group total)."""
     from synspark.datapipe.textstats import DELIM_RE  # noqa: F401
     from synspark.indexer import tokenize_corpus
     from synspark.synfilter import expand_tokens_df
@@ -556,6 +564,69 @@ SELECT doc_id AS media_id,
        sha256(text) AS sha256
 FROM documents
 """,
+        "fts_synonym_bm25": f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
+  FROM documents
+), nb AS (
+  SELECT doc_id, lower(blk) AS blk FROM blocks WHERE length(blk) > 0
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(blk, '(data|info)')) AS m1,
+    len(regexp_extract_all(blk, '(sort|order)')) AS m2,
+    len(regexp_extract_all(blk, '(data|info|sort|order)'))
+      + list_sum(list_transform(
+          regexp_split_to_array(blk, '(data|info|sort|order)'),
+          s -> CASE WHEN length(s) = 0 THEN 0
+               ELSE greatest(1, length(s) - 1) END)) AS bpos
+  FROM nb
+), dstat AS (
+  SELECT doc_id, sum(m1)::BIGINT AS m1, sum(m2)::BIGINT AS m2,
+         sum(bpos)::BIGINT AS dl
+  FROM m GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dstat WHERE dl > 0) AS avgdl,
+         (SELECT count(*) FROM dstat WHERE m1 > 0)::DOUBLE AS df1,
+         (SELECT count(*) FROM dstat WHERE m2 > 0)::DOUBLE AS df2
+), scored AS (
+  SELECT d.doc_id,
+    ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+      * (2*d.m1) / ((2*d.m1) + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))
+    + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+      * (2*d.m2) / ((2*d.m2) + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))
+      AS score
+  FROM dstat d CROSS JOIN stats s
+  WHERE d.m1 > 0 AND d.m2 > 0
+)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_synfilter": f"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                            x -> length(x) > 0)) AS term
+  FROM documents
+), raw AS (
+  SELECT term, count(*)::BIGINT AS cnt FROM w GROUP BY term
+), gtot AS (
+  SELECT t.term, g.cnt
+  FROM (VALUES ('data'), ('info')) t(term)
+  CROSS JOIN (SELECT coalesce(sum(cnt), 0)::BIGINT AS cnt FROM raw
+              WHERE term IN ('data', 'info')) g
+  UNION ALL
+  SELECT t.term, g.cnt
+  FROM (VALUES ('sort'), ('order')) t(term)
+  CROSS JOIN (SELECT coalesce(sum(cnt), 0)::BIGINT AS cnt FROM raw
+              WHERE term IN ('sort', 'order')) g
+), ex AS (
+  SELECT term, cnt FROM raw
+  WHERE term NOT IN ('data', 'info', 'sort', 'order')
+  UNION ALL
+  SELECT term, cnt FROM gtot WHERE cnt > 0
+)
+SELECT term, cnt FROM ex ORDER BY cnt DESC, term LIMIT 50
+""",
         "dp_simhash_dups": f"""
 WITH wx AS (
   SELECT DISTINCT doc_id, w AS word
@@ -588,6 +659,16 @@ WITH wx AS (
 SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
 FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
 """,
-        # fts_synonym_bm25, dp_ann_ivf, dp_frame_plan:
-        # intentionally no SQL oracle (non-SQL-expressible; see pytest)
+        "dp_frame_plan": """
+WITH v AS (
+  SELECT doc_id AS media_id,
+         1 + (('0x' || substr(sha256(text), 5, 2))::INT % 250) AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       unnest(generate_series(0, n_frames - 1, 30))::INT AS frame_idx
+FROM v
+""",
+        # dp_ann_ivf: intentionally no SQL oracle (approximate,
+        # hyperplane-bucketed; recall vs brute force pinned in pytest)
     }

@@ -3,12 +3,30 @@ analysis component, `SynonymFilter`, a fork of Lucene's classic
 FST-driven filter re-expressed over token streams).
 
 Semantics implemented (observable contract of the reference):
-greedy earliest-longest matching of consecutive-token sequences
-against the dictionary (multi-word entries split on whitespace, the
-factory's default tokenizer — SynonymTokenFilterFactory.java:31,45-52);
-on a match, alternatives stack at the match-start position with
-pos_inc=0; originals are kept when the mapping includes them
-(SolrSynonymParser expand=true ⇒ identity mappings ⇒ keepOrig).
+
+- Greedy earliest-longest matching of consecutive-token sequences
+  against the dictionary. Dictionary entries are analyzed by a
+  configurable ``entry_tokenizer`` (default: whitespace split — the
+  factory's default tokenizer, SynonymTokenFilterFactory.java:31,45-52).
+- On a match spanning L input tokens, outputs stack at the MATCH START
+  position (SynonymFilter.java:544-644): originals are kept when the
+  mapping includes the surface (SolrSynonymParser expand=true ⇒
+  identity mappings ⇒ keepOrig), alternatives follow in rule order
+  with pos_inc=0.
+- Position length (SynonymFilter.addOutput, :472-526): an output with
+  M words places word i at match position p+i; words before the last
+  get pos_len=1, the last word absorbs the remaining match span,
+  pos_len = max(1, L - (M-1)). A single-word output for a multi-token
+  match therefore spans the whole match (pos_len=L) — this is what
+  lets "new york"→"ny" phrase-match downstream.
+- When M > L the extra output words extend positions past the match
+  (pos_inc=1 chains) — the classic (non-graph) SynonymFilter behavior
+  the reference forks; the flaw it implies for following-token
+  adjacency is reference parity, not an accident.
+
+Configuration errors fail fast: a filter without a dictionary raises,
+mirroring SynonymTokenFilterFactory.java:55-63 (throws when neither
+``synonyms`` nor ``synonyms_path`` is set).
 
 Exposed as a pure function (driver-side query analysis) and a
 DataFrame transform over the tokens table (Arrow-batched per-doc
@@ -18,7 +36,7 @@ already subsumes it there (SURVEY §2.3 scope decision).
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -28,24 +46,46 @@ from pyspark.sql import DataFrame
 from .synonyms import SynonymDict, _fold
 
 
-def _multi_map(syn: SynonymDict) -> dict:
-    """dict key: tuple of words -> list of output word-tuples."""
+def _require(syn: SynonymDict | None) -> SynonymDict:
+    if syn is None:
+        raise ValueError(
+            "synonym filter requires a dictionary: pass non-empty "
+            "`synonyms` rules or a `synonyms_path` (the reference "
+            "factory throws here — SynonymTokenFilterFactory.java:55-63)")
+    return syn
+
+
+def _multi_map(syn: SynonymDict,
+               entry_tokenizer: Callable[[str], list[str]] | None = None
+               ) -> dict:
+    """dict key: tuple of words -> list of output word-tuples.
+
+    ``entry_tokenizer`` analyzes dictionary entries into token
+    sequences (reference: a configurable analyzer, default whitespace —
+    SynonymTokenFilterFactory.java:45-52)."""
+    tok = entry_tokenizer or str.split
     out = {}
     for term, targets in syn.mapping.items():
-        key = tuple(term.split(" "))
-        out[key] = [tuple(t.split(" ")) for t in targets]
+        key = tuple(tok(term))
+        if not key:
+            continue
+        out[key] = [tuple(tok(t)) for t in targets if tok(t)]
     return out
 
 
 def expand_tokens(words: list, syn: SynonymDict,
-                  ignore_case: bool = False) -> list:
-    """words: [(word, pos_inc)] -> expanded [(word, pos_inc)].
+                  ignore_case: bool = False,
+                  entry_tokenizer: Callable[[str], list[str]] | None = None
+                  ) -> list:
+    """words: [(word, pos_inc)] -> expanded [(word, pos_inc, pos_len)].
 
-    Greedy earliest-longest multi-token match; stacked alternatives are
-    emitted with pos_inc=0 after the original sequence's first token.
-    Multi-word outputs emit as consecutive tokens (pos_inc=1 chains).
+    Greedy earliest-longest multi-token match; emission is
+    position-by-position across the match span: at match position p+q
+    the surviving original (if keepOrig) comes first, then each
+    alternative's q-th word stacked with pos_inc=0. pos_len per the
+    module contract (last output word absorbs the remaining span).
     """
-    mm = _multi_map(syn)
+    mm = _multi_map(_require(syn), entry_tokenizer)
     max_len = max((len(k) for k in mm), default=1)
     out: list = []
     i = 0
@@ -60,52 +100,94 @@ def expand_tokens(words: list, syn: SynonymDict,
                 matched, surface = mm[cand], cand
                 break
         if matched is None:
-            out.append(words[i])
+            out.append((words[i][0], words[i][1], 1))
             i += 1
             continue
         L = len(surface)
-        # originals kept (identity mapping present with expand=true)
         keep_orig = surface in matched
-        if keep_orig:
-            out.append(words[i])
-            out.extend((w, 1) for w, _ in words[i + 1:i + L])
-        first = True
-        for alt in matched:
-            if alt == surface:
-                continue
-            pos_inc = 0 if (keep_orig or not first) else words[i][1]
-            first = False
-            out.append((alt[0], pos_inc))
-            out.extend((w, 1) for w in alt[1:])
-        if not keep_orig and first:
+        alts = [a for a in matched if a != surface]
+        if not keep_orig and not alts:
             # mapping with no outputs other than surface: keep original
-            out.append(words[i])
-            out.extend(words[i + 1:i + L])
+            out.append((words[i][0], words[i][1], 1))
+            out.extend((w, pi, 1) for w, pi in words[i + 1:i + L])
+            i += L
+            continue
+        # emission position-by-position over the match span (and past
+        # it when some alternative has more words than the span)
+        span = max([L if keep_orig else 0] + [len(a) for a in alts])
+        first_pi = words[i][1]
+        for q in range(span):
+            emitted_here = False
+            if keep_orig and q < L:
+                out.append((words[i + q][0], first_pi if q == 0 else 1, 1))
+                emitted_here = True
+            for a in alts:
+                if q >= len(a):
+                    continue
+                if q == len(a) - 1:
+                    plen = max(1, L - (len(a) - 1))
+                else:
+                    plen = 1
+                if emitted_here:
+                    pi = 0
+                elif q == 0:
+                    pi = first_pi
+                else:
+                    pi = 1
+                out.append((a[q], pi, plen))
+                emitted_here = True
         i += L
     return out
 
 
+def phrase_match(stream: list, phrase: list[str]) -> bool:
+    """Does the expanded token graph contain ``phrase`` along
+    consecutive graph edges? A token occupies graph span
+    [pos, pos + pos_len); tokens are adjacent when the next one starts
+    where the previous ends — how MultiPhraseQuery consumes posLen.
+    ``stream``: [(word, pos_inc, pos_len)]."""
+    if not phrase:
+        return True
+    pos = -1
+    nodes = []
+    for w, pi, pl in stream:
+        pos += pi
+        nodes.append((w, pos, pos + pl))
+    frontier = {e for w, s, e in nodes if w == phrase[0]}
+    for target in phrase[1:]:
+        frontier = {e for w, s, e in nodes
+                    if w == target and s in frontier}
+        if not frontier:
+            return False
+    return True
+
+
 def expand_tokens_df(tokens: DataFrame, syn: SynonymDict,
-                     ignore_case: bool = False) -> DataFrame:
+                     ignore_case: bool = False,
+                     entry_tokenizer: Callable[[str], list[str]] | None
+                     = None) -> DataFrame:
     """Apply the filter to a tokens DataFrame (doc_id, term, pos,
     pos_inc ...) — per-doc Arrow-batched groups, order by pos."""
-    cols = "doc_id long, term string, pos int, pos_inc int"
+    _require(syn)
+    cols = "doc_id long, term string, pos int, pos_inc int, pos_len int"
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos", kind="stable")
         words = list(zip(pdf["term"], pdf["pos_inc"]))
-        expanded = expand_tokens(words, syn, ignore_case)
-        pos, poss, pincs, terms = -1, [], [], []
-        for w, pi in expanded:
+        expanded = expand_tokens(words, syn, ignore_case, entry_tokenizer)
+        pos, poss, pincs, plens, terms = -1, [], [], [], []
+        for w, pi, pl in expanded:
             pos += pi
             terms.append(w)
             poss.append(pos)
             pincs.append(pi)
+            plens.append(pl)
         return pd.DataFrame({
             "doc_id": np.full(len(terms), key[0], dtype=np.int64),
             "term": terms,
             "pos": np.asarray(poss, dtype=np.int32),
             "pos_inc": np.asarray(pincs, dtype=np.int32),
+            "pos_len": np.asarray(plens, dtype=np.int32),
         })
 
     return tokens.select("doc_id", "term", "pos", "pos_inc") \

@@ -1,9 +1,15 @@
-"""Token-level synonym filter (SURVEY §2.3) + WordNet dict format."""
+"""Token-level synonym filter (SURVEY §2.3) + WordNet dict format.
+
+Token tuples are (word, pos_inc, pos_len); outputs stack at match
+START and the last word of an output absorbs the remaining match span
+(classic Lucene SynonymFilter semantics — SynonymFilter.java:472-526,
+544-644)."""
 
 import pytest
 
 from synspark.synonyms import SynonymDict
-from synspark.synfilter import expand_tokens, expand_tokens_df
+from synspark.synfilter import (expand_tokens, expand_tokens_df,
+                                phrase_match)
 
 pytestmark = pytest.mark.spark
 
@@ -15,45 +21,89 @@ def toks(*words):
 def test_single_token_expand():
     syn = SynonymDict.parse("fast,quick,speedy")
     out = expand_tokens(toks("a", "fast", "car"), syn)
-    assert out == [("a", 1), ("fast", 1), ("quick", 0), ("speedy", 0),
-                   ("car", 1)]
+    assert out == [("a", 1, 1), ("fast", 1, 1), ("quick", 0, 1),
+                   ("speedy", 0, 1), ("car", 1, 1)]
 
 
-def test_multi_token_match():
+def test_multi_token_match_stacks_at_start():
     syn = SynonymDict.parse("wi fi,wifi,wireless")
     out = expand_tokens(toks("my", "wi", "fi", "router"), syn)
-    # originals kept, alternatives stacked at match start
-    assert out == [("my", 1), ("wi", 1), ("fi", 1), ("wifi", 0),
-                   ("wireless", 0), ("router", 1)]
+    # alternatives stack at the match START with pos_len spanning the
+    # whole 2-token match (so downstream phrase queries traverse them)
+    assert out == [("my", 1, 1), ("wi", 1, 1), ("wifi", 0, 2),
+                   ("wireless", 0, 2), ("fi", 1, 1), ("router", 1, 1)]
 
 
 def test_multi_word_output():
     # '=>' rules REPLACE the original (keepOrig=false in Lucene terms)
     syn = SynonymDict.parse("usa => united states of america")
     out = expand_tokens(toks("visit", "usa", "now"), syn)
-    assert out == [("visit", 1),
-                   ("united", 1), ("states", 1), ("of", 1), ("america", 1),
-                   ("now", 1)]
+    assert out == [("visit", 1, 1),
+                   ("united", 1, 1), ("states", 1, 1), ("of", 1, 1),
+                   ("america", 1, 1),
+                   ("now", 1, 1)]
 
 
 def test_earliest_longest_priority():
     syn = SynonymDict.parse("a b,ab\nb c,bc")
     out = expand_tokens(toks("a", "b", "c"), syn)
     # 'a b' matches first (earliest), consuming b; 'b c' can't match
-    assert out == [("a", 1), ("b", 1), ("ab", 0), ("c", 1)]
+    assert out == [("a", 1, 1), ("ab", 0, 2), ("b", 1, 1), ("c", 1, 1)]
 
 
 def test_ignore_case_filter():
     syn = SynonymDict.parse("fast,quick")
     out = expand_tokens(toks("FAST"), syn, ignore_case=True)
-    assert out == [("FAST", 1), ("quick", 0)]
+    assert out == [("FAST", 1, 1), ("quick", 0, 1)]
 
 
 def test_contract_mode_replaces():
     # parser expand=False: a,b,c -> every term maps to [a] only
     syn = SynonymDict.parse("fast,quick", expand=False)
     out = expand_tokens(toks("quick"), syn)
-    assert out == [("fast", 1)]
+    assert out == [("fast", 1, 1)]
+
+
+def test_poslen_multiword_phrase_queries():
+    """The reason posLen exists: phrase queries traverse single-word
+    synonyms of multi-word surfaces and vice versa."""
+    syn = SynonymDict.parse("new york,ny")
+    stream = expand_tokens(toks("in", "new", "york", "city"), syn)
+    assert phrase_match(stream, ["in", "new", "york", "city"])
+    assert phrase_match(stream, ["in", "ny", "city"])       # via posLen=2
+    assert not phrase_match(stream, ["in", "ny", "york"])   # ny spans both
+    assert not phrase_match(stream, ["new", "city"])
+    # reverse direction: single-word surface, multi-word output
+    stream2 = expand_tokens(toks("visit", "ny", "today"), syn)
+    assert phrase_match(stream2, ["visit", "new", "york"])
+    assert phrase_match(stream2, ["visit", "ny"])
+    # classic (non-graph) SynonymFilter parity: the inserted 'york'
+    # position shifts the following token — 'ny today' adjacency breaks
+    # exactly as in the reference's forked filter
+    assert not phrase_match(stream2, ["ny", "today"])
+    assert phrase_match(stream2, ["new", "york", "today"])
+
+
+def test_entry_tokenizer_configurable():
+    """Dict entries analyzed by a configurable tokenizer (reference
+    factory default whitespace; SynonymTokenFilterFactory.java:45-52)."""
+    syn = SynonymDict.parse("wi-fi,wireless")
+    # default whitespace tokenizer: 'wi-fi' is ONE token
+    out = expand_tokens(toks("wi-fi"), syn)
+    assert ("wireless", 0, 1) in out
+    # custom tokenizer splitting on '-': the entry is a 2-token key
+    out2 = expand_tokens(toks("wi", "fi"), syn,
+                         entry_tokenizer=lambda s: s.split("-"))
+    assert out2 == [("wi", 1, 1), ("wireless", 0, 2), ("fi", 1, 1)]
+
+
+def test_missing_dict_fails_fast(spark):
+    """No dictionary -> configuration error (reference factory throws,
+    SynonymTokenFilterFactory.java:55-63), never a silent no-op."""
+    with pytest.raises(ValueError, match="requires a dictionary"):
+        expand_tokens(toks("a"), None)
+    with pytest.raises(ValueError, match="requires a dictionary"):
+        expand_tokens_df(spark.range(0), SynonymDict.parse(""))
 
 
 def test_wordnet_parse():
@@ -80,6 +130,6 @@ def test_expand_tokens_df(spark):
     syn = SynonymDict.parse("fast,quick")
     out = expand_tokens_df(toks_df, syn)
     rows = sorted(map(tuple, out.collect()))
-    assert (0, "quick", 0, 0) in rows
-    assert (0, "fast", 0, 1) in rows
-    assert (1, "slow", 0, 1) in rows
+    assert (0, "quick", 0, 0, 1) in rows
+    assert (0, "fast", 0, 1, 1) in rows
+    assert (1, "slow", 0, 1, 1) in rows
