@@ -88,6 +88,8 @@ def main() -> None:
         spark, store_docs, "data sort merge", k=10, mode="and").collect())
     lat("q_bm25_or", lambda: search(
         spark, store_docs, "data sort merge", k=10, mode="or").collect())
+    lat("q_bm25_wand_k1000", lambda: search(
+        spark, store_docs, "data sort merge", k=1000, mode="or").collect())
     lat("q_phrase", lambda: count_matches(
         spark, store_docs, "key order", mode="and",
         phrase=True).collect())

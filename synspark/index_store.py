@@ -57,7 +57,9 @@ from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig
 
 DEFAULT_SHARDS = 8
-FORMAT_VERSION = 2  # bump when SEGMENT_SCHEMA / block encoding changes
+# bump when SEGMENT_SCHEMA / block encoding / store layout changes
+# (v3: batch-partitioned docmap, meta.text_col, commit-gated readers)
+FORMAT_VERSION = 3
 
 
 def _with_ids(corpus: DataFrame, docid_mode: str,
@@ -85,6 +87,7 @@ class IndexMeta:
     store_positions: bool
     created_utc: float
     layout: str = "doc"
+    text_col: str = "content"
 
 
 def _digest_expr():
@@ -118,8 +121,13 @@ class IndexStore:
                 if v.get("status") == "done"}
 
     # ---------- readers ----------
+    # segments/docmap reads are COMMIT-GATED on meta (written last):
+    # shard < n_shards / doc_id < n_docs hides partitions left by a
+    # crashed append until its retry commits — cheap O(1) predicates
+    # that partition-prune, the parquet-native analogue of a snapshot.
     def segments(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.path / "segments"))
+        df = spark.read.parquet(str(self.path / "segments"))
+        return df.filter(F.col("shard") < self.meta().n_shards)
 
     def docstats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.path / "docstats"))
@@ -128,7 +136,8 @@ class IndexStore:
         return spark.read.parquet(str(self.path / "termstats"))
 
     def docmap(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(str(self.path / "docmap"))
+        df = spark.read.parquet(str(self.path / "docmap"))
+        return df.filter(F.col("doc_id") < self.meta().n_docs)
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
@@ -188,8 +197,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         if not (resume and docmap_dir.exists()):
             keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                                 "content_sha256"] if c in docs.columns]
-            docs.select(*keep).write.mode("overwrite") \
-                .parquet(str(docmap_dir))
+            # partitioned by batch from the start so later appends can
+            # dynamically overwrite exactly their own sub-dir
+            (docs.select(*keep).withColumn("batch", F.lit("initial"))
+             .write.mode("overwrite").partitionBy("batch")
+             .parquet(str(docmap_dir)))
 
     docmap_thread = None
     with _timed("A.count"):
@@ -255,45 +267,37 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                  .partitionBy("shard").parquet(seg_dir))
         finally:
             spark.conf.set(batch_key, old_batch)
-
-        # checkpoint: per-shard rows/bytes/digest lineage
         if docmap_thread is not None:
             docmap_thread.join()
             docmap_thread = None
-        build_id = uuid.uuid4().hex
-        with _timed("B.manifest"):
-            stats = (spark.read.parquet(seg_dir)
-                 .filter(F.col("shard").isin(missing))
-                 .groupBy("shard")
-                 .agg(F.count("*").alias("rows"),
-                      (F.sum(F.length("doc_bytes")) +
-                       F.sum(F.length("tf_bytes")) +
-                       F.sum(F.length("dl_bytes"))).alias("bytes"),
-                      _digest_expr())
-                 .collect())
-        found = set()
-        for r in stats:
-            found.add(int(r["shard"]))
-            manifest["shards"][str(int(r["shard"]))] = {
-                "status": "done", "rows": int(r["rows"]),
-                "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
-                "build_id": build_id}
-        for k in missing:
-            if k not in found:  # shard legitimately empty
-                manifest["shards"][str(k)] = {
-                    "status": "done", "rows": 0, "bytes": 0, "digest": 0,
-                    "build_id": build_id}
-        store._write_manifest(manifest)
     if docmap_thread is not None:
         docmap_thread.join()
     if assigned:
         docs.unpersist()
 
-    # ---- stage C: derived stats + meta (independent small jobs,
-    # scheduled concurrently from threads) ----
+    # ---- stage B'/C: manifest lineage + derived stats — three
+    # independent scans of the written segments, scheduled concurrently
+    # from threads (Spark runs concurrent jobs; overlapping them removes
+    # most of the per-job serial floor that dominates small builds) ----
     import threading
     segs_all = spark.read.parquet(seg_dir)
     ts_dir = store.path / "termstats"
+    build_id = uuid.uuid4().hex
+    stats_out: list = []
+
+    def _manifest_job():
+        if not missing:
+            return
+        stats_out.extend(
+            spark.read.parquet(seg_dir)
+            .filter(F.col("shard").isin(missing))
+            .groupBy("shard")
+            .agg(F.count("*").alias("rows"),
+                 (F.sum(F.length("doc_bytes")) +
+                  F.sum(F.length("tf_bytes")) +
+                  F.sum(F.length("dl_bytes"))).alias("bytes"),
+                 _digest_expr())
+            .collect())
 
     def _docstats_job():
         if layout == "doc" and (missing or
@@ -312,9 +316,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     with _timed("C.stats"):
         threads = [threading.Thread(target=f, daemon=True)
-                   for f in (_docstats_job, _termstats_job)]
+                   for f in (_manifest_job, _docstats_job, _termstats_job)]
         [t.start() for t in threads]
         [t.join() for t in threads]
+
+    if missing:
+        # checkpoint: per-shard rows/bytes/digest lineage (manifest
+        # still commits before meta — the real commit point)
+        found = set()
+        for r in stats_out:
+            found.add(int(r["shard"]))
+            manifest["shards"][str(int(r["shard"]))] = {
+                "status": "done", "rows": int(r["rows"]),
+                "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+                "build_id": build_id}
+        for k in missing:
+            if k not in found:  # shard legitimately empty
+                manifest["shards"][str(k)] = {
+                    "status": "done", "rows": 0, "bytes": 0, "digest": 0,
+                    "build_id": build_id}
+        store._write_manifest(manifest)
 
     with _timed("C.avgdl"):
         row = spark.read.parquet(str(store.path / "docstats")) \
@@ -328,7 +349,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              "expand": cfg.expand, "ignore_case": cfg.ignore_case},
         dict_fingerprint=syn.fingerprint() if syn else None,
         source=source, store_positions=store_positions,
-        created_utc=time.time(), layout=layout)
+        created_utc=time.time(), layout=layout, text_col=text_col)
     store._write_meta(meta)
     return store
 
@@ -337,7 +358,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
                     new_corpus: DataFrame,
                     syn: SynonymDict | None = None,
                     docs_per_shard: int | None = None,
-                    source: str = "<append>") -> IndexStore:
+                    source: str = "<append>",
+                    batch_tag: str | None = None) -> IndexStore:
     """Incrementally add documents: new docs get ids starting at the
     current N and become NEW shards appended after the existing ones —
     existing segment partitions are untouched (the doc-range sharding
@@ -345,9 +367,20 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     segments). Global stats (N, avgdl, termstats) are refreshed so idf
     and norms stay exact; queries need no code path changes.
 
+    Idempotence / at-least-once safety (``batch_tag``): a tag already
+    committed in the manifest makes the call a no-op, so replayed
+    micro-batches (foreachBatch is at-least-once) never duplicate
+    documents. A crashed half-append is invisible to readers — segment
+    and docmap reads are gated on meta (written LAST): shard <
+    meta.n_shards, doc_id < meta.n_docs — and the retry overwrites
+    exactly the partitions it re-writes (dynamic partition overwrite),
+    so leftovers never accumulate. The only crash window is between
+    stats refresh and the meta write, where termstats briefly run
+    ahead of N; the retry converges it.
+
     The batch analogue of the reference's dynamic dictionary reload is
     intentionally NOT smuggled in here: the dictionary is pinned per
-    build (meta.dict_fingerprint); pass the same rules (or reindex).
+    build (meta.dict_fingerprint); see ``rebuild_if_dict_changed``.
     """
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
@@ -359,12 +392,18 @@ def append_to_index(spark: SparkSession, store: IndexStore,
                          "index was built with (fingerprint mismatch); "
                          "rebuild instead of appending")
 
+    manifest = store.manifest()
+    if batch_tag is not None and \
+            manifest.get("batches", {}).get(batch_tag, {}).get("status") \
+            == "done":
+        return store  # replayed micro-batch: already committed
+
     old_n, old_shards = meta.n_docs, meta.n_shards
     per_shard = docs_per_shard or max(1, (old_n + old_shards - 1)
                                       // old_shards)
 
     # ids continue after the existing range; deterministic like stage A
-    base = with_sha256(new_corpus)
+    base = with_sha256(new_corpus, col=meta.text_col)
     if "doc_id" in new_corpus.columns:
         docs = base.withColumn("doc_id", F.col("doc_id") + F.lit(old_n))
     else:
@@ -374,19 +413,24 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     n_new = docs.count()
     add_shards = max(1, (n_new + per_shard - 1) // per_shard)
     new_total_shards = old_shards + add_shards
+    build_id = uuid.uuid4().hex
 
-    # docmap append
+    # docmap: one sub-dir per append (partition column), dynamically
+    # overwritten so a retried batch replaces its own leftovers
+    batch_part = batch_tag or f"append-{build_id[:12]}"
     keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                         "content_sha256"] if c in docs.columns]
-    docs.select(*keep).write.mode("append") \
-        .parquet(str(store.path / "docmap"))
+    (docs.select(*keep).withColumn("batch", F.lit(batch_part))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch").parquet(str(store.path / "docmap")))
 
     # segments for the new doc range only: shift ids into [0, n_new),
     # shard locally, then shift shard numbers up past the old ones
     shifted = docs.withColumn("doc_id", F.col("doc_id") - F.lit(old_n))
     segs = build_segments_maponly(
         shifted, cfg, syn, n_docs=n_new, n_shards=add_shards,
-        store_positions=meta.store_positions)
+        store_positions=meta.store_positions, text_col=meta.text_col)
     segs = (segs
             .withColumn("shard", F.col("shard") + F.lit(old_shards))
             .withColumn("first_doc", F.col("first_doc") + F.lit(old_n))
@@ -394,11 +438,11 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     # NOTE doc gaps inside blocks are shift-invariant (deltas); only
     # first_doc anchors them, and docstats pseudo-rows shift the same way
     seg_dir = str(store.path / "segments")
-    (segs.write.mode("append").partitionBy("shard").parquet(seg_dir))
+    (segs.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard").parquet(seg_dir))
 
-    # manifest entries for the new shards
-    manifest = store.manifest()
-    build_id = uuid.uuid4().hex
+    # manifest entries for the new shards + the batch commit record
     stats = (spark.read.parquet(seg_dir)
              .filter(F.col("shard") >= old_shards)
              .groupBy("shard")
@@ -412,11 +456,17 @@ def append_to_index(spark: SparkSession, store: IndexStore,
             "status": "done", "rows": int(r["rows"]),
             "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
             "build_id": build_id}
+    if batch_tag is not None:
+        manifest.setdefault("batches", {})[batch_tag] = {
+            "status": "done", "build_id": build_id, "n_docs": n_new,
+            "shards": [old_shards, new_total_shards]}
     store._write_manifest(manifest)
     docs.unpersist()
 
-    # refresh derived stats (idempotent full rebuild of the small tables)
-    segs_all = spark.read.parquet(seg_dir)
+    # refresh derived stats (idempotent full rebuild of the small
+    # tables, restricted to the shards this append commits)
+    segs_all = spark.read.parquet(seg_dir) \
+        .filter(F.col("shard") < new_total_shards)
     decode_docstats_rows(segs_all.filter(F.col("term") == DOCSTATS_TERM)) \
         .write.mode("overwrite").parquet(str(store.path / "docstats"))
     (segs_all.filter(F.col("term") != DOCSTATS_TERM)
@@ -433,8 +483,48 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         dict_fingerprint=meta.dict_fingerprint,
         source=f"{meta.source} + {source}",
         store_positions=meta.store_positions,
-        created_utc=time.time(), layout=meta.layout))
+        created_utc=time.time(), layout=meta.layout,
+        text_col=meta.text_col))
     return store
+
+
+def rebuild_if_dict_changed(spark: SparkSession, store: IndexStore,
+                            corpus: DataFrame,
+                            syn: SynonymDict | None,
+                            out_dir: str | None = None,
+                            **build_kwargs) -> tuple[IndexStore, bool]:
+    """The batch analogue of the reference's dynamic dictionary reload
+    (SynonymLoader.java:55-74 hot-swaps the SynonymMap when the rule
+    file's mtime changes; integration suites
+    SynonymPluginTest.java:366-484,487-626 pin reindex-after-reload
+    behavior).
+
+    Compares ``syn``'s fingerprint with the one pinned in the index
+    meta: unchanged -> no-op (returns the same store, False); changed
+    -> full rebuild from ``corpus`` with the index's own cfg (returns
+    the new store, True). Rebuild writes to ``out_dir`` (default: in
+    place, resume=False so every shard re-encodes under the new rules).
+
+    The cheap alternative when only QUERY-time expansion must follow
+    the new rules — accepting that document-side tokenization still
+    reflects the old dictionary — is to keep the index and pass the new
+    rules to ``search(..., syn=new_syn)``; that trade-off is the
+    reference's search_analyzer-vs-index_analyzer split.
+    """
+    meta = store.meta()
+    new_fp = syn.fingerprint() if syn else None
+    if new_fp == meta.dict_fingerprint:
+        return store, False
+    cfg = TokenizerConfig(**meta.cfg)
+    kwargs = dict(cfg=cfg, syn=syn, k1=meta.k1, b=meta.b,
+                  n_shards=meta.n_shards,
+                  store_positions=meta.store_positions, layout=meta.layout,
+                  text_col=meta.text_col,
+                  source=f"{meta.source} [dict-reload]", resume=False)
+    kwargs.update(build_kwargs)
+    new_store = build_index(spark, corpus, out_dir or str(store.path),
+                            **kwargs)
+    return new_store, True
 
 
 def verify_content_sha(spark: SparkSession, corpus: DataFrame,

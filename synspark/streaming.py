@@ -4,10 +4,19 @@ The reference is batch-per-document with a hot-reloadable dictionary —
 no stream semantics to port (SURVEY §2.5: "we do not fabricate"
 watermarks/session windows). What a production engine DOES need is
 index tailing: new corpus files appear, the index follows. That is
-exactly micro-batch ``foreachBatch`` over a file source feeding
-``append_to_index`` — each micro-batch becomes new shards with
-manifest lineage, atomically visible to queries after its commit, with
-exactly-once file tracking from the streaming checkpoint.
+micro-batch ``foreachBatch`` over a file source feeding
+``append_to_index``.
+
+Delivery semantics, honestly: foreachBatch is AT-LEAST-ONCE (a batch
+can replay after a crash between the sink work and the checkpoint
+commit). The sink is made effectively-once by ``append_to_index``'s
+``batch_tag`` idempotence: each micro-batch commits under
+``stream-batch-<id>`` in the index manifest, a replayed id is a no-op,
+and a half-appended crash is invisible to readers (segment/docmap
+reads are gated on the meta commit) and overwritten by the retry
+(dynamic partition overwrite). The streaming checkpoint provides
+exactly-once FILE PICKUP; the manifest provides per-shard lineage
+within each batch.
 """
 
 from __future__ import annotations
@@ -28,14 +37,15 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   syn: SynonymDict | None = None,
                   n_shards_first: int = 8,
                   poll_files_per_batch: int = 64,
+                  text_col: str = "content",
                   schema=None):
     """Tail ``input_dir`` (parquet corpus files) into the index at
     ``index_dir``. Returns the StreamingQuery; callers own its
     lifecycle (``awaitTermination`` / ``stop``).
 
-    First micro-batch bootstraps the index (build_index); later ones
-    append. The streaming checkpoint gives exactly-once file pickup;
-    the index manifest gives per-shard lineage within each batch.
+    First micro-batch bootstraps the index (build_index, itself
+    resumable); later ones append idempotently per batch_id (see
+    module docstring for the exact guarantees).
     """
     cfg = cfg or TokenizerConfig()
     stream = (spark.readStream
@@ -51,10 +61,12 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         store = IndexStore(index_dir)
         if (store.path / "meta.json").exists():
             append_to_index(batch_df.sparkSession, store, bdf, syn=syn,
-                            source=f"stream-batch-{batch_id}")
+                            source=f"stream-batch-{batch_id}",
+                            batch_tag=f"stream-batch-{batch_id}")
         else:
             build_index(batch_df.sparkSession, bdf, index_dir, cfg=cfg,
                         syn=syn, n_shards=n_shards_first,
+                        text_col=text_col,
                         source=f"stream-batch-{batch_id}")
 
     return (stream.writeStream

@@ -48,13 +48,24 @@ def _split_unescaped(s: str, sep: str) -> list[str]:
     return parts
 
 
+# code points whose Python str.lower() expands to >1 code point, mapped
+# to Java's 1:1 Character.toLowerCase result (UnicodeData.txt simple
+# mapping). U+0130 'İ' is the ONLY such code point in Unicode; Java
+# maps it to 'i' while Python produces 'i' + U+0307 combining dot.
+_LOWER_OVERRIDES = {"İ": "i"}
+
+
 def _fold(term: str) -> str:
     """Per-code-point lowercase (parity with Java Character.toLowerCase,
     which never expands; Python str.lower can expand e.g. 'İ' -> 'i̇')."""
     out = []
     for ch in term:
-        lo = ch.lower()
-        out.append(lo if len(lo) == 1 else ch)
+        lo = _LOWER_OVERRIDES.get(ch)
+        if lo is None:
+            lo = ch.lower()
+            if len(lo) != 1:
+                lo = ch
+        out.append(lo)
     return "".join(out)
 
 
@@ -141,8 +152,7 @@ class SynonymDict:
         while i < len(block):
             ch = block[i]
             if fold:
-                lo = ch.lower()
-                ch = lo if len(lo) == 1 else ch
+                ch = _fold(ch)
             node = node.get(ch)
             if node is None:
                 return best

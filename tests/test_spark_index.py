@@ -386,3 +386,84 @@ def test_append_to_index(spark, tmp_path_factory):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         append_to_index(spark, st, extra, syn=SynonymDict.parse("a,b"))
+
+    # batch_tag idempotence (at-least-once replay is a no-op)
+    n, sh = st.meta().n_docs, st.meta().n_shards
+    st = append_to_index(spark, st, mk(200, 230), source="b1",
+                         batch_tag="b1")
+    assert st.meta().n_docs == 230
+    st = append_to_index(spark, st, mk(200, 230), source="b1-replay",
+                         batch_tag="b1")
+    assert st.meta().n_docs == 230  # replay committed tag: unchanged
+    assert st.manifest()["batches"]["b1"]["status"] == "done"
+    assert st.docmap(spark).count() == 230  # no duplicate docmap rows
+
+
+def test_append_respects_text_col(spark, tmp_path_factory):
+    """Index built with text_col != 'content': append must tokenize the
+    SAME column (round-1 advice: text_col is pinned in meta)."""
+    from synspark.index_store import append_to_index
+
+    def mk(n0, n1):
+        return spark.range(n0, n1).select(
+            (F.col("id") - n0).alias("doc_id"),
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.lit("f").alias("path"), F.lit("c").alias("commit"),
+            F.lit("t").alias("lang"),
+            F.lit("decoy decoy").alias("content"),
+            F.when(F.col("id") % 2 == 0, F.lit("alpha beta"))
+             .otherwise(F.lit("gamma delta")).alias("body"))
+
+    out = tmp_path_factory.mktemp("tcol") / "index"
+    st = build_index(spark, mk(0, 40), str(out),
+                     cfg=TokenizerConfig(n=2, expand=False),
+                     n_shards=2, text_col="body", source="tc")
+    assert st.meta().text_col == "body"
+    st = append_to_index(spark, st, mk(40, 60), source="more")
+    assert st.meta().n_docs == 60
+    ts = {r["term"] for r in st.termstats(spark).collect()}
+    assert "al" in ts and "de" not in {"decoy"}  # body tokenized
+    assert not any(t.startswith("dec") for t in ts)  # content ignored
+    from synspark.query import count_matches
+    n = count_matches(spark, st, "alpha").collect()[0]["hits"]
+    assert n == 30  # 20 + 10 appended even-id docs
+
+
+def test_rebuild_if_dict_changed(spark, tmp_path_factory):
+    """The reference's headline reload behavior
+    (SynonymPluginTest.java:366-484): before the dictionary change a
+    synonym query misses; after reload + reindex it hits."""
+    from synspark.index_store import rebuild_if_dict_changed
+    from synspark.query import count_matches
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"), F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"), F.lit("あいうえお").alias("content"))
+    out = tmp_path_factory.mktemp("reload") / "index"
+    syn1 = SynonymDict.parse("東京,とうきょう")
+    st = build_index(spark, docs, str(out), cfg=CFG2, syn=syn1,
+                     n_shards=2, source="reload")
+    # same fingerprint -> no-op
+    st2, changed = rebuild_if_dict_changed(spark, st, docs, syn1)
+    assert not changed and st2.meta().build_id == st.meta().build_id
+    # query あ with the old dict: no かき expansion -> 0 hits
+    assert count_matches(spark, st, "かき", syn=syn1) \
+        .collect()[0]["hits"] == 0
+    # dictionary gains あ,かき -> rebuild -> かき now matches every doc
+    syn2 = SynonymDict.parse("東京,とうきょう\nあ,かき")
+    st3, changed = rebuild_if_dict_changed(spark, st, docs, syn2)
+    assert changed
+    assert st3.meta().dict_fingerprint == syn2.fingerprint()
+    assert count_matches(spark, st3, "かき", syn=syn2) \
+        .collect()[0]["hits"] == 30
+
+
+def test_fold_java_parity():
+    """U+0130 folds to 'i' (Java Character.toLowerCase 1:1 mapping),
+    not Python's expanding lower() (round-1 advice)."""
+    from synspark.synonyms import _fold
+    assert _fold("İstanbul") == "istanbul"
+    d = SynonymDict.parse("İnfo,data")
+    assert "info" in d.mapping
+    assert d.longest_match_end("İnfoX", 0) == 4

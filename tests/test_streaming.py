@@ -71,3 +71,55 @@ def test_stream_ingest(spark, tmp_path):
         assert IndexStore(str(idx)).meta().n_docs == 65
     finally:
         q2.stop()
+
+
+def test_crashed_half_append_invisible(spark, tmp_path_factory):
+    """A crash between segment write and the meta commit must leave the
+    index readable AND the orphan partitions invisible (segments/docmap
+    reads are gated on the meta commit, written last)."""
+    import shutil
+
+    from synspark.index_store import append_to_index, build_index
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("r"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"), F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"), F.lit("alpha beta gamma").alias("content"))
+    out = tmp_path_factory.mktemp("crash") / "index"
+    st = build_index(spark, docs, str(out),
+                     cfg=TokenizerConfig(n=2, expand=False), n_shards=2,
+                     source="crash-test")
+    n_shards = st.meta().n_shards
+
+    # simulate the half-append: orphan segment partition + docmap batch
+    # dir on disk, meta/manifest never advanced. A real crashed append
+    # always writes doc_ids CONTINUING after the committed range
+    # (>= n_docs) and a fresh shard number (>= n_shards).
+    src = out / "segments" / "shard=0"
+    shutil.copytree(src, out / "segments" / f"shard={n_shards + 5}")
+    orphan_rows = spark.range(50, 70).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"), F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content_sha256"),
+        F.lit("orphan").alias("batch"))
+    orphan_rows.write.mode("overwrite").parquet(
+        str(out / "docmap" / "batch=orphan"))
+
+    # commit gating hides both orphans from readers
+    assert st.segments(spark).select("shard").distinct().count() == n_shards
+    assert st.docmap(spark).count() == 50
+
+    # the retried batch (same tag) REPLACES its own leftovers
+    retry = spark.range(50, 70).select(
+        (F.col("id") - F.lit(50)).alias("doc_id"),
+        F.concat(F.lit("x"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"), F.lit("c").alias("commit"),
+        F.lit("t").alias("lang"), F.lit("delta epsilon").alias("content"))
+    st = append_to_index(spark, st, retry, source="retry",
+                         batch_tag="orphan")
+    assert st.meta().n_docs == 70
+    assert st.docmap(spark).count() == 70  # orphan dir replaced, not added
+    assert st.docmap(spark).select("doc_id").distinct().count() == 70
