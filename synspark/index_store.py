@@ -488,6 +488,82 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     return store
 
 
+def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
+                  docs_per_shard: int | None = None) -> IndexStore:
+    """Merge small shards into right-sized ones (Lucene forceMerge
+    analogue). Streaming ingest appends one shard set per micro-batch;
+    after many batches query parallelism granularity degrades and file
+    counts grow. Because shards are DISJOINT doc ranges, compaction is
+    a pure relabeling: consecutive shards coalesce until the combined
+    doc count reaches ``docs_per_shard`` — no postings are re-encoded
+    (blocks are anchored by absolute first_doc; a query worker already
+    merges multiple blocks per term). Writes a complete NEW index at
+    ``out_dir`` (old index untouched — crash-safe), carrying docmap /
+    docstats / termstats / meta over unchanged.
+    """
+    from .indexer import DOCSTATS_TERM  # local import to avoid cycle noise
+
+    meta = store.meta()
+    per = docs_per_shard or max(1, (meta.n_docs + DEFAULT_SHARDS - 1)
+                                // DEFAULT_SHARDS)
+    # per-shard doc counts from the docstats pseudo-rows (tiny: one row
+    # group per shard, never the vocabulary)
+    counts = {int(r["shard"]): int(r["nd"]) for r in
+              store.segments(spark)
+              .filter(F.col("term") == DOCSTATS_TERM)
+              .groupBy("shard").agg(F.sum("n_docs").alias("nd"))
+              .collect()}
+    mapping = []  # (old_shard, new_shard)
+    new_id, acc = 0, 0
+    for old in sorted(counts):
+        if acc >= per:
+            new_id += 1
+            acc = 0
+        mapping.append((old, new_id))
+        acc += counts[old]
+    n_new = new_id + 1
+    map_df = spark.createDataFrame(mapping, "shard int, new_shard int")
+
+    dst = IndexStore(out_dir)
+    dst.path.mkdir(parents=True, exist_ok=True)
+    segs = (store.segments(spark)
+            .join(F.broadcast(map_df), "shard")
+            .drop("shard").withColumnRenamed("new_shard", "shard"))
+    (segs.repartition(max(n_new, 1), "shard")
+     .sortWithinPartitions("term", "salt", "first_doc")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(str(dst.path / "segments")))
+    store.docmap(spark).write.mode("overwrite").partitionBy("batch") \
+        .parquet(str(dst.path / "docmap"))
+    store.docstats(spark).write.mode("overwrite") \
+        .parquet(str(dst.path / "docstats"))
+    store.termstats(spark).write.mode("overwrite") \
+        .parquet(str(dst.path / "termstats"))
+
+    build_id = uuid.uuid4().hex
+    stats = (spark.read.parquet(str(dst.path / "segments"))
+             .groupBy("shard")
+             .agg(F.count("*").alias("rows"),
+                  (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes"))
+                   + F.sum(F.length("dl_bytes"))).alias("bytes"),
+                  _digest_expr())
+             .collect())
+    manifest = {"shards": {str(int(r["shard"])): {
+        "status": "done", "rows": int(r["rows"]),
+        "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+        "build_id": build_id} for r in stats}}
+    dst._write_manifest(manifest)
+    dst._write_meta(IndexMeta(
+        build_id=build_id, n_docs=meta.n_docs, avgdl=meta.avgdl,
+        n_shards=n_new, k1=meta.k1, b=meta.b, cfg=meta.cfg,
+        dict_fingerprint=meta.dict_fingerprint,
+        source=f"{meta.source} [compacted]",
+        store_positions=meta.store_positions,
+        created_utc=time.time(), layout=meta.layout,
+        text_col=meta.text_col))
+    return dst
+
+
 def rebuild_if_dict_changed(spark: SparkSession, store: IndexStore,
                             corpus: DataFrame,
                             syn: SynonymDict | None,

@@ -423,6 +423,7 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
 
 def search_batch(spark: SparkSession, store: IndexStore,
                  texts: list[str], k: int = 10, mode: str = "and",
+                 phrase: bool = False,
                  syn: SynonymDict | None = None,
                  cfg: TokenizerConfig | None = None) -> DataFrame:
     """Answer MANY queries in one Spark job: one planning pass, one
@@ -448,10 +449,12 @@ def search_batch(spark: SparkSession, store: IndexStore,
         plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=meta.n_docs,
                                avgdl=meta.avgdl, k1=meta.k1, b=meta.b))
 
+    cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
+            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes"]
+    if phrase:
+        cols.append("pos_bytes")
     blocks = store.segments(spark) \
-        .filter(F.col("term").isin(all_terms)) \
-        .select("term", "shard", "first_doc", "last_doc", "n_docs",
-                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes")
+        .filter(F.col("term").isin(all_terms)).select(*cols)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -463,7 +466,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
             if not len(sub):
                 continue
             res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
-                              False)
+                              phrase)
             if len(res):
                 res.insert(0, "query_id", np.int32(qi))
                 outs.append(res)

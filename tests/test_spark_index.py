@@ -467,3 +467,63 @@ def test_fold_java_parity():
     d = SynonymDict.parse("İnfo,data")
     assert "info" in d.mapping
     assert d.longest_match_end("İnfoX", 0) == 4
+
+
+def test_compact_index(spark, tmp_path_factory):
+    """Compaction (forceMerge analogue): many append-born small shards
+    -> few doc-range shards, identical decoded postings and queries."""
+    from synspark.index_store import append_to_index, compact_index
+    from synspark.query import count_matches, search
+
+    def mk(n0, n1):
+        return spark.range(n0, n1).select(
+            (F.col("id") - n0).alias("doc_id"),
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.lit("f").alias("path"), F.lit("c").alias("commit"),
+            F.lit("t").alias("lang"),
+            F.when(F.col("id") % 2 == 0, F.lit("alpha beta"))
+             .otherwise(F.lit("gamma alpha")).alias("content"))
+
+    out = tmp_path_factory.mktemp("cmp") / "index"
+    st = build_index(spark, mk(0, 60), str(out),
+                     cfg=TokenizerConfig(n=2, expand=False), n_shards=3,
+                     source="cbase")
+    for i in range(3):
+        st = append_to_index(spark, st, mk(60 + 30 * i, 90 + 30 * i),
+                             source=f"a{i}", batch_tag=f"a{i}")
+    assert st.meta().n_shards >= 6
+    dst = compact_index(spark, st, str(tmp_path_factory.mktemp("cmp2")
+                                       / "index"), docs_per_shard=75)
+    assert dst.meta().n_shards < st.meta().n_shards
+    assert dst.meta().n_docs == st.meta().n_docs == 150
+    terms = [r["term"] for r in st.termstats(spark).collect()]
+    a = sorted(map(tuple, decoded_postings(spark, st, terms).collect()))
+    b = sorted(map(tuple, decoded_postings(spark, dst, terms).collect()))
+    assert a == b
+    for q in ("alpha", "alpha beta"):
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, st, q, k=200, phrase=True).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in
+              search(spark, dst, q, k=200, phrase=True).collect()]
+        assert ra == rb, q
+    na = count_matches(spark, st, "alpha").collect()[0]["hits"]
+    nb = count_matches(spark, dst, "alpha").collect()[0]["hits"]
+    assert na == nb == 150
+
+
+def test_search_batch_phrase(spark, es_index):
+    """Batched phrase queries = per-query phrase search, per query."""
+    from synspark.query import search, search_batch
+    syn = SynonymDict.parse(JP_DICT)
+    texts = ["かきいう", "かいうえお", "あいうえお"]
+    batch = search_batch(spark, es_index, texts, k=5, mode="and",
+                         phrase=True, syn=syn)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qi, t in enumerate(texts):
+        single = [(r["doc_id"], round(r["score"], 9)) for r in
+                  search(spark, es_index, t, k=5, mode="and", phrase=True,
+                         syn=syn).collect()]
+        assert got.get(qi, []) == single, t
