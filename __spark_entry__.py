@@ -2,10 +2,10 @@
 
 ``queries()`` exposes every implemented operator family from
 SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL for every query except IVF probing (the one
-genuinely approximate op — its recall is pinned in pytest instead;
-WAND internals are additionally oracled by the naive scorer in
-pytest).
+the DuckDB-equivalent SQL for EVERY query — including the approximate
+IVF path, whose seeded-hyperplane bucketing is deterministic enough to
+mirror exactly (WAND internals are additionally oracled by the naive
+scorer in pytest).
 
 Engine queries build a bigram index (n=2, expand=false, no dict — the
 SQL-mirrorable configuration) over the ``documents`` table, cached
@@ -270,8 +270,10 @@ def q_dp_ann_cosine(spark, sf_dir):
 
 
 def q_dp_ann_ivf(spark, sf_dir):
-    """IVF/LSH-bucketed ANN (scale path) — approximate: rows-only check;
-    recall vs brute force asserted in pytest."""
+    """IVF/LSH-bucketed ANN (scale path). Approximate by design but
+    DETERMINISTIC (seeded hyperplanes), so the exact probe-restricted
+    result has a full SQL oracle (planes inlined as literals); recall
+    vs brute force is additionally asserted in pytest."""
     from synspark.datapipe.similarity import ivf_topk, with_ivf_bucket
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in
@@ -407,6 +409,43 @@ def _bm25_oracle() -> str:
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 WHERE ng = {ng}
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
+def _ivf_oracle(dim: int = 64, n_planes: int = 6, probes: int = 16) -> str:
+    """IVF bucketing is deterministic (seeded hyperplanes), so the
+    whole approximate path is SQL-expressible: the plane vectors are
+    inlined as literals, bucket = the same sign-bit sum (DuckDB's
+    sequential list_dot_product matches Spark's ordered fold — 0 sign
+    mismatches over the test embeddings), the probe set is the same
+    (hamming, bucket)-ranked top-``probes`` computed in SQL."""
+    from synspark.datapipe.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+
+    def cases(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{','.join(repr(float(x)) for x in planes[i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)" for i in range(n_planes))
+
+    cos = ("list_dot_product(b.v, q.qv) / (sqrt(list_dot_product(b.v, b.v))"
+           " * sqrt(list_dot_product(q.qv, q.qv)))")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+qb AS (SELECT {cases('qv')} AS qbits FROM q),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             {cases('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings WHERE vec_id != 0),
+probes AS (
+  SELECT bid FROM (SELECT unnest(generate_series(0, {(1 << n_planes) - 1}))
+                   AS bid), qb
+  ORDER BY bit_count(xor(bid::BIGINT, qbits::BIGINT)), bid LIMIT {probes}
+)
+SELECT vec_id, round({cos}, 6) AS cosine
+FROM b, q
+WHERE bucket IN (SELECT bid FROM probes)
+ORDER BY round({cos}, 6) DESC, vec_id LIMIT 10
 """
 
 
@@ -669,6 +708,5 @@ SELECT media_id,
        unnest(generate_series(0, n_frames - 1, 30))::INT AS frame_idx
 FROM v
 """,
-        # dp_ann_ivf: intentionally no SQL oracle (approximate,
-        # hyperplane-bucketed; recall vs brute force pinned in pytest)
+        "dp_ann_ivf": _ivf_oracle(),
     }
