@@ -249,6 +249,22 @@ def q_dp_jaccard_pairs(spark, sf_dir):
         .select("a", "b", "n_inter", "jaccard")
 
 
+def q_dp_dedup_drop(spark, sf_dir):
+    """End-to-end dedup drop list (exact ∪ LSH-verified near) over
+    documents + injected exact clones (first 50 docs at id+10^6) and
+    near clones (first 30 docs with 3 appended words at id+2*10^6)."""
+    from synspark.datapipe.dedup import dedup_drop_list
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (docs.filter(F.col("doc_id") < 50)
+              .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    near = (docs.filter(F.col("doc_id") < 30)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+            .withColumn("text", F.concat(F.col("text"),
+                                         F.lit(" zq zq zq"))))
+    aug = docs.unionByName(clones).unionByName(near)
+    return dedup_drop_list(aug, threshold=0.5).select("doc_id", "reason")
+
+
 def q_dp_simhash_dups(spark, sf_dir):
     """SimHash near-dups. The engine's word hash is defined as DuckDB's
     md5_number_upper (first 8 md5 bytes little-endian), so the whole
@@ -314,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprints": q_dp_fingerprints,
         "dp_minhash_lsh": q_dp_minhash_lsh,
         "dp_jaccard_pairs": q_dp_jaccard_pairs,
+        "dp_dedup_drop": q_dp_dedup_drop,
         "dp_simhash_dups": q_dp_simhash_dups,
         "dp_ann_cosine": q_dp_ann_cosine,
         "dp_ann_ivf": q_dp_ann_ivf,
@@ -665,6 +682,72 @@ WITH w AS (
   SELECT term, cnt FROM gtot WHERE cnt > 0
 )
 SELECT term, cnt FROM ex ORDER BY cnt DESC, term LIMIT 50
+""",
+        "dp_dedup_drop": f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zq zq zq' FROM documents
+  WHERE doc_id < 30
+), eg AS (
+  SELECT md5(text) AS k, min(doc_id) AS keep FROM aug
+  GROUP BY md5(text) HAVING count(*) > 1
+), exact_drop AS (
+  SELECT a.doc_id, 'exact' AS reason
+  FROM aug a JOIN eg ON md5(a.text) = eg.k
+  WHERE a.doc_id != eg.keep
+), words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_DELIMS}'),
+                     w -> length(w) > 0) AS ws
+  FROM aug
+), sh_long AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        FROM words WHERE len(ws) >= 3)
+), sh_short AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS shingle
+  FROM words WHERE len(ws) < 3
+), shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short)
+  WHERE length(shingle) > 0
+), sigs AS (
+  SELECT doc_id,
+    min(md5('0' || shingle)) AS mh0, min(md5('1' || shingle)) AS mh1,
+    min(md5('2' || shingle)) AS mh2, min(md5('3' || shingle)) AS mh3,
+    min(md5('4' || shingle)) AS mh4, min(md5('5' || shingle)) AS mh5,
+    min(md5('6' || shingle)) AS mh6, min(md5('7' || shingle)) AS mh7
+  FROM shingles GROUP BY doc_id
+), banded AS (
+  SELECT 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key, doc_id FROM sigs
+  UNION ALL SELECT 1, md5(mh2 || '|' || mh3), doc_id FROM sigs
+  UNION ALL SELECT 2, md5(mh4 || '|' || mh5), doc_id FROM sigs
+  UNION ALL SELECT 3, md5(mh6 || '|' || mh7), doc_id FROM sigs
+), cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM banded b1 JOIN banded b2 USING (band_id, band_key)
+  WHERE b1.doc_id < b2.doc_id
+), counts AS (
+  SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS n_inter
+  FROM shingles s1 JOIN shingles s2 USING (shingle)
+  WHERE s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+), near_drop AS (
+  SELECT i.b AS doc_id, 'near' AS reason
+  FROM inter i
+  JOIN cand USING (a, b)
+  JOIN counts ca ON ca.doc_id = i.a
+  JOIN counts cb ON cb.doc_id = i.b
+  WHERE round(n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5
+)
+SELECT doc_id, min(reason) AS reason
+FROM (SELECT * FROM exact_drop UNION ALL SELECT * FROM near_drop)
+GROUP BY doc_id
 """,
         "dp_simhash_dups": f"""
 WITH wx AS (

@@ -145,6 +145,41 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
     return j.select("a", "b", "n_inter", "jaccard")
 
 
+def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
+                    bands: int = 4, rows_per_band: int = 2,
+                    threshold: float = 0.8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The composite op a training pipeline actually runs: WHICH docs to
+    remove. exact duplicates (md5 groups — every member but the min id)
+    ∪ near-duplicates (LSH candidates verified by exact Jaccard ≥
+    threshold; the larger id of each verified pair drops, the greedy
+    min-id-survives policy). Returns (doc_id, reason ∈ {exact, near});
+    a doc caught by both reports 'exact'.
+
+    Plan shape: two hash aggregations + the candidate-restricted
+    Jaccard join — nothing quadratic, nothing driver-side."""
+    keyed = df.select(F.md5(F.col(text_col)).alias("dup_key"),
+                      F.col(id_col))
+    groups = (keyed.groupBy("dup_key")
+              .agg(F.min(id_col).alias("keep"),
+                   F.count("*").alias("n"))
+              .filter(F.col("n") > 1))
+    exact_drop = (keyed.join(groups, "dup_key")
+                  .filter(F.col(id_col) != F.col("keep"))
+                  .select(F.col(id_col), F.lit("exact").alias("reason")))
+    sh = word_shingles(df, shingle_k, text_col, id_col)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
+        id_col)
+    near_drop = (jaccard_pairs(sh, candidates=cand, id_col=id_col,
+                               threshold=threshold)
+                 .select(F.col("b").alias(id_col),
+                         F.lit("near").alias("reason")))
+    return (exact_drop.unionByName(near_drop)
+            .groupBy(id_col).agg(F.min("reason").alias("reason")))
+
+
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (Charikar): sign of the

@@ -218,3 +218,13 @@ def test_ivf_indexed_partition_pruning(spark, embeddings, tmp_path):
             ivf_topk_indexed(spark, path, qv, dim=16, k=10,
                              probes=64).collect()}
     assert full == exact
+
+
+def test_dedup_drop_list(spark, docs):
+    from synspark.datapipe.dedup import dedup_drop_list
+    out = {r["doc_id"]: r["reason"]
+           for r in dedup_drop_list(docs, threshold=0.5).collect()}
+    assert out.get(1) == "exact"        # identical to doc 0, larger id
+    assert 0 not in out                  # min id survives
+    assert out.get(2) == "near"          # one-word change, J >= 0.5
+    assert 4 not in out and 6 not in out  # unrelated docs survive
