@@ -63,6 +63,19 @@ def main(argv=None):
     v.add_argument("--index", required=True)
     v.add_argument("--input", required=True)
 
+    ap_add = sub.add_parser("append", help="append new docs to an index")
+    ap_add.add_argument("--index", required=True)
+    ap_add.add_argument("--input", required=True)
+    ap_add.add_argument("--batch-tag", help="idempotence tag: a tag "
+                        "already committed makes this a no-op")
+    _add_common(ap_add)
+
+    ap_cmp = sub.add_parser("compact",
+                            help="merge small shards into a new index")
+    ap_cmp.add_argument("--index", required=True)
+    ap_cmp.add_argument("--output", required=True)
+    ap_cmp.add_argument("--docs-per-shard", type=int, default=None)
+
     args = ap.parse_args(argv)
     from .tokenizer import TokenizerConfig, tokenize_to_string
     cfg = TokenizerConfig(n=getattr(args, "n", 2),
@@ -104,6 +117,19 @@ def main(argv=None):
                                    IndexStore(args.index))
             print(json.dumps({"sha_mismatches": n}))
             return 0 if n == 0 else 1
+        elif args.cmd == "append":
+            from .index_store import IndexStore, append_to_index
+            store = append_to_index(
+                spark, IndexStore(args.index),
+                spark.read.parquet(args.input), syn=_load_syn(args),
+                source=args.input, batch_tag=args.batch_tag)
+            print(json.dumps({"meta": store.meta().__dict__}))
+        elif args.cmd == "compact":
+            from .index_store import IndexStore, compact_index
+            store = compact_index(spark, IndexStore(args.index),
+                                  args.output,
+                                  docs_per_shard=args.docs_per_shard)
+            print(json.dumps({"meta": store.meta().__dict__}))
     finally:
         spark.stop()
     return 0

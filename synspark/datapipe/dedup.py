@@ -158,7 +158,10 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     a doc caught by both reports 'exact'.
 
     Plan shape: two hash aggregations + the candidate-restricted
-    Jaccard join — nothing quadratic, nothing driver-side."""
+    Jaccard join — nothing quadratic, nothing driver-side. The distinct
+    shingle table feeds three branches (signatures, both join sides);
+    it is persisted so the corpus-sized explode+distinct runs once, not
+    three times."""
     keyed = df.select(F.md5(F.col(text_col)).alias("dup_key"),
                       F.col(id_col))
     groups = (keyed.groupBy("dup_key")
@@ -168,7 +171,7 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     exact_drop = (keyed.join(groups, "dup_key")
                   .filter(F.col(id_col) != F.col("keep"))
                   .select(F.col(id_col), F.lit("exact").alias("reason")))
-    sh = word_shingles(df, shingle_k, text_col, id_col)
+    sh = word_shingles(df, shingle_k, text_col, id_col).persist()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
         id_col)
