@@ -703,6 +703,7 @@ WITH aug AS (
          list_filter(regexp_split_to_array(lower(text), '{_DELIMS}'),
                      w -> length(w) > 0) AS ws
   FROM aug
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
 ), sh_long AS (
   SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i

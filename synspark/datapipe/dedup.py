@@ -171,7 +171,11 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     exact_drop = (keyed.join(groups, "dup_key")
                   .filter(F.col(id_col) != F.col("keep"))
                   .select(F.col(id_col), F.lit("exact").alias("reason")))
-    sh = word_shingles(df, shingle_k, text_col, id_col).persist()
+    # near-dup stage runs AFTER exact removal: a bucket of N identical
+    # docs would otherwise produce N^2/2 candidate pairs — collapsing
+    # exact dups first bounds LSH buckets by distinct-content volume
+    survivors = df.join(exact_drop.select(id_col), id_col, "left_anti")
+    sh = word_shingles(survivors, shingle_k, text_col, id_col).persist()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
         id_col)

@@ -172,7 +172,13 @@ def expand_tokens_df(tokens: DataFrame, syn: SynonymDict,
     cols = "doc_id long, term string, pos int, pos_inc int, pos_len int"
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos", kind="stable")
+        # rows arrive shuffle-ordered: sort by (pos, pos_inc DESC) so the
+        # position-taking token (pos_inc=1) precedes stacked ones and the
+        # pos_inc chain reconstructs deterministically. Matching assumes
+        # a single-path stream (pi=1 tokens); stacked alternatives pass
+        # through but don't participate in multi-token surface matches.
+        pdf = pdf.sort_values(["pos", "pos_inc"], ascending=[True, False],
+                              kind="stable")
         words = list(zip(pdf["term"], pdf["pos_inc"]))
         expanded = expand_tokens(words, syn, ignore_case, entry_tokenizer)
         pos, poss, pincs, plens, terms = -1, [], [], [], []
