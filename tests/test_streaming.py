@@ -123,3 +123,40 @@ def test_crashed_half_append_invisible(spark, tmp_path_factory):
     assert st.meta().n_docs == 70
     assert st.docmap(spark).count() == 70  # orphan dir replaced, not added
     assert st.docmap(spark).select("doc_id").distinct().count() == 70
+
+
+def test_stream_dedup_across_batches(spark, tmp_path_factory):
+    """Stateful streaming exact dedup (applyInPandasWithState): each
+    distinct content emitted once across micro-batches; state survives
+    between triggers."""
+    from synspark.datapipe.stream_dedup import dedup_stream
+
+    src = tmp_path_factory.mktemp("sdedup_src")
+    ckpt = tmp_path_factory.mktemp("sdedup_ck")
+
+    def drop(n0, n1, texts):
+        df = spark.createDataFrame(
+            [(i, texts[i % len(texts)]) for i in range(n0, n1)],
+            "doc_id long, text string")
+        df.coalesce(1).write.mode("append").parquet(str(src))
+
+    drop(0, 6, ["aaa", "bbb", "ccc"])  # two of each
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (dedup_stream(stream).writeStream.format("memory")
+         .queryName("sdedup_out").outputMode("append")
+         .option("checkpointLocation", str(ckpt)).start())
+    try:
+        q.processAllAvailable()
+        rows1 = spark.sql("select * from sdedup_out").collect()
+        assert sorted(r["text"] for r in rows1) == ["aaa", "bbb", "ccc"]
+        assert all(r["doc_id"] in (0, 1, 2) for r in rows1)  # first seen
+        # batch 2: all repeats + one new content -> only the new one
+        drop(100, 104, ["aaa", "bbb", "ddd", "ccc"])
+        q.processAllAvailable()
+        rows2 = spark.sql("select * from sdedup_out").collect()
+        assert sorted(r["text"] for r in rows2) == ["aaa", "bbb", "ccc",
+                                                    "ddd"]
+        assert {r["text"]: r["doc_id"] for r in rows2}["ddd"] == 102
+    finally:
+        q.stop()
