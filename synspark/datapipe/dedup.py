@@ -119,10 +119,16 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
     quadratic in the docs sharing it; with it the cost is bounded by
     the LSH collision groups."""
     if candidates is not None:
+        # the candidate pair set feeds three places (both doc-set sides
+        # + the final pair semi-join); persist so the band self-join
+        # runs once, not four times (plan-audit finding)
+        candidates = candidates.persist()
         cdocs = (candidates.select(F.col("a").alias(id_col))
                  .union(candidates.select(F.col("b").alias(id_col)))
                  .distinct())
         shingles = shingles.join(cdocs, id_col, "leftsemi")
+    # referenced by both join sides and the per-doc counts: one compute
+    shingles = shingles.persist()
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     bdf = shingles.select(F.col(id_col).alias("b"), "shingle")
@@ -170,7 +176,8 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
               .filter(F.col("n") > 1))
     exact_drop = (keyed.join(groups, "dup_key")
                   .filter(F.col(id_col) != F.col("keep"))
-                  .select(F.col(id_col), F.lit("exact").alias("reason")))
+                  .select(F.col(id_col), F.lit("exact").alias("reason"))
+                  .persist())  # reused: output branch + survivor anti-join
     # near-dup stage runs AFTER exact removal: a bucket of N identical
     # docs would otherwise produce N^2/2 candidate pairs — collapsing
     # exact dups first bounds LSH buckets by distinct-content volume
