@@ -206,6 +206,11 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     ``md5_number_upper`` — keeps the whole operator SQL-mirrorable for
     the correctness oracle."""
 
+    # worker-persistent word-hash cache: real-text vocabulary repeats
+    # heavily across Arrow batches, so most batches hash only their few
+    # novel words (bounded at 2^20 entries per worker)
+    hash_cache: dict = {}
+
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
@@ -229,11 +234,21 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
         upair = np.unique(doc_arr * np.int64(len(uw)) + winv)
         pair_doc = (upair // len(uw)).astype(np.int64)
         pair_word = (upair % len(uw)).astype(np.int64)
-        # one md5 per unique word per batch (amortized across docs)
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8],
-                            "little") for w in uw),
-            dtype=np.uint64, count=len(uw))
+        # one md5 per unique word per WORKER (cache amortizes batches)
+        get = hash_cache.get
+        md5 = hashlib.md5
+
+        def h(w):
+            v = get(w)
+            if v is None:
+                v = int.from_bytes(md5(w.encode("utf-8")).digest()[:8],
+                                   "little")
+                if len(hash_cache) < (1 << 20):
+                    hash_cache[w] = v
+            return v
+
+        hs = np.fromiter((h(w) for w in uw), dtype=np.uint64,
+                         count=len(uw))
         shifts = np.arange(bits, dtype=np.uint64)
         sign = (((hs[:, None] >> shifts[None, :]) & np.uint64(1))
                 .astype(np.int64) * 2 - 1)          # (V, bits) ±1
