@@ -99,6 +99,16 @@ def main() -> None:
     lat("q_synonym_wand", lambda: search(
         spark, store, "かきいうえお", k=10, mode="and", syn=syn).collect())
 
+    # batched serving shape: 16 queries in ONE Spark job (one planning
+    # pass + one blocks scan) — the realistic offline-serving pattern
+    from synspark.query import search_batch
+    batch_texts = ["data sort", "key order", "merge index", "sort data",
+                   "query plan", "hash join", "scan filter", "node edge",
+                   "data merge", "sort key", "index scan", "plan cost",
+                   "join order", "filter push", "edge list", "cost model"]
+    lat("q_bm25_batch16", lambda: search_batch(
+        spark, store_docs, batch_texts, k=10, mode="and").collect())
+
     # -- 4. datapipe ops ----------------------------------------------
     t0 = time.time()
     entrymod.q_dp_minhash_lsh(spark, SF_DIR).count()
@@ -106,6 +116,12 @@ def main() -> None:
     t0 = time.time()
     entrymod.q_dp_ann_cosine(spark, SF_DIR).collect()
     queries["dp_ann_cosine"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod.q_dp_dedup_drop(spark, SF_DIR).count()
+    queries["dp_dedup_drop"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod.q_dp_simhash_dups(spark, SF_DIR).count()
+    queries["dp_simhash_dups"] = round(time.time() - t0, 3)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in SF_DIR else 0.0
