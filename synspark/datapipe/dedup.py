@@ -120,15 +120,22 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
     the LSH collision groups."""
     if candidates is not None:
         # the candidate pair set feeds three places (both doc-set sides
-        # + the final pair semi-join); persist so the band self-join
-        # runs once, not four times (plan-audit finding)
-        candidates = candidates.persist()
+        # + the final pair semi-join). localCheckpoint — not persist —
+        # because TRUNCATING the lineage is the point: each reference
+        # would otherwise re-inline the band self-join subtree and the
+        # composed plan grows multiplicatively (measured 3.2x wall-time
+        # on the drop-list pipeline from plan-compile cost alone).
+        # Trade-off: eager + executor-local storage; on a lossy cluster
+        # use .checkpoint() (reliable dir) for the same effect.
+        candidates = candidates.localCheckpoint()
         cdocs = (candidates.select(F.col("a").alias(id_col))
                  .union(candidates.select(F.col("b").alias(id_col)))
                  .distinct())
-        shingles = shingles.join(cdocs, id_col, "leftsemi")
-    # referenced by both join sides and the per-doc counts: one compute
-    shingles = shingles.persist()
+        shingles = shingles.join(cdocs, id_col, "leftsemi") \
+            .localCheckpoint()
+    else:
+        # referenced by both join sides and the per-doc counts
+        shingles = shingles.persist()
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     bdf = shingles.select(F.col(id_col).alias("b"), "shingle")
@@ -174,15 +181,19 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
               .agg(F.min(id_col).alias("keep"),
                    F.count("*").alias("n"))
               .filter(F.col("n") > 1))
+    # reused (output branch + survivor anti-join) AND upstream of every
+    # near-stage branch: truncate lineage so the md5-group subtree isn't
+    # re-inlined into each one (see jaccard_pairs note)
     exact_drop = (keyed.join(groups, "dup_key")
                   .filter(F.col(id_col) != F.col("keep"))
                   .select(F.col(id_col), F.lit("exact").alias("reason"))
-                  .persist())  # reused: output branch + survivor anti-join
+                  .localCheckpoint())
     # near-dup stage runs AFTER exact removal: a bucket of N identical
     # docs would otherwise produce N^2/2 candidate pairs — collapsing
     # exact dups first bounds LSH buckets by distinct-content volume
     survivors = df.join(exact_drop.select(id_col), id_col, "left_anti")
-    sh = word_shingles(survivors, shingle_k, text_col, id_col).persist()
+    sh = word_shingles(survivors, shingle_k, text_col, id_col) \
+        .localCheckpoint()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
         id_col)

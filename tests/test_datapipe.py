@@ -77,10 +77,13 @@ def test_jaccard_candidate_restriction(spark, docs):
     cand = spark.createDataFrame([(3, 4), (10, 11)], "a long, b long")
     out = jaccard_pairs(sh, candidates=cand).collect()
     assert {(r["a"], r["b"]) for r in out} <= {(3, 4), (10, 11)}
-    # plan shape: both semi-joins present (docs + pairs)
+    # plan shape: the pair semi-join is visible; the doc-set semi-join
+    # lives inside the localCheckpoint boundary (LogicalRDD) that
+    # truncates the multiply-referenced candidate lineage
     plan = jaccard_pairs(sh, candidates=cand)._jdf.queryExecution() \
         .optimizedPlan().toString()
-    assert plan.count("LeftSemi") >= 2
+    assert plan.count("LeftSemi") >= 1
+    assert "LogicalRDD" in plan
     # LSH-candidate wiring agrees with the unrestricted pairs on the
     # pairs it covers (same jaccard values)
     cand_lsh = lsh_candidate_pairs(minhash_signatures(
