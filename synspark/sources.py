@@ -19,13 +19,29 @@ CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 def read_corpus(spark: SparkSession, source: str,
                 fmt: str | None = None,
                 langs: list[str] | None = None) -> DataFrame:
-    """Load the corpus from an Iceberg table name or a parquet path.
+    """Load the corpus from an Iceberg table name, a parquet path, or
+    (explicit ``fmt``) jsonl / csv / raw-text files.
 
+    - ``json``/``jsonl``: one document object per line.
+    - ``csv``: header row with corpus columns.
+    - ``text``: one document per FILE (wholetext) — repo/path derive
+      from the file name, content is the file body.
     ``langs`` pushes a language filter into the scan (partition/file
     pruning when the table is partitioned or sorted by lang).
     """
     df = None
-    if fmt == "iceberg" or (fmt is None and "/" not in source):
+    if fmt in ("json", "jsonl"):
+        df = spark.read.json(source)
+    elif fmt == "csv":
+        df = spark.read.option("header", "true").csv(source)
+    elif fmt == "text":
+        df = (spark.read.option("wholetext", "true").text(source)
+              .select(F.lit("").alias("repo"),
+                      F.input_file_name().alias("path"),
+                      F.lit("").alias("commit"),
+                      F.lit("").alias("lang"),
+                      F.col("value").alias("content")))
+    elif fmt == "iceberg" or (fmt is None and "/" not in source):
         try:
             df = spark.read.format("iceberg").load(source)
         except Exception:

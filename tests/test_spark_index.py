@@ -527,3 +527,37 @@ def test_search_batch_phrase(spark, es_index):
                   search(spark, es_index, t, k=5, mode="and", phrase=True,
                          syn=syn).collect()]
         assert got.get(qi, []) == single, t
+
+
+def test_read_corpus_formats(spark, tmp_path_factory):
+    """E1 source formats: jsonl / csv / one-doc-per-file text all land
+    in the corpus shape and index end-to-end."""
+    from synspark.sources import read_corpus
+    base = tmp_path_factory.mktemp("fmts")
+    rows = [("r1", "a.py", "c1", "py", "alpha beta"),
+            ("r2", "b.py", "c2", "py", "gamma delta")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    df.coalesce(1).write.json(str(base / "j"))
+    df.coalesce(1).write.option("header", "true").csv(str(base / "c"))
+    (base / "t").mkdir()
+    (base / "t" / "x.txt").write_text("alpha beta")
+    (base / "t" / "y.txt").write_text("gamma delta")
+
+    for fmt, src in (("jsonl", base / "j"), ("csv", base / "c"),
+                     ("text", base / "t")):
+        got = read_corpus(spark, str(src), fmt=fmt)
+        texts = sorted(r["content"] for r in got.collect())
+        assert texts == ["alpha beta", "gamma delta"], fmt
+        out = tmp_path_factory.mktemp(f"fidx_{fmt}") / "index"
+        st = build_index(spark, got, str(out),
+                         cfg=TokenizerConfig(n=2, expand=False),
+                         n_shards=2, source=fmt)
+        assert st.meta().n_docs == 2
+    # lang filter pushes into the scan
+    filtered = read_corpus(spark, str(base / "j"), fmt="jsonl",
+                           langs=["py"])
+    assert filtered.count() == 2
+    assert read_corpus(spark, str(base / "j"), fmt="jsonl",
+                       langs=["go"]).count() == 0
