@@ -133,3 +133,34 @@ def test_expand_tokens_df(spark):
     assert (0, "quick", 0, 0, 1) in rows
     assert (0, "fast", 0, 1, 1) in rows
     assert (1, "slow", 0, 1, 1) in rows
+
+
+def test_expand_tokens_graph_invariants():
+    """Property: pos_len >= 1 everywhere, pos_inc chain stays
+    reconstructible, and the ORIGINAL word path always phrase-matches
+    its own expanded stream (keepOrig identity mappings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    syn = SynonymDict.parse("new york,ny\na b,ab\nfast,quick")
+
+    # NOTE 'ny' is excluded from the inputs: when an alternative has
+    # MORE words than the matched surface (ny -> new york), the classic
+    # (non-graph) SynonymFilter inserts positions and breaks
+    # following-token adjacency — reference parity, pinned explicitly
+    # in test_poslen_multiword_phrase_queries. For all non-inserting
+    # expansions the original path must survive.
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.sampled_from(
+        ["a", "b", "c", "new", "york", "fast", "x"]), max_size=8))
+    def run(words):
+        out = expand_tokens([(w, 1) for w in words], syn)
+        assert all(pl >= 1 for _, _, pl in out)
+        assert all(pi in (0, 1) for _, pi, _ in out)
+        if words:
+            # the original surface path survives expansion
+            assert phrase_match(out, words), (words, out)
+            # no insertions -> position count preserved exactly
+            assert sum(pi for _, pi, _ in out) == len(words)
+
+    run()
