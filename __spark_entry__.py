@@ -306,6 +306,23 @@ def q_dp_media_meta(spark, sf_dir):
                                       "sha256")
 
 
+def q_dp_media_features(spark, sf_dir):
+    """Feature-extraction plumbing (stub model: first 8 sha bytes/255;
+    the mapInPandas batch shape is what a real model forward pass
+    uses). Fully oracle-checked."""
+    from synspark.datapipe.multimodal import as_media, extract_features
+    return extract_features(as_media(_docs(spark, sf_dir)), dim=8)
+
+
+def q_dp_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plan over decoded media dims — pure
+    built-in expressions."""
+    from synspark.datapipe.multimodal import (as_media, decode_media,
+                                              resize_plan)
+    return resize_plan(decode_media(as_media(_docs(spark, sf_dir))),
+                       224, 224)
+
+
 def q_dp_frame_plan(spark, sf_dir):
     from synspark.datapipe.multimodal import (as_media, decode_media,
                                               frame_sample_plan)
@@ -335,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ann_cosine": q_dp_ann_cosine,
         "dp_ann_ivf": q_dp_ann_ivf,
         "dp_media_meta": q_dp_media_meta,
+        "dp_media_features": q_dp_media_features,
+        "dp_resize_plan": q_dp_resize_plan,
         "dp_frame_plan": q_dp_frame_plan,
     }
 
@@ -781,6 +800,36 @@ WITH wx AS (
 )
 SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
 FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+""",
+        "dp_media_features": """
+SELECT doc_id AS media_id,
+  (('0x' || substr(sha256(text), 1, 2))::INT) / 255.0 AS f0,
+  (('0x' || substr(sha256(text), 3, 2))::INT) / 255.0 AS f1,
+  (('0x' || substr(sha256(text), 5, 2))::INT) / 255.0 AS f2,
+  (('0x' || substr(sha256(text), 7, 2))::INT) / 255.0 AS f3,
+  (('0x' || substr(sha256(text), 9, 2))::INT) / 255.0 AS f4,
+  (('0x' || substr(sha256(text), 11, 2))::INT) / 255.0 AS f5,
+  (('0x' || substr(sha256(text), 13, 2))::INT) / 255.0 AS f6,
+  (('0x' || substr(sha256(text), 15, 2))::INT) / 255.0 AS f7
+FROM documents
+""",
+        "dp_resize_plan": """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' ELSE 'video' END AS kind,
+         16 * (1 + ('0x' || substr(sha256(text), 1, 2))::INT % 64)
+           AS width,
+         16 * (1 + ('0x' || substr(sha256(text), 3, 2))::INT % 64)
+           AS height
+  FROM documents WHERE doc_id % 3 != 1
+), s AS (
+  SELECT *, round(least(224.0 / width, 224.0 / height, 1.0), 6) AS scale
+  FROM dims
+)
+SELECT media_id, kind, width::INT AS width, height::INT AS height,
+       scale, round(width * scale)::INT AS out_w,
+       round(height * scale)::INT AS out_h
+FROM s
 """,
         "dp_frame_plan": """
 WITH v AS (

@@ -93,6 +93,51 @@ def decode_media(df: DataFrame) -> DataFrame:
         run, schema=DECODED_SCHEMA)
 
 
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """STUB feature extractor with REAL Spark plumbing: one Arrow batch
+    of (media_id, payload) in, one batch of unit-scaled feature columns
+    out (mapInPandas; swap the sha-derived fake for a model forward
+    pass in production — batch shape and schema stay the same).
+    Features are the first ``dim`` sha256 bytes / 255."""
+    import numpy as np
+
+    cols = [f"f{i}" for i in range(dim)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = np.zeros((len(pdf), dim), dtype=np.float64)
+            ids = np.zeros(len(pdf), dtype=np.int64)
+            for j, (mid, payload) in enumerate(zip(pdf["media_id"],
+                                                   pdf["payload"])):
+                d = hashlib.sha256(bytes(payload or b"")).digest()
+                ids[j] = int(mid)
+                feats[j] = [b / 255.0 for b in d[:dim]]
+            yield pd.DataFrame({"media_id": ids,
+                                **{c: feats[:, i]
+                                   for i, c in enumerate(cols)}})
+
+    schema = "media_id long, " + ", ".join(f"{c} double" for c in cols)
+    return df.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
+def resize_plan(decoded: DataFrame, target_w: int = 224,
+                target_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize plan for images/videos — built-in
+    expressions over the decoded dims (the actual pixel work would ride
+    the same mapInPandas shape as decode_media): scale = min(tw/w,
+    th/h) capped at 1.0 (never upscale), output dims rounded."""
+    v = decoded.filter(F.col("width").isNotNull())
+    scale = F.round(F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+        F.lit(1.0)), 6)
+    return v.select(
+        "media_id", "kind", "width", "height",
+        scale.alias("scale"),
+        F.round(F.col("width") * scale).cast("int").alias("out_w"),
+        F.round(F.col("height") * scale).cast("int").alias("out_h"))
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for videos: explode frame indices 0..n_frames
     step every_n — built-in sequence+explode, no UDF."""

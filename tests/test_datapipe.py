@@ -231,3 +231,24 @@ def test_dedup_drop_list(spark, docs):
     assert 0 not in out                  # min id survives
     assert out.get(2) == "near"          # one-word change, J >= 0.5
     assert 4 not in out and 6 not in out  # unrelated docs survive
+
+
+def test_media_features_and_resize(spark, docs):
+    from synspark.datapipe.multimodal import (as_media, decode_media,
+                                              extract_features,
+                                              resize_plan)
+    media = as_media(docs.filter(F.col("doc_id") < 6))
+    feats = {r["media_id"]: r for r in
+             extract_features(media, dim=8).collect()}
+    assert set(feats) == set(range(6))
+    assert all(0.0 <= feats[i][f"f{j}"] <= 1.0
+               for i in feats for j in range(8))
+    # deterministic: identical payloads -> identical features
+    assert all(feats[0][f"f{j}"] == feats[1][f"f{j}"] for j in range(8))
+    rp = {r["media_id"]: r for r in
+          resize_plan(decode_media(media), 224, 224).collect()}
+    for r in rp.values():
+        assert r["out_w"] <= max(224, r["width"])
+        assert r["scale"] <= 1.0  # never upscale
+        if r["width"] <= 224 and r["height"] <= 224:
+            assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
