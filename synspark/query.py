@@ -400,6 +400,9 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
     admission — fully distributed, nothing collected driver-side."""
+    if phrase and not store.meta().store_positions:
+        raise ValueError("phrase=True requires an index built with "
+                         "store_positions=True (this one has none)")
     plan = plan_query(spark, store, text, syn, cfg)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -561,6 +564,9 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
     scale-safe replacement for ``search(k=huge).count()``.
 
     Returns a one-row DataFrame ``hits long``."""
+    if phrase and not store.meta().store_positions:
+        raise ValueError("phrase=True requires an index built with "
+                         "store_positions=True (this one has none)")
     plan = plan_query(spark, store, text, syn, cfg)
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")

@@ -561,3 +561,19 @@ def test_read_corpus_formats(spark, tmp_path_factory):
     assert filtered.count() == 2
     assert read_corpus(spark, str(base / "j"), fmt="jsonl",
                        langs=["go"]).count() == 0
+
+
+def test_phrase_requires_positions(spark, tmp_path_factory):
+    from synspark.query import count_matches
+    docs = spark.createDataFrame([(0, "ab cd")],
+                                 "doc_id long, content string")
+    out = tmp_path_factory.mktemp("nopos") / "index"
+    st = build_index(spark, docs, str(out),
+                     cfg=TokenizerConfig(n=2, expand=False),
+                     n_shards=1, store_positions=False, source="np")
+    with pytest.raises(ValueError, match="store_positions"):
+        search(spark, st, "ab cd", phrase=True).collect()
+    with pytest.raises(ValueError, match="store_positions"):
+        count_matches(spark, st, "ab cd", phrase=True).collect()
+    # non-phrase queries still work without positions
+    assert search(spark, st, "ab", k=5).count() == 1
