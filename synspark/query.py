@@ -488,6 +488,32 @@ def search_batch(spark: SparkSession, store: IndexStore,
             .orderBy("query_id", F.desc("score"), F.asc("doc_id")))
 
 
+def fetch_sources(spark: SparkSession, store: IndexStore,
+                  hits: DataFrame, corpus: DataFrame | None = None
+                  ) -> DataFrame:
+    """Hydrate a (doc_id, score) result with the document itself — the
+    reference's search response carries the full _source
+    (SynonymPluginTest.java:163-168 reads msg fields off hits).
+
+    Joins the hits to the docmap (broadcast — k rows) for the document
+    keys; with ``corpus`` also joins the original table on those keys
+    to return its columns (content etc.). Ordering is preserved via
+    the score column."""
+    dm = store.docmap(spark)
+    keep = [c for c in ["repo", "path", "commit", "lang",
+                        "content_sha256"] if c in dm.columns]
+    out = dm.select("doc_id", *keep).join(F.broadcast(hits), "doc_id")
+    if corpus is not None:
+        keys = [c for c in ["repo", "path", "commit"]
+                if c in corpus.columns and c in keep]
+        if not keys and "doc_id" in corpus.columns:
+            keys = ["doc_id"]  # corpora keyed by native doc_id
+        fresh = [c for c in corpus.columns
+                 if c in keys or c not in out.columns]
+        out = out.join(corpus.select(*fresh), keys, "left")
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 # --------------------------------------------------------------------
 # distributed boolean / phrase match counting (E9 + E11)
 # --------------------------------------------------------------------

