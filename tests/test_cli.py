@@ -1,0 +1,26 @@
+"""CLI surface: the no-Spark `analyze` subcommand with a dictionary
+FILE (mirrors the reference's synonyms_path suite,
+SynonymPluginTest.java:172-268 — rules loaded from a file behave
+identically to inline rules)."""
+
+from synspark.cli import main
+
+
+def test_cli_analyze_with_dict_file(tmp_path, capsys):
+    p = tmp_path / "syn.txt"
+    p.write_text("# comment line\nあ,かき\n\n東京,とうきょう\n",
+                 encoding="utf-8")
+    rc = main(["analyze", "--text", "かきいうえお",
+               "--synonyms", str(p)])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    # LUCENE-5252 boundary expansion, identical to the inline-dict
+    # golden fixture
+    assert out == ("かき,0,2,1/あ,0,2,0/い,2,3,1/いう,2,4,0/"
+                   "うえ,3,5,1/えお,4,6,1")
+
+
+def test_cli_analyze_no_dict(capsys):
+    rc = main(["analyze", "--text", "あいう", "--no-expand"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "あい,0,2,1/いう,1,3,1"
