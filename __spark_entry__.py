@@ -226,6 +226,29 @@ def q_dp_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_dp_scrub(spark, sf_dir):
+    """PII scrubbing over documents + injected PII (first 20 docs gain
+    an email/IP/long number so redaction counts are non-trivial)."""
+    from synspark.datapipe.textstats import scrub_pii
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 20,
+               F.concat(F.col("text"),
+                        F.lit(" contact bob@example.com via 10.0.0.1 "
+                              "acct 1234567890")))
+        .otherwise(F.col("text")))
+    return scrub_pii(docs).select("doc_id", "text", "n_redactions")
+
+
+def q_dp_chunks(spark, sf_dir):
+    """LLM pretraining chunking: ≤64-token chunks, 8-token overlap."""
+    from synspark.datapipe.textstats import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=64,
+                           overlap=8) \
+        .select("doc_id", "chunk_id", "n_tokens", "chunk")
+
+
 def q_dp_minhash_lsh(spark, sf_dir):
     from synspark.datapipe.dedup import (lsh_candidate_groups,
                                          minhash_signatures, word_shingles)
@@ -345,6 +368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprints": q_dp_fingerprints,
+        "dp_scrub": q_dp_scrub,
+        "dp_chunks": q_dp_chunks,
         "dp_minhash_lsh": q_dp_minhash_lsh,
         "dp_jaccard_pairs": q_dp_jaccard_pairs,
         "dp_dedup_drop": q_dp_dedup_drop,
@@ -558,6 +583,50 @@ SELECT doc_id, sha256(text) AS sha256,
        md5(regexp_replace(lower(trim(text)), '{_DELIMS}', ' ', 'g'))
          AS norm_md5
 FROM documents
+""",
+        "dp_scrub": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 20 THEN text ||
+           ' contact bob@example.com via 10.0.0.1 acct 1234567890'
+         ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+          '<EMAIL>', 'g'),
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+        '<IP>', 'g'),
+      '\\b\\d{{9,}}\\b', '<NUM>', 'g') AS text
+  FROM aug
+)
+SELECT doc_id, text,
+  (len(string_split(text, '<EMAIL>')) - 1
+   + len(string_split(text, '<IP>')) - 1
+   + len(string_split(text, '<NUM>')) - 1)::INT AS n_redactions
+FROM s
+""",
+        "dp_chunks": f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+), nz AS (
+  SELECT doc_id, ws, len(ws) AS n FROM words WHERE len(ws) > 0
+), st AS (
+  SELECT doc_id, ws, n, unnest(generate_series(0,
+           ((n - 1) // 56)::BIGINT)) * 56 AS s
+  FROM nz
+)
+SELECT doc_id, (s // 56)::INT AS chunk_id,
+       len(ws[s+1 : s+64])::INT AS n_tokens,
+       array_to_string(ws[s+1 : s+64], ' ') AS chunk
+FROM st
+WHERE s = 0 OR s + 8 < n
 """,
         "dp_minhash_lsh": _SHINGLES_CTE + """
 , sigs AS (

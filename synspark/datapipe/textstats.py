@@ -84,3 +84,65 @@ def fingerprints(df: DataFrame, text_col: str = "text",
         F.sha2(F.col(text_col), 256).alias("sha256"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\b\d{9,}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing (training-data hygiene): emails, IPv4 addresses,
+    and long digit runs (phone/account shaped) replaced by typed
+    placeholders. Pure regexp_replace chain (codegen; RE2-compatible
+    patterns so the oracle mirrors exactly). Returns (id, text,
+    n_redactions)."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        LONGNUM_RE, "<NUM>")
+    n_red = (F.size(F.split(scrubbed, "<EMAIL>")) - 1
+             + F.size(F.split(scrubbed, "<IP>")) - 1
+             + F.size(F.split(scrubbed, "<NUM>")) - 1)
+    return df.select(F.col(id_col), scrubbed.alias("text"),
+                     n_red.cast("int").alias("n_redactions"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 64,
+                    overlap: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into training-sized chunks of ≤ ``max_tokens``
+    whitespace tokens with ``overlap`` tokens of context between
+    consecutive chunks — the standard LLM pretraining shard step.
+    Pure built-ins: split → sequence of chunk starts (stride =
+    max_tokens - overlap) → slice + explode. Deterministic chunk ids.
+    Returns (id, chunk_id, n_tokens, chunk)."""
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    w = _words(F.col(text_col))
+    n = F.size(w)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (at least
+    # one chunk for non-empty docs); last chunk may be short
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(stride)).cast("int") + 1)
+    # a trailing chunk fully contained in the previous one is dropped:
+    # start >= n - overlap contributes no new tokens
+    starts = F.filter(
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: i * F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n))
+    chunks = F.transform(
+        starts, lambda s: F.struct(
+            (s / F.lit(stride)).cast("int").alias("chunk_id"),
+            F.slice(w, s + 1, F.lit(max_tokens)).alias("toks")))
+    ex = df.select(F.col(id_col), n.alias("_n"),
+                   F.explode(chunks).alias("c")) \
+        .filter(F.col("_n") > 0)
+    return ex.select(
+        F.col(id_col),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.toks").alias("n_tokens"),
+        F.concat_ws(" ", "c.toks").alias("chunk"))

@@ -252,3 +252,40 @@ def test_media_features_and_resize(spark, docs):
         assert r["scale"] <= 1.0  # never upscale
         if r["width"] <= 224 and r["height"] <= 224:
             assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+
+
+def test_scrub_pii(spark):
+    from synspark.datapipe.textstats import scrub_pii
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-ample.org or 192.168.0.1 ref 123456789"),
+         (1, "clean text 123"), (2, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[0]["text"] == "mail <EMAIL> or <IP> ref <NUM>"
+    assert out[0]["n_redactions"] == 3
+    assert out[1]["text"] == "clean text 123"  # short number untouched
+    assert out[1]["n_redactions"] == 0
+    assert out[2]["n_redactions"] == 0
+
+
+def test_chunk_documents(spark):
+    from synspark.datapipe.textstats import chunk_documents
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(0, words), (1, "short doc"), (2, "")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: stride 56 -> starts 0,56,112 -> 3 chunks (64,64,38 tokens)
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c0] == [64, 64, 38]
+    assert c0[0]["chunk"].split()[0] == "w0"
+    assert c0[1]["chunk"].split()[0] == "w56"   # 8-token overlap
+    assert c0[1]["chunk"].split()[8] == "w64"   # first NEW token
+    # every input token appears in some chunk (coverage)
+    covered = {w for r in c0 for w in r["chunk"].split()}
+    assert covered == {f"w{i}" for i in range(150)}
+    assert [r["n_tokens"] for r in by_doc[1]] == [2]
+    assert 2 not in by_doc  # empty doc -> no chunks
