@@ -514,6 +514,84 @@ def fetch_sources(spark: SparkSession, store: IndexStore,
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def highlight(spark: SparkSession, store: IndexStore, hits: DataFrame,
+              corpus: DataFrame, text: str,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              max_spans: int = 10) -> DataFrame:
+    """Character-offset highlight spans for the query's terms in each
+    hit (the ES highlighter surface). The index stores positions, not
+    offsets, so hits are hydrated with their source text and
+    re-analyzed Arrow-batched with the SAME tokenizer config — exactly
+    how ES's plain highlighter re-analyzes stored fields. Returns
+    (doc_id, start, end, term) rows, ≤ ``max_spans`` per doc in
+    offset order."""
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    qterms = {t for g in analyze_query(text, cfg, syn) for t in g}
+    hydrated = fetch_sources(spark, store, hits, corpus=corpus) \
+        .select("doc_id", F.col(meta.text_col).alias("_text"))
+    n, expand, ignore_case = cfg.n, cfg.expand, cfg.ignore_case
+    syn_local, terms_local, cap = syn, qterms, max_spans
+
+    def run(batches):
+        from .tokenizer import tokenize as _tok
+        cfg_l = TokenizerConfig(n=n, expand=expand,
+                                ignore_case=ignore_case)
+        for pdf in batches:
+            out = {"doc_id": [], "start": [], "end": [], "term": []}
+            for did, body in zip(pdf["doc_id"], pdf["_text"]):
+                if not body:
+                    continue
+                k = 0
+                for w, s, e, _pi in _tok(body, cfg_l, syn_local):
+                    if w in terms_local:
+                        out["doc_id"].append(int(did))
+                        out["start"].append(s)
+                        out["end"].append(e)
+                        out["term"].append(w)
+                        k += 1
+                        if k >= cap:
+                            break
+            yield pd.DataFrame(out)
+
+    return hydrated.mapInPandas(
+        run, schema="doc_id long, start int, end int, term string") \
+        .orderBy("doc_id", "start")
+
+
+def explain_score(spark: SparkSession, store: IndexStore, text: str,
+                  doc_id: int, syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None) -> DataFrame:
+    """Per-group BM25 score breakdown for one document — the ES
+    ``_explain`` surface. Returns (gid, terms, tf, dl, idf, gscore);
+    the sum of gscore over rows is exactly the doc's search score
+    (same ordered accumulation)."""
+    plan = plan_query(spark, store, text, syn, cfg)
+    if not plan.groups:
+        return spark.createDataFrame(
+            [], "gid int, terms string, tf long, dl long, idf double, "
+                "gscore double")
+    p = decoded_postings(spark, store, plan.terms) \
+        .filter(F.col("doc_id") == doc_id)
+    gm = [(t, gi, plan.idfs[gi], "|".join(plan.groups[gi]))
+          for gi, g in enumerate(plan.groups) for t in g]
+    group_map = spark.createDataFrame(
+        gm, "term string, gid int, gidf double, terms string")
+    k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+    return (p.join(F.broadcast(group_map), "term")
+            .groupBy("gid", "terms")
+            .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"),
+                 F.first("gidf").alias("idf"))
+            .withColumn("gscore",
+                        F.col("idf") * F.col("tf") /
+                        (F.col("tf") + F.lit(k1) *
+                         (F.lit(1 - b) + F.lit(b) * F.col("dl")
+                          / F.lit(avgdl))))
+            .select("gid", "terms", "tf", "dl", "idf", "gscore")
+            .orderBy("gid"))
+
+
 # --------------------------------------------------------------------
 # distributed boolean / phrase match counting (E9 + E11)
 # --------------------------------------------------------------------

@@ -592,3 +592,41 @@ def test_fetch_sources(spark, corpus, index):
         assert r["content"] is not None
         assert "in re" in r["content"] or True  # content present
         assert r["content_sha256"] is not None
+
+
+def test_highlight_spans(spark, tmp_path_factory):
+    """ES-highlighter surface: spans land on the query's grams in the
+    source text (verified by substring equality)."""
+    from synspark.query import highlight
+    docs = spark.createDataFrame(
+        [(0, "the key order matters here"), (1, "no match at all"),
+         (2, "key order key order")],
+        "doc_id long, content string")
+    out = tmp_path_factory.mktemp("hl") / "index"
+    st = build_index(spark, docs, str(out),
+                     cfg=TokenizerConfig(n=2, expand=False), n_shards=1,
+                     source="hl")
+    hits = search(spark, st, "key order", k=10, phrase=True)
+    spans = highlight(spark, st, hits, docs, "key order").collect()
+    texts = {r["doc_id"]: r["content"] for r in docs.collect()}
+    assert spans, "expected highlight spans"
+    for r in spans:
+        assert texts[r["doc_id"]][r["start"]:r["end"]] == r["term"]
+    assert {r["doc_id"] for r in spans} == {0, 2}
+    # every span term is a gram of the query
+    assert {r["term"] for r in spans} <= {"ke", "ey", "or", "rd", "de",
+                                          "er"}
+
+
+def test_explain_score_sums_to_search_score(spark, index):
+    from synspark.query import explain_score
+    syn = SynonymDict.parse(JP_DICT)
+    hits = search(spark, index, "in re", k=3, syn=syn).collect()
+    assert hits
+    d, score = hits[0]["doc_id"], hits[0]["score"]
+    rows = explain_score(spark, index, "in re", d, syn=syn).collect()
+    assert rows
+    acc = 0.0
+    for r in rows:  # ordered by gid — same fold as the engine
+        acc += r["gscore"]
+    assert round(acc, 9) == round(score, 9)
