@@ -139,6 +139,20 @@ def q_fts_phrase_hits(spark, sf_dir):
     return count_matches(spark, store, PHRASE, mode="and", phrase=True)
 
 
+def q_fts_count_and(spark, sf_dir):
+    """Boolean AND hit count — distributed per-shard set intersection."""
+    from synspark.query import count_matches
+    store = _index(spark, sf_dir)
+    return count_matches(spark, store, BM25_QUERY, mode="and")
+
+
+def q_fts_count_or(spark, sf_dir):
+    """Boolean OR hit count — distributed per-shard set union."""
+    from synspark.query import count_matches
+    store = _index(spark, sf_dir)
+    return count_matches(spark, store, BM25_QUERY, mode="or")
+
+
 def q_fts_synonym_bm25(spark, sf_dir):
     """Synonym-expanded BM25 (dict data,info / sort,order, expand=true,
     n=2) — fully oracle-checked: with this dict the expanded index is
@@ -360,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_wand_topk": q_fts_wand_topk,
         "fts_phrase_hits": q_fts_phrase_hits,
+        "fts_count_and": q_fts_count_and,
+        "fts_count_or": q_fts_count_or,
         "fts_synonym_bm25": q_fts_synonym_bm25,
         "fts_analyze": q_fts_analyze,
         "fts_synfilter": q_fts_synfilter,
@@ -436,6 +452,13 @@ WITH words AS (
   WHERE length(shingle) > 0
 )
 """
+
+
+def _qterm_values() -> str:
+    """VALUES list of the benchmark query's distinct bigrams (all
+    distinct, so group-AND == all-terms-present)."""
+    return ", ".join(f"('{t}')"
+                     for t in sorted(set(_query_bigrams(BM25_QUERY))))
 
 
 def _bm25_oracle() -> str:
@@ -535,6 +558,20 @@ SELECT * FROM (VALUES
         "fts_phrase_hits": f"""
 SELECT count(*)::BIGINT AS hits FROM documents
 WHERE regexp_matches(text, '{phrase_re}')
+""",
+        "fts_count_and": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS hits FROM per_doc
+WHERE c = (SELECT count(*) FROM qt)
+""",
+        "fts_count_or": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM grams
+WHERE term IN (SELECT term FROM qt)
 """,
         "dp_exact_dups": """
 WITH aug AS (
