@@ -31,6 +31,27 @@ STREAM_SCHEMA = ("repo string, path string, commit string, "
                  "lang string, content string")
 
 
+def ingest_rate_stream(stream, ts_col: str = "event_time",
+                       text_col: str = "content",
+                       window: str = "1 minute",
+                       watermark: str = "2 minutes"):
+    """Windowed ingest telemetry over a document stream: docs/bytes per
+    event-time window, late data handled by a watermark (classic
+    Structured Streaming windowed aggregation — rows later than
+    ``watermark`` behind the max seen event time are dropped and the
+    window finalizes). Returns a streaming DataFrame
+    (window_start, window_end, n_docs, n_bytes)."""
+    from pyspark.sql import functions as F
+    return (stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.octet_length(F.col(text_col))).alias("n_bytes"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n_docs", "n_bytes"))
+
+
 def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   checkpoint_dir: str,
                   cfg: TokenizerConfig | None = None,

@@ -160,3 +160,46 @@ def test_stream_dedup_across_batches(spark, tmp_path_factory):
         assert {r["text"]: r["doc_id"] for r in rows2}["ddd"] == 102
     finally:
         q.stop()
+
+
+def test_ingest_rate_stream_watermark(spark, tmp_path_factory):
+    """Watermarked windowed aggregation: per-window doc/byte counts;
+    a row later than the watermark behind max event time is dropped."""
+    from synspark.streaming import ingest_rate_stream
+
+    src = tmp_path_factory.mktemp("rate_src")
+    ckpt = tmp_path_factory.mktemp("rate_ck")
+
+    def drop(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, event_time timestamp, content string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    drop([(i, t0 + dt.timedelta(seconds=10 * i), "x" * 10)
+          for i in range(6)])  # window 12:00 has 6 docs
+    stream = (spark.readStream
+              .schema("doc_id long, event_time timestamp, content string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (ingest_rate_stream(stream).writeStream.format("memory")
+         .queryName("rate_out").outputMode("append")
+         .option("checkpointLocation", str(ckpt)).start())
+    try:
+        q.processAllAvailable()
+        # advance event time far enough to close the 12:00 window
+        # (watermark = max_event - 2min must pass 12:01)
+        drop([(100, t0 + dt.timedelta(minutes=5), "y" * 20)])
+        q.processAllAvailable()
+        # a straggler behind the watermark: must NOT reopen the window
+        drop([(101, t0 + dt.timedelta(seconds=30), "z" * 30)])
+        q.processAllAvailable()
+        drop([(102, t0 + dt.timedelta(minutes=10), "w")])
+        q.processAllAvailable()
+        rows = {r["window_start"]: r
+                for r in spark.sql("select * from rate_out").collect()}
+        w0 = rows[t0]
+        assert w0["n_docs"] == 6 and w0["n_bytes"] == 60  # straggler dropped
+    finally:
+        q.stop()
