@@ -57,23 +57,29 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 8,
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int,
+            id_col: str) -> DataFrame:
+    """(band_id, band_key, id) — ONE pass over the signatures via
+    array+explode. (A union of per-band selects would re-inline and
+    RECOMPUTE the signature aggregation once per band — 4x the minhash
+    work; plan-audit finding.)"""
+    entries = [F.struct(
+        F.lit(b).alias("band_id"),
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                                 for r in range(rows_per_band)]))
+        .alias("band_key")) for b in range(bands)]
+    return (sigs.select(F.col(id_col),
+                        F.explode(F.array(*entries)).alias("b"))
+            .select("b.band_id", "b.band_key", id_col))
+
+
 def lsh_candidate_groups(sigs: DataFrame, bands: int = 4,
                          rows_per_band: int = 2,
                          id_col: str = "doc_id") -> DataFrame:
     """Band the signature; docs sharing any band are near-dup
     candidates. Returns (band_id, band_key) groups with >1 doc."""
-    out = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        out.append(sigs.select(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            F.col(id_col)))
-    un = out[0]
-    for o in out[1:]:
-        un = un.unionAll(o)
-    return (un.groupBy("band_id", "band_key")
+    return (_banded(sigs, bands, rows_per_band, id_col)
+            .groupBy("band_id", "band_key")
             .agg(F.count("*").alias("n_docs"),
                  F.min(id_col).alias("keep_doc_id"))
             .filter(F.col("n_docs") > 1))
@@ -86,17 +92,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     the candidate set for exact verification. The pair join is
     bucket-equal (band_id, band_key), so its cost is bounded by bucket
     collision-group sizes, never all-pairs."""
-    out = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        out.append(sigs.select(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-            F.col(id_col)))
-    un = out[0]
-    for o in out[1:]:
-        un = un.unionAll(o)
+    un = _banded(sigs, bands, rows_per_band, id_col).persist()
     a = un.select("band_id", "band_key", F.col(id_col).alias("a"))
     bdf = un.select("band_id", "band_key", F.col(id_col).alias("b"))
     return (a.join(bdf, ["band_id", "band_key"])
