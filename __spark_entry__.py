@@ -52,11 +52,18 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """documents table, spread across the cluster: the sf tables are
+    single small parquet files (one input split), which would run every
+    downstream operator on ONE core — a 100 TB deployment gets its
+    parallelism from file count, the sandbox gets it from an explicit
+    cheap repartition of the sub-MB input."""
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _index(spark: SparkSession, sf_dir: str):
