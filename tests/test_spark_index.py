@@ -630,3 +630,26 @@ def test_explain_score_sums_to_search_score(spark, index):
     for r in rows:  # ordered by gid — same fold as the engine
         acc += r["gscore"]
     assert round(acc, 9) == round(score, 9)
+
+
+def test_wand_fuzz_rank_identity(spark, index):
+    """Randomized-query sweep: WAND stays rank-identical to the naive
+    oracle across query lengths, modes, and k (seeded, deterministic)."""
+    import random
+    rng = random.Random(7)
+    syn = SynonymDict.parse(JP_DICT)
+    vocab = [r["term"] for r in
+             index.termstats(spark).orderBy(F.desc("df")).limit(200)
+             .collect()]
+    for i in range(12):
+        q = " ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 4)))
+        mode = rng.choice(["and", "or"])
+        k = rng.choice([1, 5, 40])
+        naive = [(r["doc_id"], round(r["score"], 9)) for r in
+                 score_naive(spark, index, q, k=k, mode=mode,
+                             syn=syn).collect()]
+        wand = [(r["doc_id"], round(r["score"], 9)) for r in
+                search(spark, index, q, k=k, mode=mode,
+                       syn=syn).collect()]
+        assert wand == naive, (i, q, mode, k)
