@@ -378,6 +378,11 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     stats refresh and the meta write, where termstats briefly run
     ahead of N; the retry converges it.
 
+    Concurrency contract: ONE writer at a time (the streaming sink is
+    naturally serial; two concurrent appends would race the manifest's
+    read-modify-write and the shard-number allocation). Readers are
+    always safe — they see the last committed meta.
+
     The batch analogue of the reference's dynamic dictionary reload is
     intentionally NOT smuggled in here: the dictionary is pinned per
     build (meta.dict_fingerprint); see ``rebuild_if_dict_changed``.
