@@ -48,24 +48,37 @@ corpus.limit(threads * 4).mapInPandas(
     lambda it: iter([_pd.DataFrame({{"n": [len(p) for p in it]}})]),
     schema="n int").count()
 syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
+
+def _host_cpu_sec():
+    # total host CPU seconds consumed (all cores, user+nice+system)
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return (int(parts[1]) + int(parts[2]) + int(parts[3])) / 100.0
+
+c0 = _host_cpu_sec()
 t0 = time.time()
 build_index(spark, corpus, {out!r},
             cfg=TokenizerConfig(n=2, expand=True), syn=syn,
             n_shards={n_shards}, target_postings_per_task=1 << 18,
             source="scaling", resume=False)
-print("ELAPSED", time.time() - t0)
+print("ELAPSED", time.time() - t0, _host_cpu_sec() - c0)
 spark.stop()
 """
 
 
-def run_build(threads: int, corpus: str, out: str, n_shards: int) -> float:
+def run_build(threads: int, corpus: str, out: str,
+              n_shards: int) -> tuple[float, float]:
+    """-> (wall seconds, host CPU seconds consumed during the build).
+    CPU seconds expose host noise: identical logical work should burn
+    ~equal CPU regardless of thread count; inflation at higher
+    parallelism = oversubscription/steal, not engine serialization."""
     code = CHILD.format(repo=str(REPO), threads=threads, corpus=corpus,
                         out=out, n_shards=n_shards)
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=1800)
     for line in r.stdout.splitlines():
         if line.startswith("ELAPSED"):
-            return float(line.split()[1])
+            return float(line.split()[1]), float(line.split()[2])
     raise RuntimeError(f"child failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
 
 
@@ -93,10 +106,12 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{tmp}/corpus")
     s.stop()
 
-    t_small = min(run_build(n, f"{tmp}/corpus", f"{tmp}/idx_s{i}", n_shards)
-                  for i in range(repeats))
-    t_big = min(run_build(4 * n, f"{tmp}/corpus", f"{tmp}/idx_b{i}", n_shards)
-                for i in range(repeats))
+    small = [run_build(n, f"{tmp}/corpus", f"{tmp}/idx_s{i}", n_shards)
+             for i in range(repeats)]
+    big = [run_build(4 * n, f"{tmp}/corpus", f"{tmp}/idx_b{i}", n_shards)
+           for i in range(repeats)]
+    t_small, cpu_small = min(small)
+    t_big, cpu_big = min(big)
     eff = (t_small / t_big) / 4.0
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({
@@ -105,6 +120,10 @@ def main() -> None:
         "parallelism_big": 4 * n,
         "build_sec_small": round(t_small, 2),
         "build_sec_big": round(t_big, 2),
+        "cpu_sec_small": round(cpu_small, 1),
+        "cpu_sec_big": round(cpu_big, 1),
+        "cpu_inflation_big_vs_small": round(cpu_big / max(cpu_small, 1e-9),
+                                            3),
         "docs_per_sec_small": round(n_docs / t_small, 1),
         "docs_per_sec_big": round(n_docs / t_big, 1),
         "scaling_efficiency": round(eff, 3),
