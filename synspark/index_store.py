@@ -100,6 +100,11 @@ def _digest_expr():
 class IndexStore:
     def __init__(self, path: str):
         self.path = Path(path)
+        # bounded per-term df memo for query planning: only QUERIED
+        # terms ever enter (never the vocabulary), invalidated when the
+        # index build changes. Cuts one Spark job per repeated query.
+        self._df_cache: dict = {}
+        self._df_cache_build: str | None = None
 
     # ---------- metadata ----------
     def meta(self) -> IndexMeta:
@@ -138,6 +143,29 @@ class IndexStore:
     def docmap(self, spark: SparkSession) -> DataFrame:
         df = spark.read.parquet(str(self.path / "docmap"))
         return df.filter(F.col("doc_id") < self.meta().n_docs)
+
+    def term_dfs(self, spark: SparkSession, terms: list[str],
+                 build_id: str | None = None) -> dict:
+        """{term: df} for ``terms`` (0 for absent terms), served from a
+        bounded driver-side memo keyed by build_id; only misses hit
+        Spark. Memory stays O(distinct queried terms), capped."""
+        bid = build_id or self.meta().build_id
+        if bid != self._df_cache_build:
+            self._df_cache = {}
+            self._df_cache_build = bid
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = self.termstats(spark) \
+                .filter(F.col("term").isin(missing)) \
+                .select("term", "df").collect()
+            found = {r["term"]: int(r["df"]) for r in rows}
+            if len(self._df_cache) < (1 << 20):
+                for t in missing:
+                    self._df_cache[t] = found.get(t, 0)
+            else:
+                return {t: self._df_cache.get(
+                    t, found.get(t, 0)) for t in terms}
+        return {t: self._df_cache.get(t, 0) for t in terms}
 
 
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,

@@ -112,8 +112,7 @@ def plan_query(spark: SparkSession, store: IndexStore, text: str,
     cfg = cfg or TokenizerConfig(**meta.cfg)
     groups = analyze_query(text, cfg, syn)
     terms = sorted({t for g in groups for t in g})
-    dfs = {r["term"]: int(r["df"]) for r in
-           store.termstats(spark).filter(F.col("term").isin(terms)).collect()}
+    dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
     idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
             for g in groups]
     return QueryPlan(groups=groups, idfs=idfs, n_docs=meta.n_docs,
@@ -442,9 +441,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
     if not all_terms:
         return spark.createDataFrame([],
                                      "query_id int, doc_id long, score double")
-    dfs = {r["term"]: int(r["df"]) for r in
-           store.termstats(spark).filter(F.col("term").isin(all_terms))
-           .collect()}
+    dfs = store.term_dfs(spark, all_terms, build_id=meta.build_id)
     plans = []
     for gs in groups_per_q:
         idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))

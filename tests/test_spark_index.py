@@ -302,18 +302,19 @@ def test_term_layout_no_driver_vocab(spark, corpus, monkeypatch):
     (round-1 verdict: a full-vocab collect is a driver OOM at CJK-bigram
     scale): zero DataFrame.collect()/toPandas() anywhere in plan
     construction or execution of encode_segments_from_tokens."""
-    from pyspark.sql import DataFrame
     from synspark.indexer import encode_segments_from_tokens
+    cls = type(spark.range(1))  # concrete DataFrame class (see
+    # test_term_df_cache — patching the abstract base is a no-op)
     syn = SynonymDict.parse(JP_DICT)
     docs = assign_doc_ids(corpus)
     toks = tokenize_corpus(docs, CFG2, syn)
     ds = build_doc_stats(toks)
     calls = []
-    orig_collect, orig_topandas = DataFrame.collect, DataFrame.toPandas
-    monkeypatch.setattr(DataFrame, "collect",
+    orig_collect, orig_topandas = cls.collect, cls.toPandas
+    monkeypatch.setattr(cls, "collect",
                         lambda self: (calls.append("collect"),
                                       orig_collect(self))[1])
-    monkeypatch.setattr(DataFrame, "toPandas",
+    monkeypatch.setattr(cls, "toPandas",
                         lambda self: (calls.append("toPandas"),
                                       orig_topandas(self))[1])
     segs = encode_segments_from_tokens(toks, ds, n_docs=300, n_shards=4,
@@ -653,3 +654,30 @@ def test_wand_fuzz_rank_identity(spark, index):
                 search(spark, index, q, k=k, mode=mode,
                        syn=syn).collect()]
         assert wand == naive, (i, q, mode, k)
+
+
+def test_term_df_cache(spark, index, tmp_path_factory):
+    """Query planning df memo: repeated lookups skip Spark; the cache
+    invalidates when the index changes (build_id)."""
+    cls = type(spark.range(1))  # the CONCRETE DataFrame class (Spark 4
+    # splits classic/connect; patching the abstract base intercepts
+    # nothing)
+    terms = [r["term"] for r in index.termstats(spark).limit(5).collect()]
+    fresh = {t: index.term_dfs(spark, [t])[t] for t in terms}
+    calls = []
+    orig = cls.collect
+    try:
+        cls.collect = lambda self: (calls.append(1), orig(self))[1]
+        again = index.term_dfs(spark, terms + ["zz-absent-zz"])
+    finally:
+        cls.collect = orig
+    assert {t: again[t] for t in terms} == fresh
+    assert again["zz-absent-zz"] == 0
+    assert len(calls) == 1  # only the absent term missed
+    calls.clear()
+    try:
+        cls.collect = lambda self: (calls.append(1), orig(self))[1]
+        index.term_dfs(spark, terms)  # full hit
+    finally:
+        cls.collect = orig
+    assert calls == []
