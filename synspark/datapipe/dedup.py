@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import DELIM_RE, _words
+from .textstats import _words
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
