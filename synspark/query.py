@@ -594,28 +594,49 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
 # --------------------------------------------------------------------
 
 def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
-                 phrase: bool) -> int:
+                 phrase: bool, stats: dict | None = None) -> int:
     """Number of matching docs in one shard — whole-shard vectorized
     set algebra over the decoded postings, no ranking, no top-k state.
-    Phrase adjacency via (doc, start) key intersection across groups."""
+    Phrase adjacency via (doc, start) key intersection across groups.
+
+    Intersection order is RAREST-FIRST (groups sorted by posting
+    volume) and, once a candidate set exists, a block is decoded only
+    if some candidate doc falls inside its [first_doc, last_doc] range
+    — the block skip data already rides on every block, so a selective
+    AND decodes the frequent terms' blocks only where the rare term
+    actually has docs. Exactness is unaffected: a skipped block cannot
+    contain a doc that survives the intersection. ``stats`` (optional
+    dict) receives ``decoded_blocks`` for plan assertions."""
     by_term: dict[str, list[int]] = {}
     for i, t in enumerate(pdf["term"]):
         by_term.setdefault(t, []).append(i)
+    first = pdf["first_doc"].to_numpy()
+    last = pdf["last_doc"].to_numpy()
+    nds = pdf["n_docs"].to_numpy()
+    decoded = [0]
 
-    def group_arrays(g: list[str], want_pos: bool):
-        """(unique doc array, flat (doc,pos) occurrence arrays)."""
+    def block_rows(g: list[str]) -> list[int]:
+        return [i for t in g for i in by_term.get(t, ())]
+
+    def group_arrays(g: list[str], want_pos: bool,
+                     cand: np.ndarray | None):
+        """(unique doc array, flat (doc,pos) occurrence arrays),
+        restricted to blocks whose doc range can intersect ``cand``."""
         docs_all, pd_all, pv_all = [], [], []
-        for t in g:
-            for i in by_term.get(t, ()):
-                nd = int(pdf["n_docs"].iat[i])
-                docs, tfs = decode_block(
-                    int(pdf["first_doc"].iat[i]), pdf["doc_bytes"].iat[i],
-                    pdf["tf_bytes"].iat[i], nd)
-                docs_all.append(docs)
-                if want_pos:
-                    pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
-                    pd_all.append(np.repeat(docs, tfs))
-                    pv_all.append(pos)
+        for i in block_rows(g):
+            if cand is not None:
+                j = np.searchsorted(cand, first[i])
+                if j >= len(cand) or cand[j] > last[i]:
+                    continue  # no candidate inside this block's range
+            decoded[0] += 1
+            docs, tfs = decode_block(
+                int(first[i]), pdf["doc_bytes"].iat[i],
+                pdf["tf_bytes"].iat[i], int(nds[i]))
+            docs_all.append(docs)
+            if want_pos:
+                pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
+                pd_all.append(np.repeat(docs, tfs))
+                pv_all.append(pos)
         if not docs_all:
             z = np.zeros(0, np.int64)
             return z, z, z
@@ -624,34 +645,52 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
         pvc = np.concatenate(pv_all) if pv_all else np.zeros(0, np.int64)
         return docs, pdc, pvc
 
+    def done(n: int) -> int:
+        if stats is not None:
+            stats["decoded_blocks"] = decoded[0]
+        return n
+
+    # rarest first: posting volume (Σ n_docs over the group's blocks)
+    # as the df proxy — valid for AND/phrase (intersection commutes)
+    order = list(range(len(plan.groups)))
+    if mode == "and" or phrase:
+        vol = [sum(int(nds[i]) for i in block_rows(g))
+               for g in plan.groups]
+        order.sort(key=lambda gi: vol[gi])
+
     if phrase:
-        lo = int(pdf["first_doc"].min())
+        lo = int(first.min()) if len(pdf) else 0
         starts: np.ndarray | None = None
-        for gi, g in enumerate(plan.groups):
-            _docs, pdc, pvc = group_arrays(g, True)
+        cand: np.ndarray | None = None
+        for gi in order:
+            _docs, pdc, pvc = group_arrays(plan.groups[gi], True, cand)
             ok = pvc >= gi
             enc = ((pdc[ok] - lo) << np.int64(32)) | (pvc[ok] - gi)
             enc = np.unique(enc)
             starts = enc if starts is None else \
                 np.intersect1d(starts, enc, assume_unique=True)
             if len(starts) == 0:
-                return 0
-        return len(np.unique(starts >> np.int64(32)))
+                return done(0)
+            # surviving docs (sorted: starts is sorted and >>32 is
+            # monotone) gate the next group's block decodes
+            cand = np.unique(starts >> np.int64(32)) + lo
+        return done(len(np.unique(starts >> np.int64(32))))
 
     acc: np.ndarray | None = None
-    for g in plan.groups:
-        docs, _pd, _pv = group_arrays(g, False)
+    for gi in order:
+        docs, _pd, _pv = group_arrays(plan.groups[gi],
+                                      False, acc if mode == "and" else None)
         if mode == "and":
             if len(docs) == 0:
-                return 0
+                return done(0)
             acc = docs if acc is None else \
                 np.intersect1d(acc, docs, assume_unique=True)
             if len(acc) == 0:
-                return 0
+                return done(0)
         else:
             acc = docs if acc is None else \
                 np.union1d(acc, docs)
-    return int(len(acc)) if acc is not None else 0
+    return done(int(len(acc)) if acc is not None else 0)
 
 
 def count_matches(spark: SparkSession, store: IndexStore, text: str,
@@ -672,8 +711,8 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")
 
-    cols = ["term", "shard", "first_doc", "n_docs", "doc_bytes",
-            "tf_bytes"]
+    cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
+            "doc_bytes", "tf_bytes"]
     if phrase:
         cols.append("pos_bytes")
     blocks = store.segments(spark) \

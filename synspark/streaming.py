@@ -52,6 +52,49 @@ def ingest_rate_stream(stream, ts_col: str = "event_time",
                     "n_docs", "n_bytes"))
 
 
+class DictWatcher:
+    """Query/ingest-time dictionary reload for long-running sessions —
+    the streaming analogue of the reference's mtime poll
+    (SynonymLoader.java:55-74 re-reads synonyms_path when the file
+    timestamp changes, on every reset(); enabled by ``dynamic_reload``
+    + ``reload_interval`` per README).
+
+    ``current()`` re-stats the rules file no more than once per
+    ``interval`` seconds and re-parses only when the (mtime, size)
+    signature changed; swapped dictionaries take effect for every
+    subsequent call. Thread-safe for the single-writer streaming loop.
+    """
+
+    def __init__(self, dict_path: str, interval: float = 1.0):
+        self.path = dict_path
+        self.interval = interval
+        self._sig: tuple | None = None
+        self._last_check = 0.0
+        self._syn: SynonymDict | None = None
+        self.reloads = -1  # first load is not a "reload"
+        self.current()
+
+    def current(self) -> SynonymDict | None:
+        import os
+        import time as _time
+        now = _time.monotonic()
+        if self._sig is not None and now - self._last_check < self.interval:
+            return self._syn
+        self._last_check = now
+        st = os.stat(self.path)
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig != self._sig:
+            self._sig = sig
+            text = open(self.path, encoding="utf-8").read()
+            syn = SynonymDict.parse(text)
+            old_fp = self._syn.fingerprint() if self._syn else None
+            new_fp = syn.fingerprint() if syn else None
+            if new_fp != old_fp or self.reloads < 0:
+                self._syn = syn
+                self.reloads += 1
+        return self._syn
+
+
 def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   checkpoint_dir: str,
                   cfg: TokenizerConfig | None = None,
@@ -59,16 +102,35 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   n_shards_first: int = 8,
                   poll_files_per_batch: int = 64,
                   text_col: str = "content",
-                  schema=None):
+                  schema=None,
+                  dict_path: str | None = None,
+                  dict_poll_interval: float = 1.0):
     """Tail ``input_dir`` (parquet corpus files) into the index at
     ``index_dir``. Returns the StreamingQuery; callers own its
     lifecycle (``awaitTermination`` / ``stop``).
 
     First micro-batch bootstraps the index (build_index, itself
-    resumable); later ones append idempotently per batch_id (see
-    module docstring for the exact guarantees).
+    resumable) — and records the SAME ``stream-batch-<id>`` idempotence
+    tag as any other batch, so a replayed bootstrap (crash between the
+    build's meta commit and the streaming checkpoint commit) no-ops
+    instead of double-indexing batch 0. Later batches append
+    idempotently per batch_id (see module docstring).
+
+    ``dict_path`` enables live dictionary reload (the reference's
+    ``dynamic_reload`` mode): the rules file's mtime is polled before
+    every micro-batch and a changed dictionary applies to all
+    SUBSEQUENT documents — previously indexed docs keep their old
+    tokens until reindexed, exactly ES's behavior when an analyzer's
+    synonyms change (SynonymPluginTest.java:367-484: after swapping
+    東京,とうきょう → 東京,TOKYO only newly indexed docs carry the new
+    stacked tokens). ``dict_path`` and ``syn`` are mutually exclusive.
     """
     cfg = cfg or TokenizerConfig()
+    if dict_path is not None and syn is not None:
+        raise ValueError("pass either syn (pinned rules) or dict_path "
+                         "(live-reloaded rules), not both")
+    watcher = DictWatcher(dict_path, dict_poll_interval) \
+        if dict_path is not None else None
     stream = (spark.readStream
               .schema(schema or STREAM_SCHEMA)
               .option("maxFilesPerTrigger", poll_files_per_batch)
@@ -77,18 +139,19 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     def process(batch_df, batch_id: int):
         if batch_df.isEmpty():
             return
+        cur_syn = watcher.current() if watcher is not None else syn
         # drop any streaming-unsafe native ids: append assigns from keys
         bdf = batch_df.drop("doc_id")
         store = IndexStore(index_dir)
+        tag = f"stream-batch-{batch_id}"
         if (store.path / "meta.json").exists():
-            append_to_index(batch_df.sparkSession, store, bdf, syn=syn,
-                            source=f"stream-batch-{batch_id}",
-                            batch_tag=f"stream-batch-{batch_id}")
+            append_to_index(batch_df.sparkSession, store, bdf, syn=cur_syn,
+                            source=tag, batch_tag=tag,
+                            allow_dict_change=watcher is not None)
         else:
             build_index(batch_df.sparkSession, bdf, index_dir, cfg=cfg,
-                        syn=syn, n_shards=n_shards_first,
-                        text_col=text_col,
-                        source=f"stream-batch-{batch_id}")
+                        syn=cur_syn, n_shards=n_shards_first,
+                        text_col=text_col, source=tag, batch_tag=tag)
 
     return (stream.writeStream
             .foreachBatch(process)
