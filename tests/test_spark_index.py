@@ -159,6 +159,28 @@ def test_reference_hit_fixtures(spark, es_index, q, hits):
     assert (n == 1000) if hits else (n == 0), (q, n)
 
 
+@pytest.mark.parametrize("q,hits", HIT_FIXTURES)
+def test_asymmetric_query_expand_false(spark, es_index, q, hits):
+    """LUCENE-5252's documented asymmetric deployment (reference
+    README: index analyzer expand=true, query analyzer expand=false):
+    the query emits only the folded surface anchor + gap grams — no
+    stacked alternatives, no boundary partials — and matches the
+    expanded index. Same truth table as the symmetric mode
+    (SynonymPluginTest.java:149-161): the surface token matches the
+    index-side stacked tokens, and gap grams line up with the index's
+    boundary partial positions."""
+    from synspark.query import count_matches
+    syn = SynonymDict.parse(JP_DICT)
+    qcfg = TokenizerConfig(n=2, expand=False, ignore_case=True)
+    n = count_matches(spark, es_index, q, mode="and", phrase=True,
+                      syn=syn, cfg=qcfg).collect()[0]["hits"]
+    assert (n == 1000) if hits else (n == 0), (q, n)
+    # and the ranked path agrees with the count
+    k = search(spark, es_index, q, k=1000, mode="and", phrase=True,
+               syn=syn, cfg=qcfg).count()
+    assert k == n
+
+
 def test_count_matches_equals_search(spark, index, es_index):
     """count_matches (distributed per-shard counting) agrees with the
     reference truth table and with the naive scorer's cardinality."""

@@ -125,6 +125,54 @@ def test_crashed_half_append_invisible(spark, tmp_path_factory):
     assert st.docmap(spark).select("doc_id").distinct().count() == 70
 
 
+def test_stream_dict_reload(spark, tmp_path):
+    """Live dictionary reload in a long-running ingest (the reference's
+    dynamic_reload: SynonymLoader.java:55-74 polls the rule file's
+    mtime; SynonymPluginTest.java:367-484 pins the semantics): docs
+    ingested BEFORE the file change keep old tokens, docs after use the
+    new rules, and queries analyzed with the current dictionary yield
+    東京→2 / とうきょう→0 / TOKYO→2."""
+    from synspark.query import count_matches
+    from synspark.synonyms import SynonymDict
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    idx, chk = tmp_path / "idx", tmp_path / "chk"
+    rules = tmp_path / "synonym.txt"
+    rules.write_text("東京,とうきょう", encoding="utf-8")
+
+    _drop(spark, inp, 0, 1, "東京")
+    q = stream_ingest(spark, str(inp), str(idx), str(chk),
+                      cfg=TokenizerConfig(n=2, expand=True),
+                      n_shards_first=1, dict_path=str(rules),
+                      dict_poll_interval=0.1)
+    try:
+        store = IndexStore(str(idx))
+        assert _wait_docs(store, 1) == 1
+        syn1 = SynonymDict.parse("東京,とうきょう")
+
+        def hits(text, syn):
+            return count_matches(spark, store, text, mode="and",
+                                 syn=syn).collect()[0]["hits"]
+
+        assert hits("東京", syn1) == 1
+        assert hits("とうきょう", syn1) == 1
+        assert hits("TOKYO", syn1) == 0
+
+        # swap the rules file mid-stream (mtime_ns changes); the next
+        # micro-batch picks it up without any operator call
+        rules.write_text("東京,TOKYO", encoding="utf-8")
+        _drop(spark, inp, 1, 2, "東京")
+        assert _wait_docs(store, 2) == 2
+        syn2 = SynonymDict.parse("東京,TOKYO")
+        assert store.meta().dict_fingerprint == syn2.fingerprint()
+        assert hits("東京", syn2) == 2
+        assert hits("とうきょう", syn2) == 0
+        assert hits("TOKYO", syn2) == 2
+    finally:
+        q.stop()
+
+
 def test_stream_dedup_across_batches(spark, tmp_path_factory):
     """Stateful streaming exact dedup (applyInPandasWithState): each
     distinct content emitted once across micro-batches; state survives
