@@ -127,8 +127,10 @@ def q_fts_doc_lengths(spark, sf_dir):
 def q_fts_bm25_topk(spark, sf_dir):
     from synspark.query import score_naive
     store = _index(spark, sf_dir)
+    # k=200 like the WAND twin: a huge k here would land k rows on the
+    # driver through TakeOrdered at bigger sf for no benefit
     return _rounded_topk(
-        score_naive(spark, store, BM25_QUERY, k=1_000_000, mode="and"), 10)
+        score_naive(spark, store, BM25_QUERY, k=200, mode="and"), 10)
 
 
 def q_fts_wand_topk(spark, sf_dir):
@@ -136,6 +138,26 @@ def q_fts_wand_topk(spark, sf_dir):
     store = _index(spark, sf_dir)
     return _rounded_topk(
         search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
+def q_fts_compact_topk(spark, sf_dir):
+    """BM25 top-k over a COMPACTED copy of the bigram index
+    (compact_index merges the doc-range shards by pure relabeling — no
+    postings re-encode), hash-identical to fts_wand_topk by the
+    relabeling-identity claim; shares its oracle."""
+    from synspark.index_store import FORMAT_VERSION, compact_index
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    key = hashlib.md5(
+        f"{sf_dir}|compact-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    if not (out / "meta.json").exists():
+        per = max(1, store.meta().n_docs // 2)  # 4 shards -> 2
+        compact_index(spark, store, str(out), docs_per_shard=per)
+    from synspark.index_store import IndexStore
+    dst = IndexStore(str(out))
+    return _rounded_topk(
+        search(spark, dst, BM25_QUERY, k=200, mode="and"), 10)
 
 
 def q_fts_phrase_hits(spark, sf_dir):
@@ -330,17 +352,25 @@ def q_dp_ann_cosine(spark, sf_dir):
 
 
 def q_dp_ann_ivf(spark, sf_dir):
-    """IVF/LSH-bucketed ANN (scale path). Approximate by design but
+    """IVF/LSH-bucketed ANN over the PERSISTED bucket-partitioned
+    layout (write_ivf_index → ivf_topk_indexed): probing is partition
+    pruning at the parquet scan — the 100 TB shape, not an in-memory
+    filter (plan-asserted in pytest). Approximate by design but
     DETERMINISTIC (seeded hyperplanes), so the exact probe-restricted
     result has a full SQL oracle (planes inlined as literals); recall
     vs brute force is additionally asserted in pytest."""
-    from synspark.datapipe.similarity import ivf_topk, with_ivf_bucket
+    from synspark.datapipe.similarity import (ivf_topk_indexed,
+                                              write_ivf_index)
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in
           emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     dim = len(qv)
-    bucketed = with_ivf_bucket(emb.filter(F.col("vec_id") != 0), dim)
-    return ivf_topk(bucketed, qv, dim, k=10, probes=16)
+    key = hashlib.md5(f"{sf_dir}|ivf-idx-v1".encode()).hexdigest()[:12]
+    path = Path(tempfile.gettempdir()) / f"synspark_ivf_{key}"
+    if not (path / "_SUCCESS").exists():  # deterministic layout: cacheable
+        write_ivf_index(emb.filter(F.col("vec_id") != 0), str(path), dim)
+    return ivf_topk_indexed(spark, str(path), qv, dim, k=10, probes=16) \
+        .select("vec_id", "cosine")
 
 
 def q_dp_media_meta(spark, sf_dir):
@@ -380,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doc_lengths": q_fts_doc_lengths,
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_wand_topk": q_fts_wand_topk,
+        "fts_compact_topk": q_fts_compact_topk,
         "fts_phrase_hits": q_fts_phrase_hits,
         "fts_count_and": q_fts_count_and,
         "fts_count_or": q_fts_count_or,
@@ -553,6 +584,9 @@ SELECT doc_id, count(*)::INT AS dl FROM grams GROUP BY doc_id
 """,
         "fts_bm25_topk": bm25,
         "fts_wand_topk": bm25,
+        # compaction is a pure shard relabeling: same docs, same
+        # postings, same scores — the oracle IS the BM25 oracle
+        "fts_compact_topk": bm25,
         # the LUCENE-5252 boundary-expansion stream for かきいうえお with
         # dict あ,かき (reference-documented, SURVEY §3.2)
         "fts_analyze": """

@@ -2,6 +2,8 @@
 duplicates, IVF recall vs brute force, simhash properties, multimodal
 plumbing."""
 
+import re
+
 import numpy as np
 import pytest
 
@@ -209,9 +211,12 @@ def test_ivf_indexed_partition_pruning(spark, embeddings, tmp_path):
     qv = [float(x) for x in
           embeddings.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     approx = ivf_topk_indexed(spark, path, qv, dim=16, k=10, probes=32)
-    # partition pruning visible in the plan
+    # probing is PARTITION PRUNING at the scan: the bucket filter must
+    # appear in PartitionFilters (pruned before any row is read), not
+    # as a post-scan Filter
     plan = approx._jdf.queryExecution().executedPlan().toString()
-    assert "ivf_bucket" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ivf_bucket" in m.group(1), plan
     exact = {r["vec_id"] for r in
              brute_force_topk(embeddings, qv, k=10).collect()}
     got = {r["vec_id"] for r in approx.collect()}
