@@ -5,8 +5,14 @@ Workload (SPARK_GRAFT_SF_DIR, default sf0.1; local[$SPARK_GRAFT_CPUS]):
     corpus (BASELINE.md headline: docs/sec), full engine config
     (n=2, synonym dict, expand=true, positions stored)
   - bigram index build over the sf documents table
-  - BM25/WAND/phrase query latencies (p50 over repeats)
+  - BM25/WAND/phrase query latencies
   - representative datapipe ops (minhash-LSH dedup, ANN cosine)
+
+Every headline number is the MIN over $SPARK_GRAFT_BENCH_REPEATS runs
+(default 3) — min, not median: the sandbox shares a noisy host
+(±25-40% scatter documented in BENCH/BASELINE.md) and the minimum is
+the best estimate of the engine's cost with noise stripped, making
+round-over-round deltas meaningful.
 
 Scaling-efficiency evidence (north rule, N vs 4N executors) lives in
 BENCH/scaling.py — run separately, results recorded in BENCH/BASELINE.md.
@@ -16,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import tempfile
 import time
@@ -49,6 +54,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
 
+    def lat(name, fn, repeats=REPEATS):
+        """min-of-repeats (noise-stripped engine cost; see docstring)."""
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        queries[name] = round(min(ts), 3)
+        return min(ts)
+
     # -- 1. engine index build over synthetic corpus (headline) -------
     syn = SynonymDict.parse("あ,かき\n東京,とうきょう\ndata,info\nsort,order")
     cfg = TokenizerConfig(n=2, expand=True, ignore_case=True)
@@ -59,30 +74,30 @@ def main() -> None:
     generate_corpus(spark, BENCH_DOCS, partitions=CPUS * 2) \
         .write.mode("overwrite").parquet(f"{tmp}/corpus")
     corpus = spark.read.parquet(f"{tmp}/corpus")
-    t0 = time.time()
-    store = build_index(spark, corpus, f"{tmp}/idx", cfg=cfg, syn=syn,
-                        n_shards=None, source="bench", resume=False)
-    build_sec = time.time() - t0
-    queries["index_build_synthetic"] = round(build_sec, 3)
+    store = None
+
+    def build_synth():
+        nonlocal store
+        store = build_index(spark, corpus, f"{tmp}/idx", cfg=cfg, syn=syn,
+                            n_shards=None, source="bench", resume=False)
+
+    build_sec = lat("index_build_synthetic", build_synth)
 
     # -- 2. bigram index over sf documents ----------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
         .withColumnRenamed("text", "content")
-    t0 = time.time()
-    store_docs = build_index(
-        spark, docs, f"{tmp}/idx_docs",
-        cfg=TokenizerConfig(n=2, expand=False), syn=None,
-        n_shards=8, source=f"{SF_DIR}/documents", resume=False)
-    queries["index_build_documents"] = round(time.time() - t0, 3)
+    store_docs = None
+
+    def build_docs():
+        nonlocal store_docs
+        store_docs = build_index(
+            spark, docs, f"{tmp}/idx_docs",
+            cfg=TokenizerConfig(n=2, expand=False), syn=None,
+            n_shards=8, source=f"{SF_DIR}/documents", resume=False)
+
+    lat("index_build_documents", build_docs)
 
     # -- 3. query latencies -------------------------------------------
-    def lat(name, fn):
-        ts = []
-        for _ in range(REPEATS):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        queries[name] = round(statistics.median(ts), 3)
 
     lat("q_bm25_wand", lambda: search(
         spark, store_docs, "data sort merge", k=10, mode="and").collect())
@@ -110,18 +125,14 @@ def main() -> None:
         spark, store_docs, batch_texts, k=10, mode="and").collect())
 
     # -- 4. datapipe ops ----------------------------------------------
-    t0 = time.time()
-    entrymod.q_dp_minhash_lsh(spark, SF_DIR).count()
-    queries["dp_minhash_lsh"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    entrymod.q_dp_ann_cosine(spark, SF_DIR).collect()
-    queries["dp_ann_cosine"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    entrymod.q_dp_dedup_drop(spark, SF_DIR).count()
-    queries["dp_dedup_drop"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    entrymod.q_dp_simhash_dups(spark, SF_DIR).count()
-    queries["dp_simhash_dups"] = round(time.time() - t0, 3)
+    lat("dp_minhash_lsh",
+        lambda: entrymod.q_dp_minhash_lsh(spark, SF_DIR).count())
+    lat("dp_ann_cosine",
+        lambda: entrymod.q_dp_ann_cosine(spark, SF_DIR).collect())
+    lat("dp_dedup_drop",
+        lambda: entrymod.q_dp_dedup_drop(spark, SF_DIR).count())
+    lat("dp_simhash_dups",
+        lambda: entrymod.q_dp_simhash_dups(spark, SF_DIR).count())
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in SF_DIR else 0.0
