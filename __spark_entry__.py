@@ -140,6 +140,58 @@ def q_fts_wand_topk(spark, sf_dir):
         search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
 
 
+def q_fts_wand_or_topk(spark, sf_dir):
+    """Disjunctive (mode=or) ranked BM25 top-k via WAND — the classic
+    WAND setting (AND-mode is the reference fixtures' shape; OR-mode
+    was previously only count-covered)."""
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="or"), 10)
+
+
+def q_fts_fetch_sources(spark, sf_dir):
+    """ES response hydration (fetch_sources): top hits joined to the
+    docmap for document keys + content sha — the reference's search
+    responses carry _source fields (SynonymPluginTest.java:163-168)."""
+    from synspark.query import fetch_sources, search
+    store = _index(spark, sf_dir)
+    hits = _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 5) \
+        .withColumnRenamed("score_r", "score")
+    return fetch_sources(spark, store, hits).select(
+        "doc_id", "lang", "content_sha256",
+        F.col("score").alias("score_r"))
+
+
+def q_fts_explain_score(spark, sf_dir):
+    """The ES `_explain` surface: per-group BM25 breakdown for the
+    top-1 document; rows sum to the search score (ordered fold)."""
+    from synspark.query import explain_score, search
+    store = _index(spark, sf_dir)
+    top = _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 1).collect()
+    did = int(top[0]["doc_id"])
+    out = explain_score(spark, store, BM25_QUERY, did)
+    return out.select("gid", "terms", "tf", "dl",
+                      F.round("idf", 6).alias("idf_r"),
+                      F.round("gscore", 6).alias("gscore_r"))
+
+
+def q_fts_highlight(spark, sf_dir):
+    """ES plain-highlighter surface: character-offset spans of the
+    query's terms in the top-3 hits (re-analysis of the stored field,
+    ≤10 spans per doc in offset order)."""
+    from synspark.query import highlight, search
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    top3 = _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 3) \
+        .withColumnRenamed("score_r", "score")
+    return highlight(spark, store, top3, corpus, BM25_QUERY) \
+        .select("doc_id", "start", "end", "term")
+
+
 def q_fts_compact_topk(spark, sf_dir):
     """BM25 top-k over a COMPACTED copy of the bigram index
     (compact_index merges the doc-range shards by pure relabeling — no
@@ -410,7 +462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doc_lengths": q_fts_doc_lengths,
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_wand_topk": q_fts_wand_topk,
+        "fts_wand_or_topk": q_fts_wand_or_topk,
         "fts_compact_topk": q_fts_compact_topk,
+        "fts_fetch_sources": q_fts_fetch_sources,
+        "fts_explain_score": q_fts_explain_score,
+        "fts_highlight": q_fts_highlight,
         "fts_phrase_hits": q_fts_phrase_hits,
         "fts_count_and": q_fts_count_and,
         "fts_count_or": q_fts_count_or,
@@ -499,10 +555,11 @@ def _qterm_values() -> str:
                      for t in sorted(set(_query_bigrams(BM25_QUERY))))
 
 
-def _bm25_oracle() -> str:
+def _bm25_prefix() -> str:
+    """Shared CTE chain through ``scored`` (doc_id, score, ng) for the
+    benchmark query's bigrams — reused by every BM25-derived oracle."""
     terms = sorted(set(_query_bigrams(BM25_QUERY)))
     vals = ", ".join(f"('{t}')" for t in terms)
-    ng = len(terms)
     return _GRAMS_CTE + f"""
 , qterms AS (SELECT * FROM (VALUES {vals}) AS q(term))
 , tf AS (
@@ -528,9 +585,77 @@ def _bm25_oracle() -> str:
   WHERE t.term IN (SELECT term FROM qterms)
   GROUP BY t.doc_id
 )
+"""
+
+
+def _n_groups() -> int:
+    return len(set(_query_bigrams(BM25_QUERY)))
+
+
+def _bm25_oracle(mode: str = "and") -> str:
+    gate = f"WHERE ng = {_n_groups()}" if mode == "and" else ""
+    return _bm25_prefix() + f"""
 SELECT doc_id, round(score, 6) AS score_r FROM scored
-WHERE ng = {ng}
+{gate}
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
+def _fetch_sources_oracle() -> str:
+    return _bm25_prefix() + f"""
+, top AS (
+  SELECT doc_id, round(score, 6) AS score_r FROM scored
+  WHERE ng = {_n_groups()}
+  ORDER BY round(score, 6) DESC, doc_id LIMIT 5
+)
+SELECT t.doc_id, d.lang, sha256(d.text) AS content_sha256, t.score_r
+FROM top t JOIN documents d USING (doc_id)
+"""
+
+
+def _explain_oracle() -> str:
+    gid_vals = ", ".join(f"({i}, '{t}')"
+                         for i, t in enumerate(_query_bigrams(BM25_QUERY)))
+    return _bm25_prefix() + f"""
+, top1 AS (
+  SELECT doc_id FROM scored WHERE ng = {_n_groups()}
+  ORDER BY round(score, 6) DESC, doc_id LIMIT 1
+), qmap AS (SELECT * FROM (VALUES {gid_vals}) AS q(gid, term))
+SELECT m.gid, m.term AS terms, t.tf::BIGINT AS tf, l.dl::BIGINT AS dl,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf_r,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf /
+             (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)), 6)
+         AS gscore_r
+FROM qmap m
+JOIN tf t ON t.term = m.term AND t.doc_id = (SELECT doc_id FROM top1)
+JOIN dl l ON l.doc_id = t.doc_id
+JOIN dfs d ON d.term = m.term
+CROSS JOIN stats s
+"""
+
+
+def _highlight_oracle() -> str:
+    """Spans of the query bigrams in the top-3 docs: a bigram token
+    exists exactly at the character positions where the 2-char window
+    equals the term (windows crossing a block boundary contain a
+    delimiter and can never equal a delimiter-free term), capped at 10
+    spans per doc in offset order — the engine's re-analysis cap."""
+    return _bm25_prefix() + f"""
+, top3 AS (
+  SELECT doc_id FROM scored WHERE ng = {_n_groups()}
+  ORDER BY round(score, 6) DESC, doc_id LIMIT 3
+), chars AS (
+  SELECT d.doc_id, unnest(generate_series(1, length(d.text) - 1)) AS i,
+         d.text
+  FROM documents d JOIN top3 USING (doc_id)
+), spans AS (
+  SELECT doc_id, (i - 1)::INT AS start, (i + 1)::INT AS "end",
+         substr(text, i, 2) AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM chars
+  WHERE substr(text, i, 2) IN (SELECT term FROM qterms)
+)
+SELECT doc_id, start, "end", term FROM spans WHERE rn <= 10
 """
 
 
@@ -584,9 +709,13 @@ SELECT doc_id, count(*)::INT AS dl FROM grams GROUP BY doc_id
 """,
         "fts_bm25_topk": bm25,
         "fts_wand_topk": bm25,
+        "fts_wand_or_topk": _bm25_oracle(mode="or"),
         # compaction is a pure shard relabeling: same docs, same
         # postings, same scores — the oracle IS the BM25 oracle
         "fts_compact_topk": bm25,
+        "fts_fetch_sources": _fetch_sources_oracle(),
+        "fts_explain_score": _explain_oracle(),
+        "fts_highlight": _highlight_oracle(),
         # the LUCENE-5252 boundary-expansion stream for かきいうえお with
         # dict あ,かき (reference-documented, SURVEY §3.2)
         "fts_analyze": """

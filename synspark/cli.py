@@ -63,12 +63,37 @@ def main(argv=None):
     v.add_argument("--index", required=True)
     v.add_argument("--input", required=True)
 
+    c = sub.add_parser("count", help="total hit count (assertDocCount "
+                       "idiom) — distributed, no candidate collection")
+    c.add_argument("--index", required=True)
+    c.add_argument("--text", required=True)
+    c.add_argument("--mode", choices=["and", "or"], default="and")
+    c.add_argument("--phrase", action="store_true")
+    _add_common(c)
+
     ap_add = sub.add_parser("append", help="append new docs to an index")
     ap_add.add_argument("--index", required=True)
     ap_add.add_argument("--input", required=True)
     ap_add.add_argument("--batch-tag", help="idempotence tag: a tag "
                         "already committed makes this a no-op")
+    ap_add.add_argument("--allow-dict-change", action="store_true",
+                        help="accept changed synonym rules (ES reload "
+                        "semantics: old docs keep old tokens)")
     _add_common(ap_add)
+
+    st = sub.add_parser("stream", help="tail a parquet directory into "
+                        "an index (Structured Streaming foreachBatch)")
+    st.add_argument("--input", required=True)
+    st.add_argument("--index", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--shards-first", type=int, default=8)
+    st.add_argument("--files-per-batch", type=int, default=64)
+    st.add_argument("--dict-path", help="live-reloaded rules file "
+                    "(polled per micro-batch, the reference's "
+                    "dynamic_reload); mutually exclusive with --synonyms")
+    st.add_argument("--timeout", type=float, default=None,
+                    help="stop after N seconds (default: run forever)")
+    _add_common(st)
 
     ap_cmp = sub.add_parser("compact",
                             help="merge small shards into a new index")
@@ -117,13 +142,33 @@ def main(argv=None):
                                    IndexStore(args.index))
             print(json.dumps({"sha_mismatches": n}))
             return 0 if n == 0 else 1
+        elif args.cmd == "count":
+            from .index_store import IndexStore
+            from .query import count_matches
+            n = count_matches(spark, IndexStore(args.index), args.text,
+                              mode=args.mode, phrase=args.phrase,
+                              syn=_load_syn(args)).collect()[0]["hits"]
+            print(n)
         elif args.cmd == "append":
             from .index_store import IndexStore, append_to_index
             store = append_to_index(
                 spark, IndexStore(args.index),
                 spark.read.parquet(args.input), syn=_load_syn(args),
-                source=args.input, batch_tag=args.batch_tag)
+                source=args.input, batch_tag=args.batch_tag,
+                allow_dict_change=args.allow_dict_change)
             print(json.dumps({"meta": store.meta().__dict__}))
+        elif args.cmd == "stream":
+            from .streaming import stream_ingest
+            q = stream_ingest(
+                spark, args.input, args.index, args.checkpoint, cfg=cfg,
+                syn=_load_syn(args), n_shards_first=args.shards_first,
+                poll_files_per_batch=args.files_per_batch,
+                dict_path=args.dict_path)
+            if args.timeout:
+                q.awaitTermination(args.timeout)
+                q.stop()
+            else:
+                q.awaitTermination()
         elif args.cmd == "compact":
             from .index_store import IndexStore, compact_index
             store = compact_index(spark, IndexStore(args.index),

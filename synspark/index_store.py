@@ -459,7 +459,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
                     docs_per_shard: int | None = None,
                     source: str = "<append>",
                     batch_tag: str | None = None,
-                    allow_dict_change: bool = False) -> IndexStore:
+                    allow_dict_change: bool = False,
+                    fold_stats_every: int = 64) -> IndexStore:
     """Incrementally add documents: new docs get ids starting at the
     current N and become NEW shards appended after the existing ones —
     existing segment partitions are untouched (the doc-range sharding
@@ -470,7 +471,12 @@ def append_to_index(spark: SparkSession, store: IndexStore,
       partition (pure partition append);
     - termstats: the new shards' (term, df, cf) DELTA lands in a new
       batch partition; readers merge-on-read (df/cf are sums). Nothing
-      ever re-aggregates the existing shards;
+      ever re-aggregates the existing shards. Once the committed delta
+      count exceeds ``fold_stats_every`` the append also folds all
+      termstats partitions into one (an O(vocab) aggregation of the
+      SMALL stats table — never the segments), so the reader-side merge
+      and the committed-partition list stay bounded under continuous
+      ingest: amortized cost O(vocab / fold_stats_every) per batch;
     - avgdl: meta carries exact integer ``total_dl``; the append adds
       the delta sum, so avgdl == a full rebuild's bit-for-bit.
 
@@ -640,6 +646,23 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     stats_batches = list(meta.stats_batches)
     if batch_part not in stats_batches:
         stats_batches.append(batch_part)
+    if len(stats_batches) > fold_stats_every:
+        # fold every committed delta + this batch's into ONE partition.
+        # Deterministic name + dynamic overwrite => retry-safe; the fold
+        # only becomes visible through the meta commit below. Old delta
+        # dirs become unreferenced garbage, reclaimed by compact_index.
+        fold_part = f"fold-at-{n_docs}"
+        ts_dir = str(store.path / "termstats")
+        (spark.read.parquet(ts_dir)
+         .filter(F.col("batch").isin(stats_batches))
+         .groupBy("term")
+         .agg(F.sum("df").cast("long").alias("df"),
+              F.sum("cf").cast("long").alias("cf"))
+         .withColumn("batch", F.lit(fold_part))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(ts_dir))
+        stats_batches = [fold_part]
     store._write_meta(IndexMeta(
         build_id=build_id, n_docs=n_docs,
         avgdl=(total_dl / n_docs) if (n_docs and total_dl) else 1.0,

@@ -71,6 +71,53 @@ def test_append_stats_inputs_are_new_shards_only(spark, tmp_path_factory):
     assert len(ds_a) == 90 and len({d for d, _ in ds_a}) == 90
 
 
+def test_append_stats_fold(spark, tmp_path_factory):
+    """Continuous ingest keeps the reader-side merge bounded: once the
+    delta count passes fold_stats_every, the append folds every
+    committed termstats partition into one (O(vocab) on the small
+    table, never the segments) — values unchanged."""
+    out = tmp_path_factory.mktemp("fold") / "index"
+    st = build_index(spark, mk(spark, 0, 30), str(out), cfg=CFG,
+                     n_shards=2, source="base")
+    for i in range(3):
+        st = append_to_index(spark, st, mk(spark, 30 + 10 * i, 40 + 10 * i),
+                             batch_tag=f"f{i}", fold_stats_every=2)
+    # 2nd append tripped the fold (at n=50); 3rd added one delta on top
+    assert st.meta().stats_batches == ["fold-at-50", "f2"]
+    out2 = tmp_path_factory.mktemp("foldfull") / "index"
+    full = build_index(spark, mk(spark, 0, 60), str(out2), cfg=CFG,
+                       n_shards=2, source="full")
+    a = {tuple(r) for r in st.termstats(spark).collect()}
+    b = {tuple(r) for r in full.termstats(spark).collect()}
+    assert a == b
+    # the next append folds again — the list stays bounded forever
+    st = append_to_index(spark, st, mk(spark, 60, 70), batch_tag="f3",
+                         fold_stats_every=2)
+    assert st.meta().n_docs == 70
+    assert st.meta().stats_batches == ["fold-at-70"]
+
+
+def test_termstats_read_pushes_filters(spark, tmp_path_factory):
+    """Merge-on-read termstats must stay cheap for term-filtered reads
+    (the only hot-path consumer, term_dfs): the term predicate pushes
+    THROUGH the per-batch aggregate to the parquet scan, and the
+    committed-batch gate is a partition filter."""
+    out = tmp_path_factory.mktemp("tspush") / "index"
+    st = build_index(spark, mk(spark, 0, 40), str(out), cfg=CFG,
+                     n_shards=2, source="push")
+    st = append_to_index(spark, st, mk(spark, 40, 60), source="a")
+    df = st.termstats(spark).filter(F.col("term") == "al")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(term,al\)", plan), \
+        plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "batch" in m.group(1), plan
+    # and the merged value is correct: 'al' (from "alpha") appears in
+    # every id%3 in {0,1} doc — 40 of the 60 docs across both batches
+    got = {r["term"]: (r["df"], r["cf"]) for r in df.collect()}
+    assert got["al"] == (40, 40)
+
+
 # ---------------------------------------------------------------------
 # commit protocol (round-2 advice 1 + 3)
 # ---------------------------------------------------------------------
