@@ -425,6 +425,29 @@ def q_dp_ann_ivf(spark, sf_dir):
         .select("vec_id", "cosine")
 
 
+def q_dp_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (semantic dedup) over
+    embeddings + injected near-clones (first 20 vectors at id+10^6
+    with +0.1 on component 0 — the embeddings are unit-norm, so every
+    injected pair has cosine ≥ 0.994 while the background pair max is
+    ~0.5): LSH-bucket candidate join (seeded hyperplanes — never
+    all-pairs), exact cosine ≥ 0.9 verification. Deterministic end to
+    end — full SQL oracle. A pair whose clone crosses a hyperplane
+    lands in another bucket and is (identically, in both engines)
+    not a candidate — the standard single-probe LSH recall trade."""
+    from synspark.datapipe.dedup import embedding_near_dups
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(emb.select("embedding").first()[0])
+    pert = (emb.filter(F.col("vec_id") < 20)
+            .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+                    F.concat(
+                        F.array(F.col("embedding")[0] + F.lit(0.1)),
+                        F.expr("slice(embedding, 2, size(embedding) - 1)"))
+                    .alias("embedding")))
+    return embedding_near_dups(emb.unionByName(pert), dim, threshold=0.9)
+
+
 def q_dp_media_meta(spark, sf_dir):
     from synspark.datapipe.multimodal import as_media, decode_media
     media = as_media(_docs(spark, sf_dir))
@@ -486,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_simhash_dups": q_dp_simhash_dups,
         "dp_ann_cosine": q_dp_ann_cosine,
         "dp_ann_ivf": q_dp_ann_ivf,
+        "dp_embedding_dups": q_dp_embedding_dups,
         "dp_media_meta": q_dp_media_meta,
         "dp_media_features": q_dp_media_features,
         "dp_resize_plan": q_dp_resize_plan,
@@ -659,21 +683,28 @@ SELECT doc_id, start, "end", term FROM spans WHERE rn <= 10
 """
 
 
+def _plane_cases(col: str, dim: int = 64, n_planes: int = 6) -> str:
+    """The IVF/LSH bucket id as inline SQL: sign-bit sum against the
+    seeded hyperplanes (DuckDB's sequential list_dot_product matches
+    Spark's ordered fold — 0 sign mismatches over the test
+    embeddings)."""
+    from synspark.datapipe.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({col}, "
+        f"[{','.join(repr(float(x)) for x in planes[i])}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)" for i in range(n_planes))
+
+
 def _ivf_oracle(dim: int = 64, n_planes: int = 6, probes: int = 16) -> str:
     """IVF bucketing is deterministic (seeded hyperplanes), so the
     whole approximate path is SQL-expressible: the plane vectors are
-    inlined as literals, bucket = the same sign-bit sum (DuckDB's
-    sequential list_dot_product matches Spark's ordered fold — 0 sign
-    mismatches over the test embeddings), the probe set is the same
-    (hamming, bucket)-ranked top-``probes`` computed in SQL."""
-    from synspark.datapipe.similarity import _hyperplanes
-    planes = _hyperplanes(dim, n_planes)
+    inlined as literals, bucket = the same sign-bit sum, the probe set
+    is the same (hamming, bucket)-ranked top-``probes`` computed in
+    SQL."""
 
     def cases(col: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({col}, "
-            f"[{','.join(repr(float(x)) for x in planes[i])}]) >= 0 "
-            f"THEN {1 << i} ELSE 0 END)" for i in range(n_planes))
+        return _plane_cases(col, dim, n_planes)
 
     cos = ("list_dot_product(b.v, q.qv) / (sqrt(list_dot_product(b.v, b.v))"
            " * sqrt(list_dot_product(q.qv, q.qv)))")
@@ -1118,4 +1149,22 @@ SELECT media_id,
 FROM v
 """,
         "dp_ann_ivf": _ivf_oracle(),
+        "dp_embedding_dups": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, [v[1] + 0.1] || v[2:] FROM base
+  WHERE vec_id < 20
+), b AS (
+  SELECT vec_id, v, {_plane_cases('v')} AS bucket FROM aug
+), p AS (
+  SELECT b1.vec_id AS a, b2.vec_id AS b,
+         list_dot_product(b1.v, b2.v) /
+           (sqrt(list_dot_product(b1.v, b1.v)) *
+            sqrt(list_dot_product(b2.v, b2.v))) AS c
+  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+)
+SELECT a, b, round(c, 6) AS cosine FROM p WHERE c >= 0.9
+""",
     }

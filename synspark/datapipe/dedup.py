@@ -208,6 +208,46 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
             .groupBy(id_col).agg(F.min("reason").alias("reason")))
 
 
+def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
+                        n_planes: int = 6, seed: int = 42,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup stage
+    of a training pipeline (near-identical docs that lexical dedup
+    misses). Candidates are pairs sharing an LSH hyperplane bucket
+    (deterministic seeded planes, same family as the ANN IVF layout),
+    verified by exact cosine ≥ threshold. The join is bucket-equal, so
+    cost is bounded by bucket populations (~N/2^n_planes expected),
+    never all-pairs; raise ``n_planes`` as N grows. Recall trade-off:
+    a pair split across buckets is missed — standard multi-probe LSH;
+    probes can be added by unioning neighbor-bucket keys.
+
+    Pure built-in expressions (zip_with/aggregate left folds — the
+    same sequential dot product DuckDB's list_dot_product computes, so
+    the operator is exactly SQL-mirrorable for the oracle)."""
+    from .similarity import with_ivf_bucket
+    d = df.select(F.col(id_col),
+                  F.col(vec_col).cast("array<double>").alias(vec_col))
+    # bucket expr is n_planes folded dot products; referenced by both
+    # join sides — truncate lineage instead of recomputing/persisting
+    b = with_ivf_bucket(d, dim, n_planes, seed, vec_col).localCheckpoint()
+    left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                    "ivf_bucket")
+    right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                     "ivf_bucket")
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (left.join(right, "ivf_bucket")
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("cosine", dot / (na * nb))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word unigrams (Charikar): sign of the

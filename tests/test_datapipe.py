@@ -155,6 +155,26 @@ def test_ivf_recall(spark, embeddings):
     assert full == exact
 
 
+def test_embedding_near_dups(spark, embeddings):
+    """Semantic dedup: injected near-clones are found via the LSH
+    bucket join + exact cosine verify; random background pairs are
+    never false positives."""
+    from synspark.datapipe.dedup import embedding_near_dups
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    clones = (base.filter(F.col("vec_id") < 15)
+              .select((F.col("vec_id") + F.lit(10_000)).alias("vec_id"),
+                      "embedding"))  # exact clones: cosine == 1.0
+    pairs = embedding_near_dups(base.unionByName(clones), dim=16,
+                                threshold=0.9).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    # identical vectors always share every bucket -> all 15 found
+    assert {(i, i + 10_000) for i in range(15)} <= got
+    # nothing else crosses 0.9 on random gaussian vectors
+    assert got == {(i, i + 10_000) for i in range(15)}
+    assert all(r["cosine"] == 1.0 for r in pairs)
+
+
 def test_multimodal_plumbing(spark, docs):
     media = as_media(docs.filter(F.col("doc_id") != 8))
     decoded = decode_media(media)
