@@ -107,10 +107,17 @@ def idf(n_docs: int, df: int) -> float:
 
 def plan_query(spark: SparkSession, store: IndexStore, text: str,
                syn: SynonymDict | None = None,
-               cfg: TokenizerConfig | None = None) -> QueryPlan:
+               cfg: TokenizerConfig | None = None,
+               groups: list[list[str]] | None = None) -> QueryPlan:
+    """``groups`` overrides query analysis with pre-built per-position
+    alternative groups — the hook for analyzers the index tokenizer
+    doesn't express (e.g. the reference's msg2 shape: plain ngram
+    tokenizer + synonym token FILTER at query time; build groups with
+    synfilter.analyze_query_filtered)."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
-    groups = analyze_query(text, cfg, syn)
+    if groups is None:
+        groups = analyze_query(text, cfg, syn)
     terms = sorted({t for g in groups for t in g})
     dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
     idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
@@ -394,7 +401,8 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
 def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            mode: str = "and", phrase: bool = False,
            syn: SynonymDict | None = None,
-           cfg: TokenizerConfig | None = None) -> DataFrame:
+           cfg: TokenizerConfig | None = None,
+           groups: list[list[str]] | None = None) -> DataFrame:
     """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
@@ -402,7 +410,7 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     if phrase and not store.meta().store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
-    plan = plan_query(spark, store, text, syn, cfg)
+    plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
 
@@ -696,7 +704,8 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
 def count_matches(spark: SparkSession, store: IndexStore, text: str,
                   mode: str = "and", phrase: bool = False,
                   syn: SynonymDict | None = None,
-                  cfg: TokenizerConfig | None = None) -> DataFrame:
+                  cfg: TokenizerConfig | None = None,
+                  groups: list[list[str]] | None = None) -> DataFrame:
     """Total hit count (the reference's query-then-read-total idiom,
     SynonymPluginTest.java:149-169) as a DISTRIBUTED aggregate: each
     shard worker counts its matches (applyInPandas), partials sum in a
@@ -707,7 +716,7 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
     if phrase and not store.meta().store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
-    plan = plan_query(spark, store, text, syn, cfg)
+    plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")
 

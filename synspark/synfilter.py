@@ -140,6 +140,34 @@ def expand_tokens(words: list, syn: SynonymDict,
     return out
 
 
+def analyze_query_filtered(text: str, cfg, syn: SynonymDict,
+                           ignore_case: bool = False,
+                           entry_tokenizer: Callable[[str], list[str]]
+                           | None = None) -> list[list[str]]:
+    """Query analysis for the reference's msg2 analyzer shape — a
+    plain tokenizer followed by the synonym token FILTER
+    (SynonymPluginTest.java:92-99: ``2gram_analyzer`` = nGram(2,2) +
+    synonym filter). Tokenizes ``text`` with ``cfg`` (use
+    ``TokenizerConfig(emit_short_blocks=False)`` for ES nGram parity:
+    a 1-char query analyzes to NOTHING, so e.g. msg2:"あ" counts 0,
+    SynonymPluginTest.java:162), runs the filter over the token
+    stream, and groups the expanded words by position — per-position
+    alternative groups for ``search(..., groups=)`` /
+    ``count_matches(..., groups=)``."""
+    from .tokenizer import tokenize
+    words = [(w, pi) for w, _s, _e, pi in tokenize(text, cfg, None)]
+    expanded = expand_tokens(words, syn, ignore_case, entry_tokenizer)
+    groups: list[list[str]] = []
+    pos = -1
+    for w, pi, _pl in expanded:
+        pos += pi
+        while len(groups) <= pos:
+            groups.append([])
+        if w not in groups[pos]:
+            groups[pos].append(w)
+    return [g for g in groups if g]
+
+
 def phrase_match(stream: list, phrase: list[str]) -> bool:
     """Does the expanded token graph contain ``phrase`` along
     consecutive graph edges? A token occupies graph span

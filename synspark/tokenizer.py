@@ -42,12 +42,20 @@ Token = tuple
 @dataclass(frozen=True)
 class TokenizerConfig:
     """Settings of the analysis component (NGramSynonymTokenizerFactory
-    .java:26-31): n, delimiters, expand, ignore_case."""
+    .java:26-31): n, delimiters, expand, ignore_case.
+
+    ``emit_short_blocks=True`` (default) is LUCENE-5252 behavior: a
+    block/gap shorter than n emits one whole-span token
+    (NGramSynonymTokenizer.java:291-295). False gives ES
+    ``nGram(min_gram=n, max_gram=n)`` parity — short runs emit nothing
+    — needed to reproduce the reference's msg2 analyzer (plain 2gram +
+    synonym token FILTER, SynonymPluginTest.java:92-99)."""
 
     n: int = DEFAULT_N
     delimiters: str = DEFAULT_DELIMITERS
     expand: bool = True
     ignore_case: bool = True
+    emit_short_blocks: bool = True
 
 
 @lru_cache(maxsize=64)
@@ -82,7 +90,8 @@ _SEQ_GRAM = 1 << 31  # Integer.MAX_VALUE stand-in: gram tokens sort after stacke
 
 
 def _tokenize_block(block: str, n: int, expand: bool, ignore_case: bool,
-                    syn: SynonymDict | None) -> list:
+                    syn: SynonymDict | None,
+                    emit_short: bool = True) -> list:
     """Tokenize one block; returns [(word, start, end, pos_inc)] with
     block-local offsets."""
     matches = _find_matches(block, syn) if syn is not None else []
@@ -91,7 +100,7 @@ def _tokenize_block(block: str, n: int, expand: bool, ignore_case: bool,
     if not matches:
         # fast path: pure sliding window (:284-301 with no anchors)
         if L < n:
-            return [(block, 0, L, 1)]
+            return [(block, 0, L, 1)] if emit_short else []
         return [(block[i:i + n], i, i + n, 1) for i in range(L - n + 1)]
 
     toks: list = []  # (start, end, neg_pos_inc, seq, ins, word)
@@ -108,7 +117,8 @@ def _tokenize_block(block: str, n: int, expand: bool, ignore_case: bool,
             return
         pos_inc = 0 if after_produced else 1
         if end - start < n:
-            add(block[start:end], start, end, pos_inc)
+            if emit_short:
+                add(block[start:end], start, end, pos_inc)
             return
         for i in range(start, end - n + 1):
             add(block[i:i + n], i, i + n, pos_inc)
@@ -179,8 +189,10 @@ def tokenize(text: str, cfg: TokenizerConfig = TokenizerConfig(),
     char offsets (blk_start + local, :150-157)."""
     out: list = []
     n, expand, ignore_case = cfg.n, cfg.expand, cfg.ignore_case
+    emit_short = cfg.emit_short_blocks
     for blk_start, block in blocks(text, cfg.delimiters):
-        for word, s, e, pi in _tokenize_block(block, n, expand, ignore_case, syn):
+        for word, s, e, pi in _tokenize_block(block, n, expand,
+                                              ignore_case, syn, emit_short):
             out.append((word, blk_start + s, blk_start + e, pi))
     return out
 

@@ -181,6 +181,46 @@ def test_asymmetric_query_expand_false(spark, es_index, q, hits):
     assert k == n
 
 
+# msg2 truth table (SynonymPluginTest.java:162-168): the SECOND
+# analyzer deployment — plain nGram(2,2) tokenizer + synonym token
+# FILTER. The bigram index holds no dictionary surfaces, so a filtered
+# query matches only via its literal bigrams: 1-char queries analyze
+# to NOTHING (ES nGram drops short runs) and かき expands to whole
+# dictionary words that don't exist as index terms.
+MSG2_FIXTURES = [
+    ("あ", False), ("あい", True), ("あいう", True), ("あいうえ", True),
+    ("あいうえお", True), ("か", False), ("かき", False),
+]
+
+
+def test_msg2_filter_analyzer_truth_table(spark, tmp_path_factory):
+    from synspark.query import count_matches
+    from synspark.synfilter import analyze_query_filtered
+    docs = spark.range(100).select(
+        F.concat(F.lit("m"), F.col("id")).alias("repo"),
+        F.lit("f").alias("path"), F.col("id").cast("string").alias("commit"),
+        F.lit("t").alias("lang"), F.lit("あいうえお").alias("content"))
+    out = tmp_path_factory.mktemp("msg2") / "index"
+    idx = build_index(spark, docs, str(out),
+                      cfg=TokenizerConfig(n=2, expand=False),
+                      n_shards=2, source="msg2")
+    syn = SynonymDict.parse(JP_DICT)
+    qcfg = TokenizerConfig(n=2, expand=False, emit_short_blocks=False)
+    for q, hits in MSG2_FIXTURES:
+        groups = analyze_query_filtered(q, qcfg, syn)
+        n = count_matches(spark, idx, q, phrase=True,
+                          groups=groups).collect()[0]["hits"]
+        assert (n == 100) if hits else (n == 0), (q, n)
+    # the ranked path agrees on a hit and a miss
+    from synspark.query import search
+    assert search(spark, idx, "あいう", k=200, phrase=True,
+                  groups=analyze_query_filtered("あいう", qcfg, syn)) \
+        .count() == 100
+    assert search(spark, idx, "かき", k=200, phrase=True,
+                  groups=analyze_query_filtered("かき", qcfg, syn)) \
+        .count() == 0
+
+
 def test_count_matches_equals_search(spark, index, es_index):
     """count_matches (distributed per-shard counting) agrees with the
     reference truth table and with the naive scorer's cardinality."""
