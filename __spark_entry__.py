@@ -306,6 +306,13 @@ def q_dp_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_dp_subword_counts(spark, sf_dir):
+    """BPE-ish (GPT-2 pre-tokenizer) subword counts — the token-budget
+    estimate; lookahead-free regex shared verbatim with the oracle."""
+    from synspark.datapipe.textstats import subword_counts
+    return subword_counts(_docs(spark, sf_dir))
+
+
 def q_dp_quality(spark, sf_dir):
     from synspark.datapipe.textstats import quality_scores
     return quality_scores(_docs(spark, sf_dir))
@@ -498,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_synfilter": q_fts_synfilter,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
+        "dp_subword_counts": q_dp_subword_counts,
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprints": q_dp_fingerprints,
@@ -787,6 +795,14 @@ FROM aug GROUP BY md5(text) HAVING count(*) > 1
         "dp_token_counts": _WORDS_CTE + """
 SELECT doc_id, len(ws)::INT AS n_tokens, length(text)::INT AS n_chars,
        strlen(text)::INT AS n_bytes
+FROM words
+""",
+        "dp_subword_counts": _WORDS_CTE + r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       ))::INT AS n_subwords,
+       len(ws)::INT AS n_words
 FROM words
 """,
         "dp_quality": _WORDS_CTE + """

@@ -30,6 +30,27 @@ def token_counts(df: DataFrame, text_col: str = "text",
     )
 
 
+# GPT-2-style pre-tokenizer (BPE front end), lookahead-free so the
+# same pattern runs under Java regex (Spark) and RE2 (DuckDB oracle) —
+# both leftmost-first alternation, ASCII \s, Unicode \p{L}/\p{N}
+BPE_RE = ("'s|'t|'re|'ve|'m|'ll|'d"
+          "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+
+def subword_counts(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token estimate per doc — the budget number an LLM
+    pretraining pipeline actually plans with (subword count tracks BPE
+    vocab tokenization far better than whitespace words). Pure built-in
+    regexp_extract_all: codegen, no UDF."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_subwords"),
+        F.size(_words(F.col(text_col))).alias("n_words"),
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: mean word length, stopword ratio,
