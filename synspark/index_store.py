@@ -217,7 +217,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 text_col: str = "content",
                 source: str = "<dataframe>",
                 resume: bool = True,
-                batch_tag: str | None = None) -> IndexStore:
+                batch_tag: str | None = None,
+                token_filter=None) -> IndexStore:
     """End-to-end resumable index build.
 
     Stage A (docmap + docstats + meta), then stage B (segments shard by
@@ -237,6 +238,17 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     ``n_shards=None`` auto-sizes shards by data volume (~12.5k docs ≈
     ~2M tokens per encode worker), floored at 4x parallelism —
     deterministic in n_docs, so resumes agree.
+
+    ``token_filter`` composes a whole-doc token-stream transform after
+    the tokenizer — the reference's SECOND analyzer shape (plain ngram
+    tokenizer + synonym token FILTER, e.g.
+    ``synfilter.synonym_token_filter(syn, entry_tokenizer=...)``,
+    SynonymPluginTest.java:488-626). The filter is analyzer CONFIG, not
+    index data (exactly ES): it is not recorded in meta, and the caller
+    passes the current filter to every append/query — query side via
+    ``search(..., groups=synfilter.analyze_query_filtered(...))``.
+    Positions are stored; posLength graphs are flattened to positions
+    (MultiPhraseQuery-equivalent for single-token-per-entry rules).
 
     ``batch_tag`` records an idempotence tag in the final meta commit —
     used by the streaming sink's BOOTSTRAP micro-batch so a replay
@@ -299,7 +311,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     # term layout needs docstats (dl) BEFORE encoding; doc layout emits
     # dl in-pass as pseudo-term rows and derives docstats afterwards
     if layout == "term" and not (resume and (store.path / "docstats").exists()):
-        (build_doc_stats(tokenize_corpus(docs, cfg, syn, text_col=text_col))
+        (build_doc_stats(tokenize_corpus(docs, cfg, syn, text_col=text_col,
+                                         token_filter=token_filter))
          .withColumn("batch", F.lit(INITIAL_BATCH))
          .write.mode("overwrite").partitionBy("batch")
          .parquet(str(store.path / "docstats")))
@@ -312,14 +325,15 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         if layout == "doc":
             segs = build_segments_maponly(
                 docs, cfg, syn, n_docs=n_docs, n_shards=n_shards,
-                store_positions=store_positions, text_col=text_col)
+                store_positions=store_positions, text_col=text_col,
+                token_filter=token_filter)
             if len(missing) < n_shards:
                 segs = segs.filter(F.col("shard").isin(missing))
             # already partitioned by shard + term-sorted by the worker
             write_df = segs
         else:
-            tokens = tokenize_corpus(docs, cfg, syn,
-                                     text_col=text_col).persist()
+            tokens = tokenize_corpus(docs, cfg, syn, text_col=text_col,
+                                     token_filter=token_filter).persist()
             tokens.count()  # materialize before the big-batch conf below
             doc_stats = spark.read.parquet(str(store.path / "docstats")) \
                 .select("doc_id", "dl")
@@ -461,7 +475,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
                     source: str = "<append>",
                     batch_tag: str | None = None,
                     allow_dict_change: bool = False,
-                    fold_stats_every: int = 64) -> IndexStore:
+                    fold_stats_every: int = 64,
+                    token_filter=None) -> IndexStore:
     """Incrementally add documents: new docs get ids starting at the
     current N and become NEW shards appended after the existing ones —
     existing segment partitions are untouched (the doc-range sharding
@@ -562,7 +577,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     shifted = docs.withColumn("doc_id", F.col("doc_id") - F.lit(old_n))
     segs = build_segments_maponly(
         shifted, cfg, syn, n_docs=n_new, n_shards=add_shards,
-        store_positions=meta.store_positions, text_col=meta.text_col)
+        store_positions=meta.store_positions, text_col=meta.text_col,
+        token_filter=token_filter)
     segs = (segs
             .withColumn("shard", F.col("shard") + F.lit(old_shards))
             .withColumn("first_doc", F.col("first_doc") + F.lit(old_n))

@@ -81,38 +81,52 @@ class _Interner:
     """Per-worker token interning: block -> (term-id array, pos-inc
     array), memoized. Keeps the hot path in int numpy arrays instead of
     per-token Python strings (string churn is memory-bandwidth bound
-    and kills >8-way scaling)."""
+    and kills >8-way scaling).
 
-    def __init__(self, cfg_tuple, syn):
+    ``token_filter`` (a whole-doc token-stream transform, e.g.
+    synfilter.synonym_token_filter) switches to a per-DOCUMENT path:
+    filter matches may span block boundaries, so block-level
+    memoization doesn't apply — the filtered stream is memoized per
+    text instead (repeated docs still hit the cache)."""
+
+    def __init__(self, cfg_tuple, syn, token_filter=None):
         self.cfg_tuple = cfg_tuple
         self.syn = syn
+        self.token_filter = token_filter
         self.vocab: dict = {}
         self.vlist: list = []
         self.cache: dict = {}
+        self.doc_cache: dict = {}
+
+    def _intern(self, toks):
+        tids = np.empty(len(toks), dtype=np.int32)
+        pincs = np.empty(len(toks), dtype=np.int32)
+        vocab, vlist = self.vocab, self.vlist
+        for j, (w, _s, _e, pi) in enumerate(toks):
+            tid = vocab.get(w)
+            if tid is None:
+                tid = len(vlist)
+                vocab[w] = tid
+                vlist.append(w)
+            tids[j] = tid
+            pincs[j] = pi
+        return tids, pincs
 
     def block_ids(self, block: str):
         ent = self.cache.get(block)
         if ent is None:
-            n, expand, ignore_case, _ = self.cfg_tuple
-            toks = _tokenize_block(block, n, expand, ignore_case, self.syn)
-            tids = np.empty(len(toks), dtype=np.int32)
-            pincs = np.empty(len(toks), dtype=np.int32)
-            vocab, vlist = self.vocab, self.vlist
-            for j, (w, _s, _e, pi) in enumerate(toks):
-                tid = vocab.get(w)
-                if tid is None:
-                    tid = len(vlist)
-                    vocab[w] = tid
-                    vlist.append(w)
-                tids[j] = tid
-                pincs[j] = pi
-            ent = (tids, pincs)
+            n, expand, ignore_case, _, emit_short = self.cfg_tuple
+            toks = _tokenize_block(block, n, expand, ignore_case, self.syn,
+                                   emit_short)
+            ent = self._intern(toks)
             if len(self.cache) < 65536:
                 self.cache[block] = ent
         return ent
 
     def doc_ids(self, text: str):
         """-> (tid array, position array, dl) for one document."""
+        if self.token_filter is not None:
+            return self._doc_ids_filtered(text)
         delims = self.cfg_tuple[3]
         tid_parts, pinc_parts = [], []
         for _bs, block in blocks(text, delims):
@@ -125,40 +139,81 @@ class _Interner:
         pos = np.cumsum(np.concatenate(pinc_parts), dtype=np.int64) - 1
         return tids, pos, int(pos[-1]) + 1 if len(pos) else 0
 
+    def doc_chunks(self, text: str):
+        """Filtered path: whole-doc (tid array, pos-inc array),
+        memoized per text."""
+        ent = self.doc_cache.get(text)
+        if ent is None:
+            from .tokenizer import TokenizerConfig, tokenize
+            n, expand, ignore_case, delims, emit_short = self.cfg_tuple
+            cfg = TokenizerConfig(n=n, delimiters=delims, expand=expand,
+                                  ignore_case=ignore_case,
+                                  emit_short_blocks=emit_short)
+            ent = self._intern(self.token_filter(tokenize(text, cfg,
+                                                          self.syn)))
+            if len(self.doc_cache) < 16384:
+                self.doc_cache[text] = ent
+        return ent
+
+    def _doc_ids_filtered(self, text: str):
+        tids, pincs = self.doc_chunks(text)
+        if not len(tids):
+            return None
+        pos = np.cumsum(pincs, dtype=np.int64) - 1
+        return tids, pos, int(pos[-1]) + 1
+
 
 def tokenize_corpus(df: DataFrame, cfg: TokenizerConfig,
                     syn: SynonymDict | None,
                     id_col: str = "doc_id", text_col: str = "content",
-                    keep_offsets: bool = True) -> DataFrame:
+                    keep_offsets: bool = True,
+                    token_filter=None) -> DataFrame:
     """corpus -> flat tokens DataFrame via mapInPandas (Arrow batches,
     flat numpy/list output — faster than ArrayType(Struct)+explode).
-    Lucene position = running cumsum of pos_inc - 1 per doc."""
+    Lucene position = running cumsum of pos_inc - 1 per doc.
+    ``token_filter`` applies a whole-doc token-stream transform after
+    tokenization (the classic SynonymFilter composition)."""
     n, expand, ignore_case, delims = cfg.n, cfg.expand, cfg.ignore_case, cfg.delimiters
-    syn_local = syn  # closure-captured; pickled once per python worker
+    emit_short = cfg.emit_short_blocks
+    syn_local, filt = syn, token_filter  # pickled once per python worker
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict = {}
+
+        def doc_tokens(text):
+            if filt is not None:
+                from .tokenizer import TokenizerConfig as _TC
+                from .tokenizer import tokenize as _tok
+                cfg_l = _TC(n=n, delimiters=delims, expand=expand,
+                            ignore_case=ignore_case,
+                            emit_short_blocks=emit_short)
+                return filt(_tok(text, cfg_l, syn_local))
+            out = []
+            for blk_start, block in blocks(text, delims):
+                toks = cache.get(block)
+                if toks is None:
+                    toks = _tokenize_block(block, n, expand, ignore_case,
+                                           syn_local, emit_short)
+                    if len(cache) < 65536:
+                        cache[block] = toks
+                out.extend((word, blk_start + s, blk_start + e, pi)
+                           for word, s, e, pi in toks)
+            return out
+
         for pdf in batches:
             doc_ids, terms, poss, starts, ends, pis = [], [], [], [], [], []
             for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
                 if not text:
                     continue
                 pos = -1
-                for blk_start, block in blocks(text, delims):
-                    toks = cache.get(block)
-                    if toks is None:
-                        toks = _tokenize_block(block, n, expand, ignore_case,
-                                               syn_local)
-                        if len(cache) < 65536:
-                            cache[block] = toks
-                    for word, s, e, pi in toks:
-                        pos += pi
-                        doc_ids.append(did)
-                        terms.append(word)
-                        poss.append(pos)
-                        starts.append(blk_start + s)
-                        ends.append(blk_start + e)
-                        pis.append(pi)
+                for word, s, e, pi in doc_tokens(text):
+                    pos += pi
+                    doc_ids.append(did)
+                    terms.append(word)
+                    poss.append(pos)
+                    starts.append(s)
+                    ends.append(e)
+                    pis.append(pi)
             yield pd.DataFrame({
                 "doc_id": np.asarray(doc_ids, dtype=np.int64),
                 "term": terms,
@@ -202,7 +257,8 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                            store_positions: bool = True,
                            block_docs: int = BLOCK_DOCS,
                            id_col: str = "doc_id",
-                           text_col: str = "content") -> DataFrame:
+                           text_col: str = "content",
+                           token_filter=None) -> DataFrame:
     """corpus -> segment blocks with ZERO token shuffle.
 
     ``shard = doc_id * n_shards // N``; one repartition routes each doc
@@ -211,8 +267,9 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     block-encodes. Output rows arrive already grouped by shard and
     sorted by term. salt is always 0 (skew is bounded by shard size;
     size shards by token volume at scale)."""
-    cfg_tuple = (cfg.n, cfg.expand, cfg.ignore_case, cfg.delimiters)
-    syn_local = syn
+    cfg_tuple = (cfg.n, cfg.expand, cfg.ignore_case, cfg.delimiters,
+                 cfg.emit_short_blocks)
+    syn_local, filt = syn, token_filter
     nd = max(n_docs, 1)
 
     # 4x partitions vs shard keys: hash collisions otherwise give some
@@ -224,7 +281,7 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
               .repartition(n_shards * 4, "shard"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        interner = _Interner(cfg_tuple, syn_local)
+        interner = _Interner(cfg_tuple, syn_local, filt)
         # hash routing may co-locate several shard keys in one partition:
         # accumulate per shard as raw per-BLOCK chunks; positions / dl /
         # doc arrays are derived vectorized per shard (zero per-doc
@@ -232,6 +289,10 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
         acc: dict = {}  # shard -> [tid_chunks, pinc_chunks, doc_ids, tok_counts]
         block_ids = interner.block_ids
         delims = cfg_tuple[3]
+        # a token FILTER operates on the whole-doc stream (matches may
+        # span block boundaries) — use the doc-level memoized path;
+        # unfiltered builds keep the hotter block-level memo
+        doc_chunks = interner.doc_chunks if filt is not None else None
 
         for pdf in batches:
             for did, text, sh in zip(pdf[id_col].to_numpy(), pdf[text_col],
@@ -242,12 +303,19 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                 if a is None:
                     a = acc[int(sh)] = ([], [], [], [])
                 ntok = 0
-                for _bs, block in blocks(text, delims):
-                    t, p = block_ids(block)
+                if doc_chunks is not None:
+                    t, p = doc_chunks(text)
                     if len(t):
                         a[0].append(t)
                         a[1].append(p)
-                        ntok += len(t)
+                        ntok = len(t)
+                else:
+                    for _bs, block in blocks(text, delims):
+                        t, p = block_ids(block)
+                        if len(t):
+                            a[0].append(t)
+                            a[1].append(p)
+                            ntok += len(t)
                 if ntok:
                     a[2].append(did)
                     a[3].append(ntok)

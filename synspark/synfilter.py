@@ -140,6 +140,29 @@ def expand_tokens(words: list, syn: SynonymDict,
     return out
 
 
+def synonym_token_filter(syn: SynonymDict, ignore_case: bool = False,
+                         entry_tokenizer: Callable[[str], list[str]]
+                         | None = None) -> Callable[[list], list]:
+    """A ``token_filter`` for ``build_index``/``append_to_index`` —
+    the classic SynonymFilter composed after the tokenizer (the
+    reference's 2gram_synonym_analyzer / 2gram_reload_analyzer shape,
+    SynonymPluginTest.java:488-538). ``entry_tokenizer`` analyzes
+    dictionary entries with the SAME tokenizer as the text (ES
+    analyzes filter rules with the pipeline's analyzer), so an entry
+    like とうきょう becomes its bigram sequence and a matched token
+    expands into a multi-position output chain — exactly the
+    reference's _analyze stream 東京/とう/うき/きょ/ょう
+    (SynonymPluginTest.java:573-580).
+
+    Offsets are collapsed (the index stores positions, not offsets);
+    posLength graphs flatten to positions."""
+    def f(toks: list) -> list:
+        words = [(w, pi) for w, _s, _e, pi in toks]
+        return [(w, 0, 0, pi) for w, pi, _pl in
+                expand_tokens(words, syn, ignore_case, entry_tokenizer)]
+    return f
+
+
 def analyze_query_filtered(text: str, cfg, syn: SynonymDict,
                            ignore_case: bool = False,
                            entry_tokenizer: Callable[[str], list[str]]

@@ -294,6 +294,75 @@ def test_dict_change_append_reference_semantics(spark, tmp_path_factory):
     assert toks[1][0] == "tokyo"
 
 
+def test_filter_composed_index_reload_suite(spark, tmp_path_factory):
+    """SynonymPluginTest.java:488-626 (test_synonymFilterPath_update):
+    the msg1 analyzer is 2gram + synonym token FILTER, entries analyzed
+    with the same tokenizer (multi-word outputs: 東京 expands into
+    とうきょう's bigram chain), dictionary swapped mid-stream — docs
+    indexed before the change keep old tokens. Full truth table +
+    _analyze streams."""
+    from synspark.query import count_matches
+    from synspark.synfilter import (analyze_query_filtered,
+                                    synonym_token_filter)
+
+    cfg = TokenizerConfig(n=2, expand=False)          # the 2gram tokenizer
+    qcfg = TokenizerConfig(n=2, expand=False, emit_short_blocks=False)
+
+    def entry_tok(s):
+        return [w for w, *_ in tokenize(s, cfg, None)]
+
+    syn1 = SynonymDict.parse("東京,とうきょう\nああ,嗚呼")
+    syn2 = SynonymDict.parse("東京,TOKYO\nああ,あゝ")
+    f1 = synonym_token_filter(syn1, True, entry_tok)
+    f2 = synonym_token_filter(syn2, True, entry_tok)
+
+    # _analyze mirrors (SynonymPluginTest.java:573-580, 615-625)
+    assert [w for w, *_ in f1(tokenize("東京", cfg, None))] \
+        == ["東京", "とう", "うき", "きょ", "ょう"]
+    assert [w for w, *_ in f2(tokenize("東京", cfg, None))] \
+        == ["東京", "to", "ok", "ky", "yo"]
+
+    def docs(pairs):
+        return spark.createDataFrame(
+            [(f"d{i}", "f", str(i), "t", body) for i, body in pairs],
+            "repo string, path string, commit string, lang string, "
+            "content string")
+
+    out = tmp_path_factory.mktemp("synfidx") / "index"
+    st = build_index(spark, docs([(1, "東京"), (10, "ああ")]), str(out),
+                     cfg=cfg, syn=None, n_shards=1, source="filter-idx",
+                     token_filter=f1)
+
+    def plain(q):  # msg1 + "2gram_analyzer" (2gram + lowercase filter)
+        return count_matches(spark, st, q.lower(), phrase=True,
+                             cfg=qcfg).collect()[0]["hits"]
+
+    def filtered(q, syn):  # the index's own (filter) analyzer
+        groups = analyze_query_filtered(q, qcfg, syn, True, entry_tok)
+        return count_matches(spark, st, q, phrase=True,
+                             groups=groups).collect()[0]["hits"]
+
+    # before the dictionary change (SynonymPluginTest.java:554-564)
+    assert plain("東京") == 1
+    assert plain("とうきょう") == 1  # expanded bigram chain matches
+    assert plain("TOKYO") == 0
+    assert filtered("ああ", syn1) == 1
+    assert filtered("嗚呼", syn1) == 1
+    assert filtered("あゝ", syn1) == 0
+
+    # dictionary swapped; new docs indexed under the new rules
+    st = append_to_index(spark, st, docs([(2, "東京"), (11, "ああ")]),
+                         batch_tag="after-reload", token_filter=f2)
+
+    # after (SynonymPluginTest.java:599-610)
+    assert plain("東京") == 2
+    assert plain("とうきょう") == 1   # only the pre-reload doc
+    assert plain("TOKYO") == 1        # only the post-reload doc
+    assert filtered("ああ", syn2) == 2
+    assert filtered("嗚呼", syn2) == 1  # old stacked token survives
+    assert filtered("あゝ", syn2) == 2
+
+
 # ---------------------------------------------------------------------
 # rarest-first block skipping in count (round-2 verdict item 7)
 # ---------------------------------------------------------------------
