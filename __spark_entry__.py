@@ -270,21 +270,30 @@ def q_fts_analyze(spark, sf_dir):
                       TokenizerConfig(n=2, expand=True), syn)
 
 
+def _word_tokens(spark, sf_dir):
+    """Whitespace WORD tokens of the documents table as a tokens
+    DataFrame (doc_id, term, pos, pos_inc): the n-gram tokenizer with n
+    larger than any block emits each delimiter-separated run as one
+    whole-span token — i.e. a whitespace tokenizer, which is what the
+    reference's SynonymFilter factory defaults to for its input
+    (SynonymTokenFilterFactory.java:45-52)."""
+    from synspark.indexer import tokenize_corpus
+    from synspark.tokenizer import TokenizerConfig
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return tokenize_corpus(docs, TokenizerConfig(n=1 << 20, expand=False),
+                           None)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
     counts are SQL-expressible (each occurrence of a group member emits
     every member, so each member's count is the group total)."""
-    from synspark.datapipe.textstats import DELIM_RE  # noqa: F401
-    from synspark.indexer import tokenize_corpus
     from synspark.synfilter import expand_tokens_df
     from synspark.synonyms import SynonymDict
-    from synspark.tokenizer import TokenizerConfig
     _ensure_shipped(spark)
-    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
-    toks = tokenize_corpus(docs, TokenizerConfig(n=999, expand=False), None)
     syn = SynonymDict.parse("data,info\nsort,order")
-    out = expand_tokens_df(toks, syn)
+    out = expand_tokens_df(_word_tokens(spark, sf_dir), syn)
     return (out.groupBy("term").agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("term")).limit(50))
 

@@ -28,10 +28,13 @@ Configuration errors fail fast: a filter without a dictionary raises,
 mirroring SynonymTokenFilterFactory.java:55-63 (throws when neither
 ``synonyms`` nor ``synonyms_path`` is set).
 
-Exposed as a pure function (driver-side query analysis) and a
-DataFrame transform over the tokens table (Arrow-batched per-doc
-groups). Not on the BM25 critical path — tokenizer-level expansion
-already subsumes it there (SURVEY §2.3 scope decision).
+Exposed as a pure function (driver-side query analysis), a DataFrame
+transform over the tokens table (Arrow-batched per-doc groups), and —
+round 3 — a full analyzer composition: ``synonym_token_filter`` plugs
+into ``build_index(token_filter=...)`` (the reference's
+2gram_synonym_analyzer / 2gram_reload_analyzer deployments,
+SynonymPluginTest.java:488-626) and ``analyze_query_filtered`` builds
+the matching query-side groups for ``search(groups=...)``.
 """
 
 from __future__ import annotations
