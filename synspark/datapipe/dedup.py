@@ -355,8 +355,11 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     s = sim.select(id_col, "simhash", *blocks)
     pairs = None
     for combo in combinations(range(n_blocks), blocks_per_key):
-        key = F.concat_ws("_", *[F.col(f"c{c}").cast("string")
-                                 for c in combo]).alias("ck")
+        if blocks_per_key == 1:  # int join key (cheaper than strings)
+            key = F.col(f"c{combo[0]}").alias("ck")
+        else:
+            key = F.concat_ws("_", *[F.col(f"c{c}").cast("string")
+                                     for c in combo]).alias("ck")
         a = s.select(F.col(id_col).alias("a"),
                      F.col("simhash").alias("ha"), key)
         b = s.select(F.col(id_col).alias("b"),
