@@ -36,6 +36,31 @@ from dataclasses import asdict, dataclass, field
 from pathlib import Path
 
 
+def _run_concurrent(*fns) -> None:
+    """Run jobs concurrently (Spark schedules concurrent jobs from
+    separate threads — removes the per-job serial floor) and RE-RAISE
+    the first failure after all join: a swallowed thread exception
+    would let the meta commit proceed over missing/partial stats."""
+    import threading
+    errs: list = []
+
+    def wrap(f):
+        def g():
+            try:
+                f()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        return g
+
+    ts = [threading.Thread(target=wrap(f), daemon=True) for f in fns]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
 @contextmanager
 def _timed(stage: str):
     """Stage timing, printed when SYNSPARK_TIMING=1."""
@@ -289,6 +314,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              .parquet(str(docmap_dir)))
 
     docmap_thread = None
+    docmap_errs: list = []
     with _timed("A.count"):
         n_docs = docs.count()
     if assigned or layout == "term":
@@ -297,9 +323,18 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             _write_docmap()
     else:
         # independent of stage B — overlap the two jobs (Spark schedules
-        # concurrent jobs from separate threads)
+        # concurrent jobs from separate threads); failures re-raise at
+        # the join so a dead docmap write can't commit silently
         import threading
-        docmap_thread = threading.Thread(target=_write_docmap, daemon=True)
+
+        def _docmap_wrapped():
+            try:
+                _write_docmap()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                docmap_errs.append(e)
+
+        docmap_thread = threading.Thread(target=_docmap_wrapped,
+                                         daemon=True)
         docmap_thread.start()
     if n_shards is None:
         n_shards = max(4 * spark.sparkContext.defaultParallelism,
@@ -361,6 +396,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             docmap_thread = None
     if docmap_thread is not None:
         docmap_thread.join()
+    if docmap_errs:
+        raise docmap_errs[0]
     if assigned:
         docs.unpersist()
 
@@ -368,7 +405,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     # independent scans of the written segments, scheduled concurrently
     # from threads (Spark runs concurrent jobs; overlapping them removes
     # most of the per-job serial floor that dominates small builds) ----
-    import threading
     segs_all = spark.read.parquet(seg_dir)
     ts_dir = store.path / "termstats"
     build_id = uuid.uuid4().hex
@@ -408,10 +444,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              .parquet(str(ts_dir)))
 
     with _timed("C.stats"):
-        threads = [threading.Thread(target=f, daemon=True)
-                   for f in (_manifest_job, _docstats_job, _termstats_job)]
-        [t.start() for t in threads]
-        [t.join() for t in threads]
+        _run_concurrent(_manifest_job, _docstats_job, _termstats_job)
 
     if missing:
         # checkpoint: per-shard rows/bytes/digest lineage (manifest
@@ -593,7 +626,6 @@ def append_to_index(spark: SparkSession, store: IndexStore,
 
     # ---- stats refresh from the NEW shards only (three independent
     # jobs over the same partition-pruned scan, overlapped) ----
-    import threading
     new_segs = new_shard_segments(spark, store, old_shards)
     lineage: list = []
     dl_sum: list = []
@@ -630,10 +662,7 @@ def append_to_index(spark: SparkSession, store: IndexStore,
          .partitionBy("batch").parquet(str(store.path / "termstats")))
 
     with _timed("append.stats"):
-        threads = [threading.Thread(target=f, daemon=True)
-                   for f in (_lineage_job, _docstats_job, _termstats_job)]
-        [t.start() for t in threads]
-        [t.join() for t in threads]
+        _run_concurrent(_lineage_job, _docstats_job, _termstats_job)
 
     # shard lineage may land in the manifest before the commit — those
     # shards are invisible until meta advances n_shards

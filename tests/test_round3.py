@@ -182,6 +182,47 @@ def test_untagged_crash_retry_overwrites(spark, tmp_path_factory):
     assert parts == {"batch=initial", "batch=append-at-40"}
 
 
+def test_stats_job_failure_blocks_commit(spark, tmp_path_factory):
+    """A failed concurrent stats job must abort the append BEFORE the
+    meta commit (a swallowed thread exception would publish an index
+    with missing stats)."""
+    import synspark.index_store as ism
+    out = tmp_path_factory.mktemp("sfail") / "index"
+    st = build_index(spark, mk(spark, 0, 30, "alpha"), str(out), cfg=CFG,
+                     n_shards=2, source="base")
+    orig = ism.decode_docstats_rows
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated stats-job failure")
+    ism.decode_docstats_rows = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            append_to_index(spark, st, mk(spark, 30, 40, "delta"),
+                            batch_tag="sf1")
+    finally:
+        ism.decode_docstats_rows = orig
+    fresh = IndexStore(str(out))
+    assert fresh.meta().n_docs == 30          # commit never happened
+    assert "sf1" not in fresh.meta().batches  # replay will retry
+    st2 = append_to_index(spark, fresh, mk(spark, 30, 40, "delta"),
+                          batch_tag="sf1")
+    assert st2.meta().n_docs == 40
+
+
+def test_run_concurrent_reraises():
+    from synspark.index_store import _run_concurrent
+    hits = []
+
+    def ok():
+        hits.append(1)
+
+    def bad():
+        raise ValueError("x")
+    with pytest.raises(ValueError):
+        _run_concurrent(ok, bad, ok)
+    assert len(hits) == 2  # all jobs still ran to completion
+
+
 def test_bootstrap_batch_tag_no_ops_on_replay(spark, tmp_path_factory):
     """build_index(batch_tag=...) records the idempotence tag in the
     meta commit, so a replayed streaming BOOTSTRAP batch takes the
