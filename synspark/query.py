@@ -435,16 +435,25 @@ def search_batch(spark: SparkSession, store: IndexStore,
                  texts: list[str], k: int = 10, mode: str = "and",
                  phrase: bool = False,
                  syn: SynonymDict | None = None,
-                 cfg: TokenizerConfig | None = None) -> DataFrame:
+                 cfg: TokenizerConfig | None = None,
+                 groups_list: list[list[list[str]]] | None = None
+                 ) -> DataFrame:
     """Answer MANY queries in one Spark job: one planning pass, one
     blocks scan for the union of all query terms, per-shard workers run
     every query's WAND against their slice. Amortizes per-job overhead
     (~1s) across the batch — the realistic offline-serving shape.
     Returns (query_id, doc_id, score), each query's exact top-k,
-    rank-identical to per-query ``search``."""
+    rank-identical to per-query ``search``.
+
+    ``groups_list`` (one per-position groups value per query, as in
+    ``search(groups=...)``) overrides analysis — batch serving for
+    filter-composed analyzers."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
-    groups_per_q = [analyze_query(t, cfg, syn) for t in texts]
+    if groups_list is not None and len(groups_list) != len(texts):
+        raise ValueError("groups_list must have one entry per query")
+    groups_per_q = groups_list if groups_list is not None \
+        else [analyze_query(t, cfg, syn) for t in texts]
     all_terms = sorted({t for gs in groups_per_q for g in gs for t in g})
     if not all_terms:
         return spark.createDataFrame([],

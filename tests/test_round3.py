@@ -403,6 +403,21 @@ def test_filter_composed_index_reload_suite(spark, tmp_path_factory):
     assert filtered("嗚呼", syn2) == 1  # old stacked token survives
     assert filtered("あゝ", syn2) == 2
 
+    # batched serving with a filter analyzer: search_batch(groups_list)
+    # rank-identical to per-query search(groups=...)
+    from synspark.query import search, search_batch
+    texts = ["ああ", "嗚呼", "あゝ"]
+    gl = [analyze_query_filtered(t, qcfg, syn2, True, entry_tok)
+          for t in texts]
+    got: dict = {}
+    for r in search_batch(spark, st, texts, k=10, groups_list=gl).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qi, t in enumerate(texts):
+        single = [(r["doc_id"], round(r["score"], 9)) for r in
+                  search(spark, st, t, k=10, groups=gl[qi]).collect()]
+        assert got.get(qi, []) == single, t
+
 
 # ---------------------------------------------------------------------
 # rarest-first block skipping in count (round-2 verdict item 7)
