@@ -131,6 +131,11 @@ class IndexMeta:
     # (round-2 advice: a tag committed before meta made a crashed batch
     # a permanent no-op that silently lost its documents).
     batches: dict = field(default_factory=dict)
+    # True when the index was built through a token_filter composition.
+    # The filter itself is analyzer CONFIG (a callable, like ES's
+    # filter chain — not index data); the flag makes append fail fast
+    # if the caller forgets to pass the same filter.
+    uses_token_filter: bool = False
 
 
 def _digest_expr():
@@ -484,7 +489,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         dict_fingerprint=syn.fingerprint() if syn else None,
         source=source, store_positions=store_positions,
         created_utc=time.time(), layout=layout, text_col=text_col,
-        total_dl=total_dl, stats_batches=[INITIAL_BATCH], batches=batches)
+        total_dl=total_dl, stats_batches=[INITIAL_BATCH], batches=batches,
+        uses_token_filter=token_filter is not None)
     store._write_meta(meta)
     return store
 
@@ -560,6 +566,11 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     """
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
+    if meta.uses_token_filter and token_filter is None:
+        raise ValueError("index was built through a token_filter; pass "
+                         "the same filter to append_to_index (the filter "
+                         "is analyzer config, not index data — like an "
+                         "ES analyzer chain)")
     new_fp = syn.fingerprint() if syn is not None else None
     if new_fp != meta.dict_fingerprint and not allow_dict_change:
         if syn is None:
@@ -697,6 +708,10 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         # Deterministic name + dynamic overwrite => retry-safe; the fold
         # only becomes visible through the meta commit below. Old delta
         # dirs become unreferenced garbage, reclaimed by compact_index.
+        # Reading and writing the same root path is safe here because
+        # the read set (committed batch partitions) and the written
+        # partition (the new fold) are DISJOINT, and dynamic overwrite
+        # touches only the written partition's directory.
         fold_part = f"fold-at-{n_docs}"
         ts_dir = str(store.path / "termstats")
         (spark.read.parquet(ts_dir)
@@ -719,7 +734,9 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         store_positions=meta.store_positions,
         created_utc=time.time(), layout=meta.layout,
         text_col=meta.text_col, total_dl=total_dl,
-        stats_batches=stats_batches, batches=batches))
+        stats_batches=stats_batches, batches=batches,
+        uses_token_filter=meta.uses_token_filter
+        or token_filter is not None))
     # observability mirror (committed state only; never authoritative)
     manifest["batches"] = batches
     store._write_manifest(manifest)
@@ -808,7 +825,8 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
         store_positions=meta.store_positions,
         created_utc=time.time(), layout=meta.layout,
         text_col=meta.text_col, total_dl=meta.total_dl,
-        stats_batches=[INITIAL_BATCH], batches=dict(meta.batches)))
+        stats_batches=[INITIAL_BATCH], batches=dict(meta.batches),
+        uses_token_filter=meta.uses_token_filter))
     return dst
 
 

@@ -403,6 +403,12 @@ def test_filter_composed_index_reload_suite(spark, tmp_path_factory):
     assert filtered("嗚呼", syn2) == 1  # old stacked token survives
     assert filtered("あゝ", syn2) == 2
 
+    # forgetting the filter on append fails fast (the filter is
+    # analyzer config; silently indexing unfiltered would split the
+    # index across two incompatible analyzers)
+    with pytest.raises(ValueError, match="token_filter"):
+        append_to_index(spark, st, docs([(3, "東京")]), batch_tag="x")
+
     # batched serving with a filter analyzer: search_batch(groups_list)
     # rank-identical to per-query search(groups=...)
     from synspark.query import search, search_batch
