@@ -86,8 +86,10 @@ DEFAULT_SHARDS = 8
 # (v3: batch-partitioned docmap, meta.text_col, commit-gated readers;
 #  v4: meta.json is the single atomic commit point — idempotence
 #  records + committed-stats-partition list live IN meta; docstats and
-#  termstats are batch-partitioned so appends write only their delta)
-FORMAT_VERSION = 4
+#  termstats are batch-partitioned so appends write only their delta;
+#  v5: meta.format enforcement, position-derived data partition names,
+#  uses_token_filter analyzer-config flag)
+FORMAT_VERSION = 5
 INITIAL_BATCH = "initial"
 
 
@@ -131,6 +133,10 @@ class IndexMeta:
     # (round-2 advice: a tag committed before meta made a crashed batch
     # a permanent no-op that silently lost its documents).
     batches: dict = field(default_factory=dict)
+    # store layout version; absent in pre-v4 metas, so the default is 3
+    # and meta() rejects mismatches with a clear message instead of
+    # failing obscurely on the changed stats layout
+    format: int = 3
     # True when the index was built through a token_filter composition.
     # The filter itself is analyzer CONFIG (a callable, like ES's
     # filter chain — not index data); the flag makes append fail fast
@@ -156,7 +162,13 @@ class IndexStore:
 
     # ---------- metadata ----------
     def meta(self) -> IndexMeta:
-        return IndexMeta(**json.loads((self.path / "meta.json").read_text()))
+        m = IndexMeta(**json.loads((self.path / "meta.json").read_text()))
+        if m.format != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {self.path} is store format v{m.format}; this "
+                f"build reads/writes v{FORMAT_VERSION} (the stats layout "
+                f"changed) — rebuild the index with build_index")
+        return m
 
     def _write_meta(self, meta: IndexMeta) -> None:
         self.path.mkdir(parents=True, exist_ok=True)
@@ -490,21 +502,33 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         source=source, store_positions=store_positions,
         created_utc=time.time(), layout=layout, text_col=text_col,
         total_dl=total_dl, stats_batches=[INITIAL_BATCH], batches=batches,
+        format=FORMAT_VERSION,
         uses_token_filter=token_filter is not None)
     store._write_meta(meta)
     return store
 
 
 def new_shard_segments(spark: SparkSession, store: IndexStore,
-                       old_shards: int) -> DataFrame:
+                       old_shards: int,
+                       new_total_shards: int | None = None) -> DataFrame:
     """Segments of shards appended after ``old_shards`` — a partition-
     pruned scan (``shard`` is the partition column, so only the new
     shards' parquet files are ever listed/read). This is the ONLY
     segment input the append stats refresh touches: per-append cost is
     O(new batch), not O(index) (round-2 verdict: the full-index
-    re-aggregation per micro-batch was the last scale-killer)."""
-    return spark.read.parquet(str(store.path / "segments")) \
+    re-aggregation per micro-batch was the last scale-killer).
+
+    The UPPER bound matters for crash safety: a LARGER crashed append
+    may have left stale shard partitions above this append's range
+    (dynamic overwrite replaces only the shards it re-writes); they are
+    invisible to queries (shard < meta.n_shards) and must be invisible
+    to the stats refresh too, or their df/cf/dl would leak into the
+    committed delta."""
+    df = spark.read.parquet(str(store.path / "segments")) \
         .filter(F.col("shard") >= old_shards)
+    if new_total_shards is not None:
+        df = df.filter(F.col("shard") < new_total_shards)
+    return df
 
 
 def append_to_index(spark: SparkSession, store: IndexStore,
@@ -566,11 +590,15 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     """
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
-    if meta.uses_token_filter and token_filter is None:
-        raise ValueError("index was built through a token_filter; pass "
-                         "the same filter to append_to_index (the filter "
-                         "is analyzer config, not index data — like an "
-                         "ES analyzer chain)")
+    if meta.uses_token_filter != (token_filter is not None):
+        raise ValueError(
+            "token_filter mismatch: the index was built "
+            + ("THROUGH a token filter — pass the same filter to "
+               "append_to_index" if meta.uses_token_filter else
+               "WITHOUT a token filter — appending filtered tokens "
+               "would split the index across two analyzers")
+            + " (the filter is analyzer config, not index data — like "
+              "an ES analyzer chain)")
     new_fp = syn.fingerprint() if syn is not None else None
     if new_fp != meta.dict_fingerprint and not allow_dict_change:
         if syn is None:
@@ -594,21 +622,35 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     base = with_sha256(new_corpus, col=meta.text_col)
     if "doc_id" in new_corpus.columns:
         docs = base.withColumn("doc_id", F.col("doc_id") + F.lit(old_n))
+        docs = docs.persist()
+        n_new = docs.count()
     else:
-        docs = assign_doc_ids(base).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(old_n))
-    docs = docs.persist()
-    n_new = docs.count()
+        # size the id buckets from the batch count we need anyway —
+        # letting assign_doc_ids auto-count would add a full extra job
+        # on the unpersisted batch (per-micro-batch cost on the
+        # streaming path)
+        from .docids import TARGET_ROWS_PER_BUCKET
+        base = base.persist()
+        n_new = base.count()
+        buckets = max(64, -(-n_new // TARGET_ROWS_PER_BUCKET))
+        docs = (assign_doc_ids(base, buckets=buckets)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(old_n))
+                .persist())
+        docs.count()  # materialize before dropping the base cache
+        base.unpersist()
     add_shards = max(1, (n_new + per_shard - 1) // per_shard)
     new_total_shards = old_shards + add_shards
     build_id = uuid.uuid4().hex
 
-    # one sub-dir per append (partition column), dynamically overwritten
-    # so a retried batch replaces its own leftovers. The fallback name
-    # is derived from the append POSITION: any retry (or later append)
-    # starts from the same committed old_n and overwrites the same
-    # partition — crashed-attempt leftovers cannot accumulate.
-    batch_part = batch_tag or f"append-at-{old_n}"
+    # one sub-dir per append (partition column), dynamically
+    # overwritten so a retry replaces its own leftovers. The name is
+    # derived from the append POSITION for EVERY append (the
+    # idempotence KEY is still the tag): any append starting from the
+    # same committed old_n — a same-tag replay, an untagged retry, or
+    # a different batch after an abandoned crashed attempt — overwrites
+    # the same partition, so leftovers with overlapping doc_id ranges
+    # cannot accumulate under any tag mixing.
+    batch_part = f"at-{old_n}"
     keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                         "content_sha256"] if c in docs.columns]
     (docs.select(*keep).withColumn("batch", F.lit(batch_part))
@@ -637,7 +679,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
 
     # ---- stats refresh from the NEW shards only (three independent
     # jobs over the same partition-pruned scan, overlapped) ----
-    new_segs = new_shard_segments(spark, store, old_shards)
+    new_segs = new_shard_segments(spark, store, old_shards,
+                                  new_total_shards)
     lineage: list = []
     dl_sum: list = []
 
@@ -697,6 +740,7 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     total_dl = meta.total_dl + (dl_sum[0] if dl_sum else 0)
     n_docs = old_n + n_new
     batches = dict(meta.batches)
+    # keyed by the idempotence TAG (replay check); partition recorded
     batches[batch_tag or batch_part] = {
         "status": "done", "build_id": build_id, "n_docs": n_new,
         "shards": [old_shards, new_total_shards], "partition": batch_part}
@@ -735,8 +779,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         created_utc=time.time(), layout=meta.layout,
         text_col=meta.text_col, total_dl=total_dl,
         stats_batches=stats_batches, batches=batches,
-        uses_token_filter=meta.uses_token_filter
-        or token_filter is not None))
+        format=FORMAT_VERSION,
+        uses_token_filter=meta.uses_token_filter))
     # observability mirror (committed state only; never authoritative)
     manifest["batches"] = batches
     store._write_manifest(manifest)
@@ -826,6 +870,7 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
         created_utc=time.time(), layout=meta.layout,
         text_col=meta.text_col, total_dl=meta.total_dl,
         stats_batches=[INITIAL_BATCH], batches=dict(meta.batches),
+        format=FORMAT_VERSION,
         uses_token_filter=meta.uses_token_filter))
     return dst
 

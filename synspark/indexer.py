@@ -141,8 +141,13 @@ class _Interner:
 
     def doc_chunks(self, text: str):
         """Filtered path: whole-doc (tid array, pos-inc array),
-        memoized per text."""
-        ent = self.doc_cache.get(text)
+        memoized by CONTENT HASH — the key is 16 bytes regardless of
+        document size (full-text keys would pin up to cap × doc-size
+        bytes per worker for a near-zero hit rate on unique-text
+        corpora; only whole-document repeats ever hit)."""
+        import hashlib
+        key = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
+        ent = self.doc_cache.get(key)
         if ent is None:
             from .tokenizer import TokenizerConfig, tokenize
             n, expand, ignore_case, delims, emit_short = self.cfg_tuple
@@ -151,8 +156,8 @@ class _Interner:
                                   emit_short_blocks=emit_short)
             ent = self._intern(self.token_filter(tokenize(text, cfg,
                                                           self.syn)))
-            if len(self.doc_cache) < 16384:
-                self.doc_cache[text] = ent
+            if len(self.doc_cache) < 4096:
+                self.doc_cache[key] = ent
         return ent
 
     def _doc_ids_filtered(self, text: str):

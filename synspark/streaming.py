@@ -83,15 +83,30 @@ class DictWatcher:
         self._last_check = now
         st = os.stat(self.path)
         sig = (st.st_mtime_ns, st.st_size)
-        if sig != self._sig:
-            self._sig = sig
-            text = open(self.path, encoding="utf-8").read()
+        if sig == self._sig:
+            return self._syn
+        text = open(self.path, encoding="utf-8").read()
+        # torn-read guard for non-atomic writers (echo/redirect): if the
+        # file changed between stat and read, skip this poll — the next
+        # one sees the settled file. A parse failure likewise keeps the
+        # old dictionary (a half-written rules file must never kill the
+        # streaming query or index a batch under truncated rules); the
+        # first load still propagates the error (config fail-fast).
+        st2 = os.stat(self.path)
+        if (st2.st_mtime_ns, st2.st_size) != sig:
+            return self._syn
+        try:
             syn = SynonymDict.parse(text)
-            old_fp = self._syn.fingerprint() if self._syn else None
-            new_fp = syn.fingerprint() if syn else None
-            if new_fp != old_fp or self.reloads < 0:
-                self._syn = syn
-                self.reloads += 1
+        except Exception:
+            if self.reloads < 0:
+                raise
+            return self._syn
+        self._sig = sig
+        old_fp = self._syn.fingerprint() if self._syn else None
+        new_fp = syn.fingerprint() if syn else None
+        if new_fp != old_fp or self.reloads < 0:
+            self._syn = syn
+            self.reloads += 1
         return self._syn
 
 

@@ -54,8 +54,8 @@ def test_append_stats_inputs_are_new_shards_only(spark, tmp_path_factory):
 
     # per-batch delta partitions on disk; committed list in meta
     parts = {p.name for p in (out / "termstats").glob("batch=*")}
-    assert parts == {"batch=initial", "batch=append-at-60"}
-    assert st.meta().stats_batches == ["initial", "append-at-60"]
+    assert parts == {"batch=initial", "batch=at-60"}
+    assert st.meta().stats_batches == ["initial", "at-60"]
 
     # exact totals: integer-derived avgdl == full rebuild's, merged
     # termstats == full rebuild's
@@ -83,7 +83,7 @@ def test_append_stats_fold(spark, tmp_path_factory):
         st = append_to_index(spark, st, mk(spark, 30 + 10 * i, 40 + 10 * i),
                              batch_tag=f"f{i}", fold_stats_every=2)
     # 2nd append tripped the fold (at n=50); 3rd added one delta on top
-    assert st.meta().stats_batches == ["fold-at-50", "f2"]
+    assert st.meta().stats_batches == ["fold-at-50", "at-50"]
     out2 = tmp_path_factory.mktemp("foldfull") / "index"
     full = build_index(spark, mk(spark, 0, 60), str(out2), cfg=CFG,
                        n_shards=2, source="full")
@@ -95,6 +95,36 @@ def test_append_stats_fold(spark, tmp_path_factory):
                          fold_stats_every=2)
     assert st.meta().n_docs == 70
     assert st.meta().stats_batches == ["fold-at-70"]
+
+
+def test_stale_larger_append_shards_excluded(spark, tmp_path_factory):
+    """A crashed LARGER append can leave stale shard partitions above a
+    later smaller append's range (dynamic overwrite replaces only the
+    shards it re-writes). They are invisible to queries (shard <
+    n_shards) and must be invisible to the stats refresh too — the
+    upper bound on the new-shard scan (code-review regression: without
+    it the stale shards' df/cf/dl leaked into the committed stats)."""
+    import shutil
+    out = tmp_path_factory.mktemp("stale") / "index"
+    st = build_index(spark, mk(spark, 0, 40, "alpha beta"), str(out),
+                     cfg=CFG, n_shards=2, source="base")
+    # stale high shard from a crashed bigger append (content = shard 0)
+    shutil.copytree(out / "segments" / "shard=0",
+                    out / "segments" / "shard=9")
+    st = append_to_index(spark, IndexStore(str(out)),
+                         mk(spark, 40, 50, "delta"), source="small")
+    assert st.meta().n_shards == 3  # stale shard 9 not adopted
+    out2 = tmp_path_factory.mktemp("stalefull") / "index"
+    full = build_index(
+        spark,
+        mk(spark, 0, 40, "alpha beta").unionByName(
+            mk(spark, 40, 50, "delta")),
+        str(out2), cfg=CFG, n_shards=2, source="full")
+    assert st.meta().total_dl == full.meta().total_dl
+    a = {tuple(r) for r in st.termstats(spark).collect()}
+    b = {tuple(r) for r in full.termstats(spark).collect()}
+    assert a == b  # stale shard leaked into neither df/cf nor dl
+    assert "9" not in st.manifest()["shards"]  # no lineage adoption
 
 
 def test_termstats_read_pushes_filters(spark, tmp_path_factory):
@@ -143,7 +173,7 @@ def test_crash_before_meta_commit_then_retry(spark, tmp_path_factory):
     assert fresh.meta().n_docs == 50
     assert fresh.docmap(spark).count() == 50
     # crashed delta partition exists on disk but is invisible to readers
-    assert (out / "termstats" / "batch=b1").exists()
+    assert (out / "termstats" / "batch=at-50").exists()
     assert {tuple(r) for r in fresh.termstats(spark).collect()} == ts0
     assert "b1" not in fresh.meta().batches  # replay will NOT no-op
 
@@ -176,10 +206,10 @@ def test_untagged_crash_retry_overwrites(spark, tmp_path_factory):
     assert st2.meta().n_docs == 55
     assert st2.docmap(spark).count() == 55
     assert st2.docmap(spark).select("doc_id").distinct().count() == 55
-    assert st2.meta().stats_batches == ["initial", "append-at-40"]
+    assert st2.meta().stats_batches == ["initial", "at-40"]
     # only one docmap partition for the append (overwritten, not added)
     parts = {p.name for p in (out / "docmap").glob("batch=*")}
-    assert parts == {"batch=initial", "batch=append-at-40"}
+    assert parts == {"batch=initial", "batch=at-40"}
 
 
 def test_stats_job_failure_blocks_commit(spark, tmp_path_factory):
@@ -207,6 +237,24 @@ def test_stats_job_failure_blocks_commit(spark, tmp_path_factory):
     st2 = append_to_index(spark, fresh, mk(spark, 30, 40, "delta"),
                           batch_tag="sf1")
     assert st2.meta().n_docs == 40
+
+
+def test_format_version_enforced(spark, tmp_path_factory):
+    """Opening a pre-v5 store with current code fails with a clear
+    version message instead of silently mis-reading the changed stats
+    layout (code-review finding: the bump had no enforcement path)."""
+    import json
+    out = tmp_path_factory.mktemp("fmt") / "index"
+    st = build_index(spark, mk(spark, 0, 10, "alpha"), str(out), cfg=CFG,
+                     n_shards=1, source="fmt")
+    m = json.loads((out / "meta.json").read_text())
+    del m["format"]  # what a pre-v5 meta looks like
+    (out / "meta.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="store format v3"):
+        IndexStore(str(out)).meta()
+    with pytest.raises(ValueError, match="rebuild"):
+        append_to_index(spark, IndexStore(str(out)),
+                        mk(spark, 10, 20, "beta"))
 
 
 def test_run_concurrent_reraises():

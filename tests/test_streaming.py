@@ -95,7 +95,9 @@ def test_crashed_half_append_invisible(spark, tmp_path_factory):
     # simulate the half-append: orphan segment partition + docmap batch
     # dir on disk, meta/manifest never advanced. A real crashed append
     # always writes doc_ids CONTINUING after the committed range
-    # (>= n_docs) and a fresh shard number (>= n_shards).
+    # (>= n_docs), a fresh shard number (>= n_shards), and the
+    # position-derived partition name at-<old N> (which the retry —
+    # tagged or not — dynamically overwrites).
     src = out / "segments" / "shard=0"
     shutil.copytree(src, out / "segments" / f"shard={n_shards + 5}")
     orphan_rows = spark.range(50, 70).select(
@@ -104,9 +106,9 @@ def test_crashed_half_append_invisible(spark, tmp_path_factory):
         F.lit("f").alias("path"), F.lit("c").alias("commit"),
         F.lit("t").alias("lang"),
         F.sha2(F.col("id").cast("string"), 256).alias("content_sha256"),
-        F.lit("orphan").alias("batch"))
+        F.lit("at-50").alias("batch"))
     orphan_rows.write.mode("overwrite").parquet(
-        str(out / "docmap" / "batch=orphan"))
+        str(out / "docmap" / "batch=at-50"))
 
     # commit gating hides both orphans from readers
     assert st.segments(spark).select("shard").distinct().count() == n_shards
