@@ -37,6 +37,15 @@ KEY_COLS = ["repo", "path", "commit"]
 TARGET_ROWS_PER_BUCKET = 250_000
 
 
+def bucket_count(n: int,
+                 target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET
+                 ) -> int:
+    """The one place the bucket-sizing policy lives (determinism
+    contract: B is derived from n alone, so every caller — build,
+    append, resume — agrees)."""
+    return max(64, -(-n // target_rows_per_bucket))
+
+
 def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
                    mode: str = "bucketed", buckets: int | None = None,
                    target_rows_per_bucket: int = TARGET_ROWS_PER_BUCKET
@@ -52,8 +61,7 @@ def assign_doc_ids(df: DataFrame, keys: list[str] | None = None,
         # one cheap count job; deterministic in the data, so resumed
         # builds pick the same B (the count is needed by callers anyway
         # and parquet row-group stats make it metadata-only)
-        n = df.count()
-        buckets = max(64, -(-n // target_rows_per_bucket))
+        buckets = bucket_count(df.count(), target_rows_per_bucket)
 
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)) \
         .cast("int").alias("_bucket")

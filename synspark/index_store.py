@@ -133,10 +133,11 @@ class IndexMeta:
     # (round-2 advice: a tag committed before meta made a crashed batch
     # a permanent no-op that silently lost its documents).
     batches: dict = field(default_factory=dict)
-    # store layout version; absent in pre-v4 metas, so the default is 3
-    # and meta() rejects mismatches with a clear message instead of
-    # failing obscurely on the changed stats layout
-    format: int = 3
+    # store layout version; the field itself first appeared in v5, so
+    # 0 = "no format field" (any pre-v5 store) and meta() rejects
+    # mismatches with a clear message instead of failing obscurely on
+    # the changed layout
+    format: int = 0
     # True when the index was built through a token_filter composition.
     # The filter itself is analyzer CONFIG (a callable, like ES's
     # filter chain — not index data); the flag makes append fail fast
@@ -164,10 +165,12 @@ class IndexStore:
     def meta(self) -> IndexMeta:
         m = IndexMeta(**json.loads((self.path / "meta.json").read_text()))
         if m.format != FORMAT_VERSION:
+            have = f"v{m.format}" if m.format else \
+                "pre-v5 (meta has no format field)"
             raise ValueError(
-                f"index at {self.path} is store format v{m.format}; this "
-                f"build reads/writes v{FORMAT_VERSION} (the stats layout "
-                f"changed) — rebuild the index with build_index")
+                f"index at {self.path} is store format {have}; this "
+                f"build reads/writes v{FORMAT_VERSION} — rebuild the "
+                f"index with build_index")
         return m
 
     def _write_meta(self, meta: IndexMeta) -> None:
@@ -531,6 +534,33 @@ def new_shard_segments(spark: SparkSession, store: IndexStore,
     return df
 
 
+def _clear_uncommitted(store: IndexStore, old_shards: int,
+                       batch_part: str) -> None:
+    """Remove partitions a crashed prior append may have left. Every
+    shard dir >= the committed n_shards and every ``batch=<this
+    position>`` stats/docmap partition is uncommitted BY DEFINITION
+    (single-writer contract; meta is the commit point), so deleting
+    them is always safe — and necessary: dynamic partition overwrite
+    replaces only partitions the new write actually produces, so an
+    append whose output is empty (or smaller-sharded than the crashed
+    attempt) would otherwise leave stale in-range data that the stats
+    refresh and readers would then adopt (code-review finding)."""
+    import shutil as _sh
+    seg = store.path / "segments"
+    if seg.exists():
+        for d in seg.glob("shard=*"):
+            try:
+                k = int(d.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k >= old_shards:
+                _sh.rmtree(d, ignore_errors=True)
+    for sub in ("docstats", "termstats", "docmap"):
+        p = store.path / sub / f"batch={batch_part}"
+        if p.exists():
+            _sh.rmtree(p, ignore_errors=True)
+
+
 def append_to_index(spark: SparkSession, store: IndexStore,
                     new_corpus: DataFrame,
                     syn: SynonymDict | None = None,
@@ -559,19 +589,20 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     - avgdl: meta carries exact integer ``total_dl``; the append adds
       the delta sum, so avgdl == a full rebuild's bit-for-bit.
 
-    Commit protocol (at-least-once safe): every write uses a partition
-    name derived DETERMINISTICALLY from the committed state
-    (``batch_tag`` or ``append-at-<old N>``) with dynamic partition
-    overwrite, so a retry replaces a crashed attempt's leftovers
-    exactly. Readers are gated on meta — shard < n_shards, doc_id <
-    n_docs, termstats batch ∈ stats_batches — and the single
-    ``meta.json`` write at the end publishes ALL of it atomically,
-    including the ``batch_tag`` idempotence record: a replayed
-    micro-batch is a no-op iff its batch is fully visible. There is no
-    window where the tag is committed but the data isn't (round-2
-    advice #1), and an untagged retry overwrites its own leftovers
-    because the fallback partition name is position-derived, not
-    random (round-2 advice #3).
+    Commit protocol (at-least-once safe): every data partition name is
+    derived from the append POSITION (``at-<old N>`` — the committed
+    doc count; ``batch_tag`` is only the idempotence key), leftovers
+    from any crashed prior attempt are removed up front
+    (``_clear_uncommitted`` — they are uncommitted by definition under
+    the single-writer contract), and readers are gated on meta —
+    shard < n_shards, doc_id < n_docs, termstats batch ∈
+    stats_batches. The single ``meta.json`` write at the end publishes
+    ALL of it atomically, including the ``batch_tag`` idempotence
+    record: a replayed micro-batch is a no-op iff its batch is fully
+    visible. There is no window where the tag is committed but the
+    data isn't (round-2 advice #1), and crashed-attempt leftovers can
+    neither accumulate nor be adopted under any tag mixing (round-2
+    advice #3 + round-3 review).
 
     Concurrency contract: ONE writer at a time (the streaming sink is
     naturally serial; two concurrent appends would race the manifest's
@@ -629,11 +660,10 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         # letting assign_doc_ids auto-count would add a full extra job
         # on the unpersisted batch (per-micro-batch cost on the
         # streaming path)
-        from .docids import TARGET_ROWS_PER_BUCKET
+        from .docids import bucket_count
         base = base.persist()
         n_new = base.count()
-        buckets = max(64, -(-n_new // TARGET_ROWS_PER_BUCKET))
-        docs = (assign_doc_ids(base, buckets=buckets)
+        docs = (assign_doc_ids(base, buckets=bucket_count(n_new))
                 .withColumn("doc_id", F.col("doc_id") + F.lit(old_n))
                 .persist())
         docs.count()  # materialize before dropping the base cache
@@ -642,15 +672,29 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     new_total_shards = old_shards + add_shards
     build_id = uuid.uuid4().hex
 
-    # one sub-dir per append (partition column), dynamically
-    # overwritten so a retry replaces its own leftovers. The name is
-    # derived from the append POSITION for EVERY append (the
-    # idempotence KEY is still the tag): any append starting from the
-    # same committed old_n — a same-tag replay, an untagged retry, or
-    # a different batch after an abandoned crashed attempt — overwrites
-    # the same partition, so leftovers with overlapping doc_id ranges
-    # cannot accumulate under any tag mixing.
+    # one sub-dir per append (partition column). The name is derived
+    # from the append POSITION for EVERY append (the idempotence KEY is
+    # still the tag): any append starting from the same committed old_n
+    # — a same-tag replay, an untagged retry, or a different batch
+    # after an abandoned crashed attempt — targets the same partitions,
+    # and _clear_uncommitted removes every leftover in range first, so
+    # crashed-attempt data can neither accumulate nor be adopted even
+    # when this append produces less output than the crashed one did.
     batch_part = f"at-{old_n}"
+    _clear_uncommitted(store, old_shards, batch_part)
+    if n_new == 0:
+        # nothing to index: commit only the idempotence record so a
+        # replayed empty batch still no-ops
+        docs.unpersist()
+        if batch_tag is not None and batch_tag not in meta.batches:
+            batches = dict(meta.batches)
+            batches[batch_tag] = {
+                "status": "done", "build_id": build_id, "n_docs": 0,
+                "shards": [old_shards, old_shards], "partition": None}
+            store._write_meta(IndexMeta(
+                **{**asdict(meta), "batches": batches,
+                   "build_id": build_id, "created_utc": time.time()}))
+        return store
     keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                         "content_sha256"] if c in docs.columns]
     (docs.select(*keep).withColumn("batch", F.lit(batch_part))
@@ -899,6 +943,12 @@ def rebuild_if_dict_changed(spark: SparkSession, store: IndexStore,
     reference's search_analyzer-vs-index_analyzer split.
     """
     meta = store.meta()
+    if meta.uses_token_filter:
+        raise ValueError(
+            "index was built through a token_filter; its dictionary "
+            "lives in the filter (analyzer config), not in meta — "
+            "rebuild explicitly with build_index(token_filter=...) "
+            "under the new rules")
     new_fp = syn.fingerprint() if syn else None
     if new_fp == meta.dict_fingerprint:
         return store, False

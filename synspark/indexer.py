@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
+from hashlib import blake2b as _blake2b
+
 import numpy as np
 import pandas as pd
 
@@ -144,9 +146,12 @@ class _Interner:
         memoized by CONTENT HASH — the key is 16 bytes regardless of
         document size (full-text keys would pin up to cap × doc-size
         bytes per worker for a near-zero hit rate on unique-text
-        corpora; only whole-document repeats ever hit)."""
-        import hashlib
-        key = hashlib.md5(text.encode("utf-8", "surrogatepass")).digest()
+        corpora; only whole-document repeats ever hit). blake2b, not
+        md5: real colliding md5 inputs exist (crypto test vectors in a
+        code corpus) and a collision here would silently index the
+        wrong token stream."""
+        key = _blake2b(text.encode("utf-8", "surrogatepass"),
+                       digest_size=16).digest()
         ent = self.doc_cache.get(key)
         if ent is None:
             from .tokenizer import TokenizerConfig, tokenize

@@ -72,6 +72,7 @@ class DictWatcher:
         self._last_check = 0.0
         self._syn: SynonymDict | None = None
         self.reloads = -1  # first load is not a "reload"
+        self.last_error: str | None = None
         self.current()
 
     def current(self) -> SynonymDict | None:
@@ -81,26 +82,35 @@ class DictWatcher:
         if self._sig is not None and now - self._last_check < self.interval:
             return self._syn
         self._last_check = now
-        st = os.stat(self.path)
-        sig = (st.st_mtime_ns, st.st_size)
-        if sig == self._sig:
-            return self._syn
-        text = open(self.path, encoding="utf-8").read()
-        # torn-read guard for non-atomic writers (echo/redirect): if the
-        # file changed between stat and read, skip this poll — the next
-        # one sees the settled file. A parse failure likewise keeps the
-        # old dictionary (a half-written rules file must never kill the
-        # streaming query or index a batch under truncated rules); the
-        # first load still propagates the error (config fail-fast).
-        st2 = os.stat(self.path)
-        if (st2.st_mtime_ns, st2.st_size) != sig:
-            return self._syn
+        # torn-read / missing-file guards for non-atomic writers
+        # (echo/redirect, delete+recreate): if the file is absent or
+        # changed between stat and read, skip this poll — the next one
+        # sees the settled file. A parse failure keeps the old
+        # dictionary and is surfaced via last_error/stderr (a
+        # half-written rules file must never kill the streaming query
+        # or index a batch under truncated rules). The FIRST load still
+        # propagates every error — config mistakes fail fast.
         try:
+            st = os.stat(self.path)
+            sig = (st.st_mtime_ns, st.st_size)
+            if sig == self._sig:
+                return self._syn
+            text = open(self.path, encoding="utf-8").read()
+            st2 = os.stat(self.path)
+            if (st2.st_mtime_ns, st2.st_size) != sig:
+                return self._syn
             syn = SynonymDict.parse(text)
-        except Exception:
+        except Exception as e:
             if self.reloads < 0:
                 raise
+            if repr(e) != self.last_error:  # once per distinct failure
+                self.last_error = repr(e)
+                import sys
+                print(f"[synspark] dictionary reload of {self.path} "
+                      f"failed, keeping previous rules: {e!r}",
+                      file=sys.stderr, flush=True)
             return self._syn
+        self.last_error = None
         self._sig = sig
         old_fp = self._syn.fingerprint() if self._syn else None
         new_fp = syn.fingerprint() if syn else None

@@ -127,6 +127,46 @@ def test_stale_larger_append_shards_excluded(spark, tmp_path_factory):
     assert "9" not in st.manifest()["shards"]  # no lineage adoption
 
 
+def test_empty_output_append_cannot_adopt_stale(spark, tmp_path_factory):
+    """A crashed larger append leaves a stale shard INSIDE the next
+    append's range; if that append produces no segment output (all-
+    empty documents) dynamic overwrite writes nothing — the leftovers
+    must be cleared up front, not adopted (code-review finding)."""
+    import shutil
+    from synspark.query import count_matches
+    out = tmp_path_factory.mktemp("stale2") / "index"
+    st = build_index(spark, mk(spark, 0, 40, "alpha beta"), str(out),
+                     cfg=CFG, n_shards=2, source="base")
+    shutil.copytree(out / "segments" / "shard=0",
+                    out / "segments" / "shard=2")  # in the next range
+    st = append_to_index(spark, IndexStore(str(out)),
+                         mk(spark, 40, 50, ""), source="empty-docs")
+    assert st.meta().n_docs == 50
+    assert not (out / "segments" / "shard=2").exists()  # cleared
+    out2 = tmp_path_factory.mktemp("stale2full") / "index"
+    full = build_index(
+        spark, mk(spark, 0, 40, "alpha beta").unionByName(
+            mk(spark, 40, 50, "")),
+        str(out2), cfg=CFG, n_shards=2, source="full")
+    assert st.meta().total_dl == full.meta().total_dl
+    assert {tuple(r) for r in st.termstats(spark).collect()} \
+        == {tuple(r) for r in full.termstats(spark).collect()}
+    assert count_matches(spark, st, "alpha").collect()[0]["hits"] == 40
+
+
+def test_empty_batch_append_records_tag(spark, tmp_path_factory):
+    """n_new == 0: nothing is indexed but the idempotence tag still
+    commits, so a replayed empty micro-batch no-ops."""
+    out = tmp_path_factory.mktemp("emptyb") / "index"
+    st = build_index(spark, mk(spark, 0, 20, "alpha"), str(out), cfg=CFG,
+                     n_shards=1, source="base")
+    st = append_to_index(spark, st, mk(spark, 20, 20), batch_tag="e0")
+    assert st.meta().n_docs == 20 and st.meta().n_shards == 1
+    assert st.meta().batches["e0"]["n_docs"] == 0
+    st = append_to_index(spark, st, mk(spark, 20, 20), batch_tag="e0")
+    assert st.meta().n_docs == 20  # replay no-ops
+
+
 def test_termstats_read_pushes_filters(spark, tmp_path_factory):
     """Merge-on-read termstats must stay cheap for term-filtered reads
     (the only hot-path consumer, term_dfs): the term predicate pushes
@@ -250,7 +290,7 @@ def test_format_version_enforced(spark, tmp_path_factory):
     m = json.loads((out / "meta.json").read_text())
     del m["format"]  # what a pre-v5 meta looks like
     (out / "meta.json").write_text(json.dumps(m))
-    with pytest.raises(ValueError, match="store format v3"):
+    with pytest.raises(ValueError, match="pre-v5"):
         IndexStore(str(out)).meta()
     with pytest.raises(ValueError, match="rebuild"):
         append_to_index(spark, IndexStore(str(out)),
