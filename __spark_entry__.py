@@ -234,16 +234,10 @@ def q_fts_count_or(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="or")
 
 
-def q_fts_synonym_bm25(spark, sf_dir):
-    """Synonym-expanded BM25 (dict data,info / sort,order, expand=true,
-    n=2) — fully oracle-checked: with this dict the expanded index is
-    SQL-expressible. Each dict match emits the surface + the stacked
-    alternative at one position, so tf(data)=tf(info)=matches(data|info)
-    (group tf = 2×matches, df identical across the group), boundary
-    partials never change position counts (dl per block = matches +
-    Σ max(1, seg_len-1)), verified against the tokenizer by probe."""
+def _syn_index(spark, sf_dir):
+    """Synonym-expanded bigram index (dict data,info / sort,order,
+    expand=true, n=2) over documents, cached per sf_dir."""
     from synspark.index_store import FORMAT_VERSION, build_index
-    from synspark.query import search
     from synspark.synonyms import SynonymDict
     from synspark.tokenizer import TokenizerConfig
     _ensure_shipped(spark)
@@ -255,8 +249,35 @@ def q_fts_synonym_bm25(spark, sf_dir):
     store = build_index(spark, corpus, str(out),
                         cfg=TokenizerConfig(n=2, expand=True), syn=syn,
                         n_shards=4, source=f"{sf_dir}:syn", resume=True)
+    return store, syn
+
+
+def q_fts_synonym_bm25(spark, sf_dir):
+    """Synonym-expanded BM25 (dict data,info / sort,order, expand=true,
+    n=2) — fully oracle-checked: with this dict the expanded index is
+    SQL-expressible. Each dict match emits the surface + the stacked
+    alternative at one position, so tf(data)=tf(info)=matches(data|info)
+    (group tf = 2×matches, df identical across the group), boundary
+    partials never change position counts (dl per block = matches +
+    Σ max(1, seg_len-1)), verified against the tokenizer by probe."""
+    from synspark.query import search
+    store, syn = _syn_index(spark, sf_dir)
     return _rounded_topk(
         search(spark, store, "info sort", k=200, mode="and", syn=syn), 10)
+
+
+def q_fts_asym_count(spark, sf_dir):
+    """LUCENE-5252's documented asymmetric deployment as a contract
+    row: index analyzer expand=true, QUERY analyzer expand=false — the
+    query emits only the surface anchors (info, sort: no stacking, no
+    partials), which match the index-side stacked tokens. Hit count =
+    docs containing (data|info) AND (sort|order)."""
+    from synspark.query import count_matches
+    from synspark.tokenizer import TokenizerConfig
+    store, syn = _syn_index(spark, sf_dir)
+    qcfg = TokenizerConfig(n=2, expand=False, ignore_case=True)
+    return count_matches(spark, store, "info sort", mode="and",
+                         syn=syn, cfg=qcfg)
 
 
 def q_fts_analyze(spark, sf_dir):
@@ -510,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_count_and": q_fts_count_and,
         "fts_count_or": q_fts_count_or,
         "fts_synonym_bm25": q_fts_synonym_bm25,
+        "fts_asym_count": q_fts_asym_count,
         "fts_analyze": q_fts_analyze,
         "fts_synfilter": q_fts_synfilter,
         "dp_exact_dups": q_dp_exact_dups,
@@ -1008,6 +1030,22 @@ WITH blocks AS (
 )
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_asym_count": f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
+  FROM documents
+), nb AS (
+  SELECT doc_id, lower(blk) AS blk FROM blocks WHERE length(blk) > 0
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(blk, '(data|info)')) AS m1,
+    len(regexp_extract_all(blk, '(sort|order)')) AS m2
+  FROM nb
+), dstat AS (
+  SELECT doc_id, sum(m1) AS m1, sum(m2) AS m2 FROM m GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS hits FROM dstat WHERE m1 > 0 AND m2 > 0
 """,
         "fts_synfilter": f"""
 WITH w AS (
