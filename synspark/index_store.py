@@ -33,7 +33,8 @@ import time
 import uuid
 from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field
-from pathlib import Path
+
+from .fs import FsPath, LocalFS
 
 
 def _run_concurrent(*fns) -> None:
@@ -152,9 +153,21 @@ def _digest_expr():
     ).alias("digest")
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to append while another holds the lock
+    (or a crashed writer left a stale one — see break_lock)."""
+
+
 class IndexStore:
-    def __init__(self, path: str):
-        self.path = Path(path)
+    def __init__(self, path: str, fs=None):
+        """``fs`` routes the METADATA/commit layer (meta/manifest
+        writes, crashed-partition purge, writer lock): default
+        ``LocalFS``; pass ``HadoopFS(spark, path)`` to run the store on
+        any Hadoop-supported filesystem (hdfs://, s3a://, file:). Bulk
+        parquet I/O always goes through Spark and is FS-agnostic either
+        way."""
+        self.fs = fs or LocalFS()
+        self.path = FsPath(self.fs, path)
         # bounded per-term df memo for query planning: only QUERIED
         # terms ever enter (never the vocabulary), invalidated when the
         # index build changes. Cuts one Spark job per repeated query.
@@ -188,6 +201,52 @@ class IndexStore:
         return {int(k) for k, v in self.manifest()["shards"].items()
                 if v.get("status") == "done"}
 
+    # ---------- writer lock ----------
+    # append_to_index documents a single-writer contract; the lock file
+    # turns a violated contract into a fast failure instead of silent
+    # manifest/shard-allocation races (round-3 verdict task #10). Best
+    # effort by design: created with create-exclusive semantics
+    # (O_EXCL / FileSystem.createNewFile), removed on commit or error.
+    def _lock_path(self) -> FsPath:
+        return self.path / "writer.lock"
+
+    def acquire_writer_lock(self, owner: str) -> None:
+        info = json.dumps({"owner": owner, "pid": os.getpid(),
+                           "acquired_utc": time.time()})
+        if not self._lock_path().create_exclusive(info):
+            try:
+                held = self._lock_path().read_text()
+            except Exception:
+                held = "<unreadable>"
+            raise ConcurrentWriterError(
+                f"another writer holds {self._lock_path()}: {held}. "
+                "Concurrent appends are unsupported (single-writer "
+                "contract); if the holder crashed, call "
+                "IndexStore.break_lock() and retry.")
+
+    def release_writer_lock(self) -> None:
+        try:
+            self._lock_path().unlink()
+        except Exception:
+            pass
+
+    def break_lock(self) -> None:
+        """Operator override for a crashed writer's stale lock."""
+        self.release_writer_lock()
+
+    def _committed_data_parts(self, meta: "IndexMeta") -> list[str]:
+        """Partition names of COMMITTED docstats/docmap batches: the
+        initial build + every batch recorded in meta (the commit
+        record). A crashed append's ``batch=at-N`` partition is never
+        in this list, so partition-gated readers cannot even LIST its
+        files (round-3 advice: the row-level doc_id gate alone still
+        listed crashed-delta files, racing a retry's purge)."""
+        parts = {INITIAL_BATCH}
+        for b in meta.batches.values():
+            if b.get("partition"):
+                parts.add(b["partition"])
+        return sorted(parts)
+
     # ---------- readers ----------
     # segments/docmap reads are COMMIT-GATED on meta (written last):
     # shard < n_shards / doc_id < n_docs hides partitions left by a
@@ -199,11 +258,19 @@ class IndexStore:
 
     def docstats(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl). Batch-partitioned on disk (one partition per
-        append); the doc_id < n_docs gate hides crashed-append deltas
-        (new docs always continue after the committed range)."""
-        df = spark.read.parquet(str(self.path / "docstats"))
-        return df.filter(F.col("doc_id") < self.meta().n_docs) \
-            .select("doc_id", "dl")
+        append), gated on the COMMITTED partition list (partition
+        pruning — a crashed append's delta files are never listed, so
+        a concurrent retry's purge can't race this scan) plus the
+        doc_id < n_docs row gate. ignoreMissingFiles covers the one
+        remaining window: a reader that planned against an older meta
+        while the vacuum reclaimed a folded delta."""
+        meta = self.meta()
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "docstats"))
+        return (df.filter(F.col("batch")
+                          .isin(self._committed_data_parts(meta)))
+                .filter(F.col("doc_id") < meta.n_docs)
+                .select("doc_id", "dl"))
 
     def termstats(self, spark: SparkSession) -> DataFrame:
         """(term, df, cf) — merge-on-read over per-batch delta
@@ -215,16 +282,23 @@ class IndexStore:
         per-append cost is O(new docs), never O(index).
 
         Gate: only partitions named in meta.stats_batches (the commit
-        record) participate, hiding crashed-append deltas."""
-        df = spark.read.parquet(str(self.path / "termstats"))
+        record) participate, hiding crashed-append deltas.
+        ignoreMissingFiles covers a reader planned against an older
+        meta racing the post-fold vacuum."""
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "termstats"))
         return (df.filter(F.col("batch").isin(self.meta().stats_batches))
                 .groupBy("term")
                 .agg(F.sum("df").cast("long").alias("df"),
                      F.sum("cf").cast("long").alias("cf")))
 
     def docmap(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(str(self.path / "docmap"))
-        return df.filter(F.col("doc_id") < self.meta().n_docs)
+        meta = self.meta()
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "docmap"))
+        return (df.filter(F.col("batch")
+                          .isin(self._committed_data_parts(meta)))
+                .filter(F.col("doc_id") < meta.n_docs))
 
     def term_dfs(self, spark: SparkSession, terms: list[str],
                  build_id: str | None = None) -> dict:
@@ -250,6 +324,16 @@ class IndexStore:
         return {t: self._df_cache.get(t, 0) for t in terms}
 
 
+def _usable_stats_dir(p: FsPath) -> bool:
+    """True iff ``p`` exists AND is batch-partitioned (has ``batch=``
+    children). A pre-v5 partial build left UNPARTITIONED stats dirs;
+    resuming over one and committing v6 meta would make every later
+    read fail obscurely on the missing ``batch`` column (round-3
+    advice) — callers treat such dirs as absent and rebuild them."""
+    return p.exists() and any(c.name.startswith("batch=")
+                              for c in p.iterdir())
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 cfg: TokenizerConfig | None = None,
                 syn: SynonymDict | None = None,
@@ -263,7 +347,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 source: str = "<dataframe>",
                 resume: bool = True,
                 batch_tag: str | None = None,
-                token_filter=None) -> IndexStore:
+                token_filter=None, fs=None) -> IndexStore:
     """End-to-end resumable index build.
 
     Stage A (docmap + docstats + meta), then stage B (segments shard by
@@ -303,7 +387,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     batch to be tagged like every other batch).
     """
     cfg = cfg or TokenizerConfig()
-    store = IndexStore(out_dir)
+    store = IndexStore(out_dir, fs=fs)
     seg_dir = str(store.path / "segments")
 
     manifest = store.manifest() if resume else {"shards": {}}
@@ -324,7 +408,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     docmap_dir = store.path / "docmap"
 
     def _write_docmap():
-        if not (resume and docmap_dir.exists()):
+        if not (resume and _usable_stats_dir(docmap_dir)):
             keep = [c for c in ["doc_id", "repo", "path", "commit", "lang",
                                 "content_sha256"] if c in docs.columns]
             # partitioned by batch from the start so later appends can
@@ -365,7 +449,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     # term layout needs docstats (dl) BEFORE encoding; doc layout emits
     # dl in-pass as pseudo-term rows and derives docstats afterwards
-    if layout == "term" and not (resume and (store.path / "docstats").exists()):
+    if layout == "term" and not (resume and
+                                 _usable_stats_dir(store.path / "docstats")):
         (build_doc_stats(tokenize_corpus(docs, cfg, syn, text_col=text_col,
                                          token_filter=token_filter))
          .withColumn("batch", F.lit(INITIAL_BATCH))
@@ -446,7 +531,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
 
     def _docstats_job():
         if layout == "doc" and (missing or
-                                not (store.path / "docstats").exists()):
+                                not _usable_stats_dir(store.path
+                                                      / "docstats")):
             (decode_docstats_rows(
                 segs_all.filter(F.col("term") == DOCSTATS_TERM))
              .withColumn("batch", F.lit(INITIAL_BATCH))
@@ -454,7 +540,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
              .parquet(str(store.path / "docstats")))
 
     def _termstats_job():
-        if not ts_dir.exists() or missing:
+        if missing or not _usable_stats_dir(ts_dir):
             (segs_all.filter(F.col("term") != DOCSTATS_TERM)
              .groupBy("term")
              .agg(F.sum("n_docs").cast("long").alias("df"),
@@ -544,8 +630,9 @@ def _clear_uncommitted(store: IndexStore, old_shards: int,
     replaces only partitions the new write actually produces, so an
     append whose output is empty (or smaller-sharded than the crashed
     attempt) would otherwise leave stale in-range data that the stats
-    refresh and readers would then adopt (code-review finding)."""
-    import shutil as _sh
+    refresh and readers would then adopt (code-review finding). Runs
+    through the store's FS shim — works wherever the commit layer
+    does (HDFS/S3A/local)."""
     seg = store.path / "segments"
     if seg.exists():
         for d in seg.glob("shard=*"):
@@ -554,11 +641,11 @@ def _clear_uncommitted(store: IndexStore, old_shards: int,
             except ValueError:
                 continue
             if k >= old_shards:
-                _sh.rmtree(d, ignore_errors=True)
+                d.rmtree()
     for sub in ("docstats", "termstats", "docmap"):
         p = store.path / sub / f"batch={batch_part}"
         if p.exists():
-            _sh.rmtree(p, ignore_errors=True)
+            p.rmtree()
 
 
 def append_to_index(spark: SparkSession, store: IndexStore,
@@ -609,6 +696,14 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     read-modify-write and the shard-number allocation). Readers are
     always safe — they see the last committed meta.
 
+    Concurrency is ENFORCED (not just documented): a ``writer.lock``
+    is taken with create-exclusive semantics for the duration of the
+    append; a second concurrent append fails fast with
+    ``ConcurrentWriterError``. A crashed writer leaves a stale lock —
+    ``store.break_lock()`` is the operator override (the lock is an
+    operational guard, not part of the commit protocol: correctness
+    still comes from the meta commit point).
+
     ``allow_dict_change=True`` reproduces the reference's dynamic
     dictionary reload semantics (SynonymLoader.java:55-74 hot-swaps the
     SynonymMap; SynonymPluginTest.java:367-484 pins the consequences):
@@ -619,6 +714,18 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     ``rebuild_if_dict_changed``). Default False: a changed fingerprint
     raises, keeping single-dictionary indexes consistent.
     """
+    store.acquire_writer_lock(owner=source)
+    try:
+        return _append_locked(
+            spark, store, new_corpus, syn, docs_per_shard, source,
+            batch_tag, allow_dict_change, fold_stats_every, token_filter)
+    finally:
+        store.release_writer_lock()
+
+
+def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
+                   source, batch_tag, allow_dict_change,
+                   fold_stats_every, token_filter) -> IndexStore:
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
     if meta.uses_token_filter != (token_filter is not None):
@@ -791,26 +898,31 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     stats_batches = list(meta.stats_batches)
     if batch_part not in stats_batches:
         stats_batches.append(batch_part)
+    folded_away: list[str] = []
     if len(stats_batches) > fold_stats_every:
         # fold every committed delta + this batch's into ONE partition.
-        # Deterministic name + dynamic overwrite => retry-safe; the fold
-        # only becomes visible through the meta commit below. Old delta
-        # dirs become unreferenced garbage, reclaimed by compact_index.
-        # Reading and writing the same root path is safe here because
-        # the read set (committed batch partitions) and the written
-        # partition (the new fold) are DISJOINT, and dynamic overwrite
-        # touches only the written partition's directory.
+        # Deterministic name + dynamic overwrite => retry-safe; the
+        # fold only becomes visible through the meta commit below. The
+        # read enumerates the committed batch SUBDIRECTORIES (basePath
+        # keeps the partition column) so the output root is never also
+        # a read path — dynamically overwriting a root you are reading
+        # is rejected or racy on some Spark versions/catalogs (round-3
+        # advice). Folded-away delta dirs are vacuumed after the meta
+        # commit below.
         fold_part = f"fold-at-{n_docs}"
-        ts_dir = str(store.path / "termstats")
-        (spark.read.parquet(ts_dir)
-         .filter(F.col("batch").isin(stats_batches))
+        ts_root = store.path / "termstats"
+        srcs = [str(ts_root / f"batch={b}") for b in stats_batches
+                if (ts_root / f"batch={b}").exists()]
+        (spark.read.option("basePath", str(ts_root))
+         .parquet(*srcs)
          .groupBy("term")
          .agg(F.sum("df").cast("long").alias("df"),
               F.sum("cf").cast("long").alias("cf"))
          .withColumn("batch", F.lit(fold_part))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch").parquet(ts_dir))
+         .partitionBy("batch").parquet(str(ts_root)))
+        folded_away = stats_batches
         stats_batches = [fold_part]
     store._write_meta(IndexMeta(
         build_id=build_id, n_docs=n_docs,
@@ -825,6 +937,16 @@ def append_to_index(spark: SparkSession, store: IndexStore,
         stats_batches=stats_batches, batches=batches,
         format=FORMAT_VERSION,
         uses_token_filter=meta.uses_token_filter))
+    # vacuum: once the fold's meta is committed, the folded-away delta
+    # partitions are unreferenced garbage — reclaim them here instead
+    # of waiting for compact_index, so the termstats dir count stays
+    # bounded (≤ fold_stats_every + 1) under continuous ingest. Safe
+    # under the single-writer lock; the reader-side gate is the
+    # committed-partition list + ignoreMissingFiles (round-3 task #5).
+    for b in folded_away:
+        p = store.path / "termstats" / f"batch={b}"
+        if p.exists():
+            p.rmtree()
     # observability mirror (committed state only; never authoritative)
     manifest["batches"] = batches
     store._write_manifest(manifest)
@@ -867,7 +989,7 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
     n_new = new_id + 1
     map_df = spark.createDataFrame(mapping, "shard int, new_shard int")
 
-    dst = IndexStore(out_dir)
+    dst = IndexStore(out_dir, fs=store.fs)
     dst.path.mkdir(parents=True, exist_ok=True)
     segs = (store.segments(spark)
             .join(F.broadcast(map_df), "shard")

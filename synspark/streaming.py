@@ -63,10 +63,16 @@ class DictWatcher:
     ``interval`` seconds and re-parses only when the (mtime, size)
     signature changed; swapped dictionaries take effect for every
     subsequent call. Thread-safe for the single-writer streaming loop.
+
+    ``fs`` routes the stat/read through the store's filesystem shim
+    (default local; pass ``fs.HadoopFS`` to watch a rules file on
+    HDFS/S3 — the realistic place for shared cluster config).
     """
 
-    def __init__(self, dict_path: str, interval: float = 1.0):
+    def __init__(self, dict_path: str, interval: float = 1.0, fs=None):
+        from .fs import LocalFS
         self.path = dict_path
+        self._fs = fs or LocalFS()
         self.interval = interval
         self._sig: tuple | None = None
         self._last_check = 0.0
@@ -76,7 +82,6 @@ class DictWatcher:
         self.current()
 
     def current(self) -> SynonymDict | None:
-        import os
         import time as _time
         now = _time.monotonic()
         if self._sig is not None and now - self._last_check < self.interval:
@@ -91,13 +96,11 @@ class DictWatcher:
         # or index a batch under truncated rules). The FIRST load still
         # propagates every error — config mistakes fail fast.
         try:
-            st = os.stat(self.path)
-            sig = (st.st_mtime_ns, st.st_size)
+            sig = self._fs.stat(self.path)
             if sig == self._sig:
                 return self._syn
-            text = open(self.path, encoding="utf-8").read()
-            st2 = os.stat(self.path)
-            if (st2.st_mtime_ns, st2.st_size) != sig:
+            text = self._fs.read_text(self.path)
+            if self._fs.stat(self.path) != sig:
                 return self._syn
             syn = SynonymDict.parse(text)
         except Exception as e:
@@ -129,7 +132,8 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   text_col: str = "content",
                   schema=None,
                   dict_path: str | None = None,
-                  dict_poll_interval: float = 1.0):
+                  dict_poll_interval: float = 1.0,
+                  fs=None):
     """Tail ``input_dir`` (parquet corpus files) into the index at
     ``index_dir``. Returns the StreamingQuery; callers own its
     lifecycle (``awaitTermination`` / ``stop``).
@@ -154,7 +158,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     if dict_path is not None and syn is not None:
         raise ValueError("pass either syn (pinned rules) or dict_path "
                          "(live-reloaded rules), not both")
-    watcher = DictWatcher(dict_path, dict_poll_interval) \
+    watcher = DictWatcher(dict_path, dict_poll_interval, fs=fs) \
         if dict_path is not None else None
     stream = (spark.readStream
               .schema(schema or STREAM_SCHEMA)
@@ -167,7 +171,7 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         cur_syn = watcher.current() if watcher is not None else syn
         # drop any streaming-unsafe native ids: append assigns from keys
         bdf = batch_df.drop("doc_id")
-        store = IndexStore(index_dir)
+        store = IndexStore(index_dir, fs=fs)
         tag = f"stream-batch-{batch_id}"
         if (store.path / "meta.json").exists():
             append_to_index(batch_df.sparkSession, store, bdf, syn=cur_syn,
@@ -176,7 +180,8 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         else:
             build_index(batch_df.sparkSession, bdf, index_dir, cfg=cfg,
                         syn=cur_syn, n_shards=n_shards_first,
-                        text_col=text_col, source=tag, batch_tag=tag)
+                        text_col=text_col, source=tag, batch_tag=tag,
+                        fs=fs)
 
     return (stream.writeStream
             .foreachBatch(process)
