@@ -305,6 +305,113 @@ def _word_tokens(spark, sf_dir):
                            None)
 
 
+def _filter_index(spark, sf_dir):
+    """Filter-COMPOSED analyzer index (word tokenizer + synonym token
+    filter with the multi-word rule 'key order,ko') over documents,
+    cached per sf_dir. The rule's single-token alternative ``ko``
+    spans 2 positions in the index (pl_bytes posLength — v6), per
+    SynonymFilter.java:472-526."""
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.synfilter import synonym_token_filter
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|graph-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    syn_f = SynonymDict.parse("key order,ko")
+    filt = synonym_token_filter(syn_f, entry_tokenizer=str.split)
+    # n larger than any block => whole-word tokens (the SynonymFilter
+    # factory's default whitespace input)
+    store = build_index(spark, corpus, str(out),
+                        cfg=TokenizerConfig(n=1 << 20, expand=False),
+                        syn=None, n_shards=4,
+                        source=f"{sf_dir}:graph", resume=True,
+                        token_filter=filt)
+    return store
+
+
+def q_fts_graph_phrase(spark, sf_dir):
+    """posLength-graph phrase matching through the filter-composed
+    index: the asymmetric query [ko][data|customer|the|line|column|row]
+    (raw ``ko`` token, no query-side expansion; alternatives in the
+    second position like a MultiPhraseQuery) matches exactly the docs
+    where the multi-word surface 'key order' is immediately followed
+    by one of those words — the indexed ``ko`` token SPANS the
+    two-word match (pl=2, SynonymFilter.java:472-526), so adjacency
+    follows the token graph; a position-flattened index would count 0
+    here (ko would end one position short of the follower)."""
+    from synspark.query import count_matches
+    store = _filter_index(spark, sf_dir)
+    follow = ["data", "customer", "the", "line", "column", "row"]
+    return count_matches(spark, store, "", mode="and", phrase=True,
+                         groups=[["ko"], follow])
+
+
+def q_fts_stream_count(spark, sf_dir):
+    """Structured-Streaming ingest as a CONTRACT row (round-3 verdict
+    task #7): the first 300 documents are split into 3 parquet files,
+    tailed by stream_ingest (maxFilesPerTrigger=1 → bootstrap build +
+    2 idempotent appends through the real foreachBatch sink), then a
+    replayed micro-batch tag is re-submitted and must no-op. The final
+    index answers the benchmark boolean count hash-identically to a
+    one-shot build over the same docs — which is exactly what the
+    DuckDB oracle computes."""
+    import shutil
+
+    from synspark.index_store import (FORMAT_VERSION, IndexStore,
+                                      append_to_index)
+    from synspark.query import count_matches
+    from synspark.streaming import stream_ingest
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|stream-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"synspark_stream_{key}"
+    idx = root / "index"
+    corpus = (_docs(spark, sf_dir)
+              .filter(F.col("doc_id") < 300)
+              .select(F.concat(F.lit("r"),
+                               F.lpad(F.col("doc_id").cast("string"),
+                                      8, "0")).alias("repo"),
+                      F.lit("f").alias("path"),
+                      F.lit("c").alias("commit"),
+                      F.lit("t").alias("lang"),
+                      F.col("text").alias("content"),
+                      "doc_id"))
+    ok = False
+    if (idx / "meta.json").exists():
+        try:
+            ok = IndexStore(str(idx)).meta().n_docs == 300
+        except Exception:
+            ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        inp = root / "input"
+        for lo, hi in ((0, 100), (100, 200), (200, 300)):
+            (corpus.filter((F.col("doc_id") >= lo)
+                           & (F.col("doc_id") < hi))
+             .drop("doc_id").coalesce(1)
+             .write.mode("append").parquet(str(inp)))
+        q = stream_ingest(
+            spark, str(inp), str(idx), str(root / "ckpt"),
+            cfg=TokenizerConfig(n=2, expand=False, ignore_case=True),
+            n_shards_first=4, poll_files_per_batch=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    store = IndexStore(str(idx))
+    assert store.meta().n_docs == 300, store.meta().n_docs
+    # at-least-once replay: an already-committed micro-batch tag
+    # no-ops (otherwise the count below would double and hash-fail)
+    append_to_index(spark, store, corpus.drop("doc_id").limit(50),
+                    batch_tag="stream-batch-1")
+    assert store.meta().n_docs == 300
+    return count_matches(spark, store, BM25_QUERY, mode="and")
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -534,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_asym_count": q_fts_asym_count,
         "fts_analyze": q_fts_analyze,
         "fts_synfilter": q_fts_synfilter,
+        "fts_graph_phrase": q_fts_graph_phrase,
+        "fts_stream_count": q_fts_stream_count,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -564,10 +673,15 @@ _DELIMS = "[ \t\n\r　]+"
 
 # bigram tokenization of documents.text — mirrors the engine's
 # tokenizer at n=2, expand=false, no dict (short blocks emit whole-span)
-_GRAMS_CTE = f"""
+
+
+def _grams_cte(pred: str = "") -> str:
+    """The bigram CTE over ``documents`` with an optional row
+    predicate (e.g. the streaming row's doc_id < 300 sub-corpus)."""
+    return f"""
 WITH blocks AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
-  FROM documents
+  FROM documents {pred}
 ), nb AS (
   SELECT doc_id, blk FROM blocks WHERE length(blk) > 0
 ), gi AS (
@@ -579,6 +693,9 @@ WITH blocks AS (
   SELECT doc_id, substr(blk, i, 2) AS term FROM gi
 )
 """
+
+
+_GRAMS_CTE = _grams_cte()
 
 _WORDS_CTE = f"""
 WITH words AS (
@@ -812,6 +929,29 @@ WHERE c = (SELECT count(*) FROM qt)
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
 SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM grams
 WHERE term IN (SELECT term FROM qt)
+""",
+        # posLength-graph phrase through the filter-composed index:
+        # the indexed ko token spans exactly a whole-token
+        # 'key order' run (keepOrig stacks it at the match start with
+        # pl=2), so [ko][follower-alternatives] graph-adjacency ≡ the
+        # surface phrase 'key order <follower>' on whole-token
+        # boundaries
+        "fts_graph_phrase": f"""
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_matches(text,
+  '(^|[ \t\n\r　])key[ \t\n\r　]+order[ \t\n\r　]+(data|customer|the|line|column|row)($|[ \t\n\r　])')
+""",
+        # the streamed index over doc_id < 300 answers the benchmark
+        # boolean AND count exactly as a one-shot build would — stats
+        # and postings are batch-order-independent by construction
+        "fts_stream_count": _grams_cte("WHERE doc_id < 300") + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS hits FROM per_doc
+WHERE c = (SELECT count(*) FROM qt)
 """,
         "dp_exact_dups": """
 WITH aug AS (

@@ -103,8 +103,13 @@ def main() -> None:
         spark, store_docs, "data sort merge", k=10, mode="and").collect())
     lat("q_bm25_or", lambda: search(
         spark, store_docs, "data sort merge", k=10, mode="or").collect())
-    lat("q_bm25_wand_k1000", lambda: search(
+    # k=1000 twins in BOTH boolean modes (round-3 verdict #8: the old
+    # single entry was named "wand" but ran mode="or"; q_bm25_or_k1000
+    # is the same measurement as rounds 2-3's q_bm25_wand_k1000)
+    lat("q_bm25_or_k1000", lambda: search(
         spark, store_docs, "data sort merge", k=1000, mode="or").collect())
+    lat("q_bm25_and_k1000", lambda: search(
+        spark, store_docs, "data sort merge", k=1000, mode="and").collect())
     lat("q_phrase", lambda: count_matches(
         spark, store_docs, "key order", mode="and",
         phrase=True).collect())

@@ -114,10 +114,23 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> np.ndarray:
     return out
 
 
+def decode_plens(buf: bytes | None, tfs: np.ndarray) -> np.ndarray:
+    """Per-occurrence position lengths, aligned with decode_positions'
+    output. ``None`` means the block was written without a posLength
+    graph — every token spans one position (the overwhelmingly common
+    case; only filter-composed indexes with multi-word rules ever
+    write pl_bytes)."""
+    n = int(np.asarray(tfs).sum())
+    if buf is None:
+        return np.ones(n, dtype=np.int64)
+    return varint_decode(buf, n).astype(np.int64)
+
+
 def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
                   positions_concat: np.ndarray | None = None,
                   dls: np.ndarray | None = None,
-                  block_docs: int = BLOCK_DOCS) -> list[dict]:
+                  block_docs: int = BLOCK_DOCS,
+                  plens_concat: np.ndarray | None = None) -> list[dict]:
     """Split one term's sorted postings into encoded blocks.
 
     ``doc_ids`` must be sorted ascending and unique. ``dls`` (per-doc
@@ -156,13 +169,19 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
             seg = positions_concat[pos_offsets[b0]:pos_offsets[b1]]
             rec["pos_bytes"] = encode_positions(
                 np.asarray(seg), tfs[b0:b1].astype(np.int64))
+        rec["pl_bytes"] = None
+        if plens_concat is not None and pos_offsets is not None:
+            seg = plens_concat[pos_offsets[b0]:pos_offsets[b1]]
+            rec["pl_bytes"] = varint_encode(
+                np.asarray(seg).astype(np.uint64))
         out.append(rec)
     return out
 
 
 def encode_sorted_batch(grp_change: np.ndarray, doc: np.ndarray,
                         pos: np.ndarray | None, dl_tok: np.ndarray,
-                        block_docs: int = BLOCK_DOCS) -> dict:
+                        block_docs: int = BLOCK_DOCS,
+                        plen: np.ndarray | None = None) -> dict:
     """Encode a token batch covering COMPLETE posting groups into block
     rows — fully vectorized (no per-group Python).
 
@@ -257,8 +276,20 @@ def encode_sorted_batch(grp_change: np.ndarray, doc: np.ndarray,
         tok_ends = np.append(doc_starts, n)[blk_end]
         out["pos_bytes"] = block_slices(pos_raw, pos_len, tok_starts,
                                         tok_ends - tok_starts)
+        if plen is not None:
+            # posLength graph (filter-composed indexes with multi-word
+            # rules): one varint per occurrence, raw values (≥1, almost
+            # always 1 → 1 byte), same token-space block slicing as
+            # positions. None when every token spans one position.
+            pl_raw, pl_len = varint_encode_with_lengths(
+                plen.astype(np.uint64))
+            out["pl_bytes"] = block_slices(pl_raw, pl_len, tok_starts,
+                                           tok_ends - tok_starts)
+        else:
+            out["pl_bytes"] = [None] * NB
     else:
         out["pos_bytes"] = [None] * NB
+        out["pl_bytes"] = [None] * NB
     return out
 
 

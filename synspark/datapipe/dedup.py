@@ -211,16 +211,25 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
 def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
                         n_planes: int = 6, seed: int = 42,
                         vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        id_col: str = "vec_id",
+                        probes: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup stage
     of a training pipeline (near-identical docs that lexical dedup
     misses). Candidates are pairs sharing an LSH hyperplane bucket
     (deterministic seeded planes, same family as the ANN IVF layout),
     verified by exact cosine ≥ threshold. The join is bucket-equal, so
     cost is bounded by bucket populations (~N/2^n_planes expected),
-    never all-pairs; raise ``n_planes`` as N grows. Recall trade-off:
-    a pair split across buckets is missed — standard multi-probe LSH;
-    probes can be added by unioning neighbor-bucket keys.
+    never all-pairs; raise ``n_planes`` as N grows.
+
+    ``probes`` is the multi-probe recall knob (round-3 verdict task
+    #4): each LEFT-side vector additionally probes the Hamming-1
+    neighbor buckets obtained by flipping planes 0..probes-2 (probes=
+    n_planes+1 covers every single-bit flip), so a pair split by ONE
+    hyperplane is recovered. Cost scales linearly in probes (left side
+    replicated via explode — no 2^n_planes enumeration anywhere, so
+    the knob stays scale-safe at large n_planes); pairs found through
+    several probes are deduped. probes=1 keeps the exact single-probe
+    plan (the SQL-oracle-mirrored default).
 
     Pure built-in expressions (zip_with/aggregate left folds — the
     same sequential dot product DuckDB's list_dot_product computes, so
@@ -235,17 +244,26 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
                     "ivf_bucket")
     right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
                      "ivf_bucket")
+    if probes > 1:
+        nbrs = [F.col("ivf_bucket")] + [
+            F.col("ivf_bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(min(probes - 1, n_planes))]
+        left = left.withColumn("ivf_bucket",
+                               F.explode(F.array(*nbrs)))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
-    return (left.join(right, "ivf_bucket")
-            .filter(F.col("a") < F.col("b"))
-            .withColumn("cosine", dot / (na * nb))
-            .filter(F.col("cosine") >= threshold)
-            .select("a", "b", F.round("cosine", 6).alias("cosine")))
+    out = (left.join(right, "ivf_bucket")
+           .filter(F.col("a") < F.col("b"))
+           .withColumn("cosine", dot / (na * nb))
+           .filter(F.col("cosine") >= threshold)
+           .select("a", "b", F.round("cosine", 6).alias("cosine")))
+    # a pair can surface through several probe buckets (a→b's bucket
+    # and b's own); single-probe pairs are unique by construction
+    return out.distinct() if probes > 1 else out
 
 
 def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",

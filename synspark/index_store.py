@@ -89,8 +89,11 @@ DEFAULT_SHARDS = 8
 #  records + committed-stats-partition list live IN meta; docstats and
 #  termstats are batch-partitioned so appends write only their delta;
 #  v5: meta.format enforcement, position-derived data partition names,
-#  uses_token_filter analyzer-config flag)
-FORMAT_VERSION = 5
+#  uses_token_filter analyzer-config flag;
+#  v6: pl_bytes posLength column in SEGMENT_SCHEMA — filter-composed
+#  indexes keep multi-word-rule spans for phrase adjacency — and
+#  committed-partition-gated docstats/docmap readers)
+FORMAT_VERSION = 6
 INITIAL_BATCH = "initial"
 
 
@@ -376,8 +379,10 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
     index data (exactly ES): it is not recorded in meta, and the caller
     passes the current filter to every append/query — query side via
     ``search(..., groups=synfilter.analyze_query_filtered(...))``.
-    Positions are stored; posLength graphs are flattened to positions
-    (MultiPhraseQuery-equivalent for single-token-per-entry rules).
+    Positions are stored; posLength is carried (v6 ``pl_bytes``) so
+    multi-word rules ("united states => usa") keep their span and
+    phrase adjacency follows the token GRAPH, per
+    SynonymFilter.java:472-526 — full MultiPhraseQuery semantics.
 
     ``batch_tag`` records an idempotence tag in the final meta commit —
     used by the streaming sink's BOOTSTRAP micro-batch so a replay

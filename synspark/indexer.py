@@ -68,6 +68,11 @@ SEGMENT_SCHEMA = StructType([
     StructField("tf_bytes", BinaryType(), False),
     StructField("dl_bytes", BinaryType(), False),
     StructField("pos_bytes", BinaryType(), True),
+    # posLength graph (v6): per-occurrence spans, present only for
+    # filter-composed builds whose rules produce multi-position tokens
+    # ("united states => usa" spans 2 positions — SynonymFilter.java:
+    # 472-526); None (= all spans 1) everywhere else, at zero cost
+    StructField("pl_bytes", BinaryType(), True),
 ])
 
 _SEG_COLS = [f.name for f in SEGMENT_SCHEMA.fields]
@@ -114,6 +119,32 @@ class _Interner:
             pincs[j] = pi
         return tids, pincs
 
+    def _intern_filtered(self, toks):
+        """Filtered-path intern: token filters may emit 5-tuples
+        (word, start, end, pos_inc, pos_len) — pos_len is captured so
+        multi-word-rule outputs keep their span in the index
+        (SynonymFilter.java:472-526). Returns (tids, pincs, plens);
+        plens is None when every span is 1 (the common case — nothing
+        extra is stored)."""
+        tids = np.empty(len(toks), dtype=np.int32)
+        pincs = np.empty(len(toks), dtype=np.int32)
+        plens = np.ones(len(toks), dtype=np.int32)
+        vocab, vlist = self.vocab, self.vlist
+        wide = bool(toks) and len(toks[0]) > 4
+        for j, t in enumerate(toks):
+            w, pi = t[0], t[3]
+            tid = vocab.get(w)
+            if tid is None:
+                tid = len(vlist)
+                vocab[w] = tid
+                vlist.append(w)
+            tids[j] = tid
+            pincs[j] = pi
+            if wide:
+                plens[j] = t[4]
+        return tids, pincs, (plens if wide and (plens != 1).any()
+                             else None)
+
     def block_ids(self, block: str):
         ent = self.cache.get(block)
         if ent is None:
@@ -142,8 +173,9 @@ class _Interner:
         return tids, pos, int(pos[-1]) + 1 if len(pos) else 0
 
     def doc_chunks(self, text: str):
-        """Filtered path: whole-doc (tid array, pos-inc array),
-        memoized by CONTENT HASH — the key is 16 bytes regardless of
+        """Filtered path: whole-doc (tid array, pos-inc array, plen
+        array-or-None), memoized by CONTENT HASH — the key is 16 bytes
+        regardless of
         document size (full-text keys would pin up to cap × doc-size
         bytes per worker for a near-zero hit rate on unique-text
         corpora; only whole-document repeats ever hit). blake2b, not
@@ -159,14 +191,14 @@ class _Interner:
             cfg = TokenizerConfig(n=n, delimiters=delims, expand=expand,
                                   ignore_case=ignore_case,
                                   emit_short_blocks=emit_short)
-            ent = self._intern(self.token_filter(tokenize(text, cfg,
-                                                          self.syn)))
+            ent = self._intern_filtered(
+                self.token_filter(tokenize(text, cfg, self.syn)))
             if len(self.doc_cache) < 4096:
                 self.doc_cache[key] = ent
         return ent
 
     def _doc_ids_filtered(self, text: str):
-        tids, pincs = self.doc_chunks(text)
+        tids, pincs, _plens = self.doc_chunks(text)
         if not len(tids):
             return None
         pos = np.cumsum(pincs, dtype=np.int64) - 1
@@ -197,7 +229,11 @@ def tokenize_corpus(df: DataFrame, cfg: TokenizerConfig,
                 cfg_l = _TC(n=n, delimiters=delims, expand=expand,
                             ignore_case=ignore_case,
                             emit_short_blocks=emit_short)
-                return filt(_tok(text, cfg_l, syn_local))
+                # filters may emit 5-tuples (…, pos_len); the flat
+                # tokens table carries no span column — the doc-routed
+                # build (build_segments_maponly) is the path that
+                # persists posLength
+                return [t[:4] for t in filt(_tok(text, cfg_l, syn_local))]
             out = []
             for blk_start, block in blocks(text, delims):
                 toks = cache.get(block)
@@ -296,7 +332,8 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
         # accumulate per shard as raw per-BLOCK chunks; positions / dl /
         # doc arrays are derived vectorized per shard (zero per-doc
         # numpy work in the loop — this loop runs per document)
-        acc: dict = {}  # shard -> [tid_chunks, pinc_chunks, doc_ids, tok_counts]
+        acc: dict = {}  # shard -> [tid_chunks, pinc_chunks, doc_ids,
+        #                           tok_counts, plen_chunks]
         block_ids = interner.block_ids
         delims = cfg_tuple[3]
         # a token FILTER operates on the whole-doc stream (matches may
@@ -311,13 +348,14 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                     continue
                 a = acc.get(int(sh))
                 if a is None:
-                    a = acc[int(sh)] = ([], [], [], [])
+                    a = acc[int(sh)] = ([], [], [], [], [])
                 ntok = 0
                 if doc_chunks is not None:
-                    t, p = doc_chunks(text)
+                    t, p, pl = doc_chunks(text)
                     if len(t):
                         a[0].append(t)
                         a[1].append(p)
+                        a[4].append(pl)
                         ntok = len(t)
                 else:
                     for _bs, block in blocks(text, delims):
@@ -343,7 +381,8 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
         sorted_vocab = np.array([vlist[i] for i in order_v], dtype=object)
 
         for sh in sorted(acc):
-            tid_chunks, pinc_chunks, doc_ids_l, tok_counts_l = acc[sh]
+            tid_chunks, pinc_chunks, doc_ids_l, tok_counts_l, \
+                plen_chunks = acc[sh]
             rtid = rank[np.concatenate(tid_chunks)]
             counts = np.asarray(tok_counts_l, dtype=np.int64)
             doc_arr = np.repeat(np.asarray(doc_ids_l, dtype=np.int64),
@@ -362,12 +401,22 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
             order = np.lexsort((pos_arr, doc_arr, rtid))
             rtid = rtid[order]
             doc_s, pos_s, dl_s = doc_arr[order], pos_arr[order], dl_arr[order]
+            # posLength spans ride along ONLY when a filter actually
+            # produced a span > 1 somewhere in this shard (multi-word
+            # rules); otherwise pl_bytes stays None at zero cost
+            plen_s = None
+            if store_positions and plen_chunks and \
+                    any(pl is not None for pl in plen_chunks):
+                plen_s = np.concatenate([
+                    pl if pl is not None else np.ones(len(tc), np.int32)
+                    for pl, tc in zip(plen_chunks, tid_chunks)
+                ]).astype(np.int64)[order]
             grp_change = np.empty(len(rtid), dtype=bool)
             grp_change[0] = True
             grp_change[1:] = rtid[1:] != rtid[:-1]
             enc = encode_sorted_batch(grp_change, doc_s,
                                       pos_s if store_positions else None,
-                                      dl_s, block_docs)
+                                      dl_s, block_docs, plen=plen_s)
             tok_idx = enc.pop("doc_start_tok")
             nb = len(tok_idx)
             yield pd.DataFrame({
@@ -395,6 +444,7 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                     "tf_bytes": b"",
                     "dl_bytes": varint_encode(sl[b0:b1].astype(np.uint64)),
                     "pos_bytes": None,
+                    "pl_bytes": None,
                 })
             yield pd.DataFrame(recs, columns=_SEG_COLS)
 

@@ -157,11 +157,15 @@ def synonym_token_filter(syn: SynonymDict, ignore_case: bool = False,
     reference's _analyze stream 東京/とう/うき/きょ/ょう
     (SynonymPluginTest.java:573-580).
 
-    Offsets are collapsed (the index stores positions, not offsets);
-    posLength graphs flatten to positions."""
+    Offsets are collapsed (the index stores positions, not offsets).
+    posLength is CARRIED (5-tuple output; v6 indexes persist it as
+    pl_bytes): a single-token output for an L-token match spans L
+    positions (SynonymFilter.java:472-526), which is what lets
+    "united states => usa" phrase-match "in usa today" against a doc
+    saying "in united states today" via graph adjacency."""
     def f(toks: list) -> list:
         words = [(w, pi) for w, _s, _e, pi in toks]
-        return [(w, 0, 0, pi) for w, pi, _pl in
+        return [(w, 0, 0, pi, pl) for w, pi, pl in
                 expand_tokens(words, syn, ignore_case, entry_tokenizer)]
     return f
 

@@ -240,3 +240,216 @@ def test_docid_offsets_no_driver_materialization(spark, monkeypatch):
         [r["doc_id"] for r in assign_doc_ids(df, buckets=16)
          .select("doc_id").collect()]
     assert sorted(ids2) == list(range(500))
+
+
+# ---------------------------------------------------------------------
+# posLength through the filter-composed index (round-3 verdict task #3)
+# ---------------------------------------------------------------------
+
+def _word_cfg():
+    # n larger than any block => whole-word tokens (the SynonymFilter
+    # factory's default whitespace input, SynonymTokenFilterFactory
+    # .java:45-52)
+    return TokenizerConfig(n=1 << 20, expand=False)
+
+
+def test_multiword_rule_phrase_truth_table(spark, tmp_path_factory):
+    """SynonymFilter.java:472-526: a single-token output for an
+    L-token match spans L positions. Indexed through
+    build_index(token_filter=...), that span must drive phrase
+    adjacency: query [in][usa][today] graph-matches a doc saying
+    'in united states today' (usa covers positions 1..3), which a
+    position-flattened index would miss (usa@1 but today@3)."""
+    from synspark.query import count_matches, search
+    from synspark.synfilter import synonym_token_filter
+
+    syn_f = SynonymDict.parse("united states,usa")  # expand => keepOrig
+    filt = synonym_token_filter(syn_f, entry_tokenizer=str.split)
+    docs = spark.createDataFrame(
+        [("r0", "f", "0", "t", "in united states today"),
+         ("r1", "f", "1", "t", "in usa today"),
+         ("r2", "f", "2", "t", "united states of america"),
+         ("r3", "f", "3", "t", "states united today in"),
+         ("r4", "f", "4", "t", "in united today")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    out = tmp_path_factory.mktemp("mw") / "index"
+    st = build_index(spark, docs, str(out), cfg=_word_cfg(),
+                     n_shards=2, source="mw", token_filter=filt)
+
+    def hits(groups):
+        return int(count_matches(spark, st, "", mode="and", phrase=True,
+                                 groups=groups).collect()[0]["hits"])
+
+    # Indexed streams (expand => keepOrig; classic M>L pushes extra
+    # output words onto NEW positions — round-3 pinned semantics):
+    #  r0 "in united states today": in@0 united@1 usa@1(pl2) states@2
+    #      today@3
+    #  r1 "in usa today":          in@0 usa@1(pl1) united@1 states@2
+    #      today@3
+    #  r2 "united states of america": united@0 usa@0(pl2) states@1
+    #      of@2 america@3
+    #  r4 "in united today":       in@0 united@1 today@2
+    # The asymmetric query (raw words, no filter expansion) — the case
+    # that REQUIRES index-side posLength: r0 matches ONLY through the
+    # graph (usa spans [1,3), today starts at 3); a flattened index
+    # (usa@1 ending at 2) matches NOTHING here.
+    assert hits([["in"], ["usa"], ["today"]]) == 1
+    # surface phrase: r0 via originals, AND r1 via its expansion chain
+    # united@1/states@2/today@3 (the classic M>L artifact — parity)
+    assert hits([["in"], ["united"], ["states"], ["today"]]) == 2
+    # graph-only adjacency again: usa ends at 3 only in r0
+    assert hits([["usa"], ["today"]]) == 1
+    assert hits([["states"], ["in"]]) == 0  # never adjacent anywhere
+
+    # filter-analyzed query side composes with the graph: groups
+    # [in][usa|united][states][today] match r0 AND r1
+    from synspark.synfilter import analyze_query_filtered
+    g = analyze_query_filtered("in usa today", _word_cfg(), syn_f,
+                               entry_tokenizer=str.split)
+    assert g == [["in"], ["usa", "united"], ["states"], ["today"]]
+    assert hits(g) == 2
+
+    # ranked phrase search agrees: the [in][usa][today] hit IS r0
+    dm = {r["repo"]: r["doc_id"] for r in st.docmap(spark).collect()}
+    got = search(spark, st, "", k=10, mode="and", phrase=True,
+                 groups=[["in"], ["usa"], ["today"]]).collect()
+    assert [r["doc_id"] for r in got] == [dm["r0"]]
+
+    # pl_bytes actually persisted (spans > 1 exist)
+    segs = spark.read.parquet(str(out / "segments"))
+    n_pl = segs.filter(F.col("pl_bytes").isNotNull()).count()
+    assert n_pl > 0
+
+    # CONTRAST: the same rules through a span-flattening filter (drop
+    # pos_len) miss the graph-only match — proving pl_bytes is what
+    # carries it
+    flat = tmp_path_factory.mktemp("mwflat") / "index"
+    def flat_filter(toks, _f=filt):
+        return [t[:4] for t in _f(toks)]
+    stf = build_index(spark, docs, str(flat), cfg=_word_cfg(),
+                      n_shards=2, source="mwflat",
+                      token_filter=flat_filter)
+    n = int(count_matches(spark, stf, "", mode="and", phrase=True,
+                          groups=[["in"], ["usa"], ["today"]])
+            .collect()[0]["hits"])
+    assert n == 0
+
+
+def test_multiword_rule_append_and_batch(spark, tmp_path_factory):
+    """Appends through the same filter keep spans; search_batch with
+    phrase + groups_list sees them too."""
+    from synspark.query import search_batch
+    from synspark.synfilter import synonym_token_filter
+
+    syn_f = SynonymDict.parse("united states,usa")
+    filt = synonym_token_filter(syn_f, entry_tokenizer=str.split)
+    base = spark.createDataFrame(
+        [("r0", "f", "0", "t", "in united states today")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    extra = spark.createDataFrame(
+        [("r9", "f", "9", "t", "now in united states today again")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    out = tmp_path_factory.mktemp("mwa") / "index"
+    st = build_index(spark, base, str(out), cfg=_word_cfg(),
+                     n_shards=1, source="mw", token_filter=filt)
+    st = append_to_index(spark, st, extra, source="a", token_filter=filt)
+    res = search_batch(spark, st, ["", ""], k=10, mode="and", phrase=True,
+                       groups_list=[[["in"], ["usa"], ["today"]],
+                                    [["usa"], ["today"], ["again"]]])
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert sorted(by_q[0]) == [0, 1]
+    assert by_q[1] == [1]
+
+
+# ---------------------------------------------------------------------
+# doc-range block skip for explain_score (round-3 verdict task #6)
+# ---------------------------------------------------------------------
+
+def test_decoded_postings_doc_filter_skips_blocks(spark,
+                                                  tmp_path_factory):
+    """With a doc filter, decoded_postings reads ~one block per term
+    (the block whose [first_doc, last_doc] covers the doc), not the
+    terms' full posting lists — and still returns exactly the rows the
+    unfiltered scan would after filtering."""
+    from synspark.query import _postings_blocks, decoded_postings
+
+    out = tmp_path_factory.mktemp("dps") / "index"
+    # 1 shard × 300 docs: frequent bigrams ("al" of alpha — 200 docs)
+    # span >1 block (BLOCK_DOCS=128)
+    st = build_index(spark, mk(spark, 0, 300), str(out), cfg=CFG,
+                     n_shards=1, source="dps")
+    terms = ["al", "lp", "ze"]
+    all_blocks = _postings_blocks(spark, st, terms).count()
+    one = _postings_blocks(spark, st, terms, doc_ids=[5]).count()
+    assert one < all_blocks
+    assert one <= len(terms)  # ≈ one covering block per term
+
+    want = sorted(map(tuple,
+                      decoded_postings(spark, st, terms)
+                      .filter(F.col("doc_id") == 5).collect()))
+    got = sorted(map(tuple,
+                     decoded_postings(spark, st, terms, doc_ids=[5])
+                     .collect()))
+    assert got == want and got
+
+
+def test_explain_score_still_sums(spark, tmp_path_factory):
+    from synspark.query import explain_score, search
+    out = tmp_path_factory.mktemp("exp") / "index"
+    st = build_index(spark, mk(spark, 0, 120), str(out), cfg=CFG,
+                     n_shards=2, source="exp")
+    top = search(spark, st, "alpha beta", k=1, mode="and").collect()[0]
+    rows = explain_score(spark, st, "alpha beta",
+                         int(top["doc_id"])).collect()
+    assert rows
+    assert abs(sum(r["gscore"] for r in rows) - top["score"]) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# multi-probe embedding near-dups (round-3 verdict task #4)
+# ---------------------------------------------------------------------
+
+def test_embedding_multiprobe_recovers_plane_crossing_pair(spark):
+    """A near-identical pair split by exactly ONE hyperplane is missed
+    at probes=1 (the documented single-probe recall trade) and
+    recovered at probes=2 (the flipped-plane-0 neighbor bucket joins
+    the candidate set). Non-crossing results are unchanged."""
+    import numpy as np
+
+    from synspark.datapipe.dedup import embedding_near_dups
+    from synspark.datapipe.similarity import _hyperplanes
+
+    dim, n_planes = 16, 4
+    planes = _hyperplanes(dim, n_planes)
+    u = planes[0] / np.linalg.norm(planes[0])
+    rng = np.random.RandomState(7)
+    w = rng.standard_normal(dim)
+    w -= (w @ u) * u  # orthogonal to plane 0
+    w /= np.linalg.norm(w)
+    # w decisively on one side of every OTHER plane, so the eps nudge
+    # below flips plane 0's sign and nothing else
+    assert all(abs(w @ p) > 0.05 for p in planes[1:])
+    eps = 1e-3
+    va, vb = w + eps * u, w - eps * u
+    rows = [(0, [float(x) for x in va]), (1, [float(x) for x in vb])]
+    for i in range(2, 20):
+        r = rng.standard_normal(dim)
+        r /= np.linalg.norm(r)
+        rows.append((i, [float(x) for x in r]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(probes):
+        got = embedding_near_dups(df, dim, threshold=0.99,
+                                  n_planes=n_planes, probes=probes)
+        return {(r["a"], r["b"]) for r in got.collect()}
+
+    assert (0, 1) not in pairs(1)   # split across plane 0: missed
+    assert (0, 1) in pairs(2)       # probe the plane-0 flip: recovered
+    # all-flips probing finds it too, and results stay deduped pairs
+    p_all = pairs(n_planes + 1)
+    assert (0, 1) in p_all
