@@ -412,6 +412,105 @@ def q_fts_stream_count(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="and")
 
 
+def _del_index(spark, sf_dir):
+    """Bigram index over documents with ``doc_id % 7 == 3`` tombstoned
+    (phase-1 delete — Lucene liveDocs), cached per sf_dir. The delete
+    commit is atomic, so a crashed prior run either left the base
+    index (n_deleted == 0 → delete again) or the finished state."""
+    from synspark.deletes import delete_docs
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|del-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    store = build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=2, expand=False, ignore_case=True),
+        syn=None, n_shards=4, source=f"{sf_dir}:del", resume=True)
+    if store.meta().n_deleted == 0:
+        delete_docs(spark, store,
+                    doc_ids=corpus.filter(F.col("doc_id") % 7 == 3)
+                    .select("doc_id"))
+    return store
+
+
+def q_fts_delete_topk(spark, sf_dir):
+    """BM25 top-10 over an index with ``doc_id % 7 == 3`` tombstoned —
+    phase-1 Lucene liveDocs semantics: deleted docs leave the results,
+    every surviving doc scores EXACTLY as before (df/N/avgdl still
+    count deleted docs until merge; Lucene docFreq/maxDoc behavior).
+    The oracle therefore computes BM25 over ALL docs and only filters
+    the tombstoned ids from the final ranking."""
+    from synspark.query import search
+    store = _del_index(spark, sf_dir)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
+def q_fts_purge_topk(spark, sf_dir):
+    """BM25 top-10 AFTER the purging merge (phase 2): compact_index
+    applies the tombstones — deleted docs leave every posting list,
+    ids renumber densely in id order, df/N/avgdl recompute over live
+    docs. The oracle builds BM25 from scratch over the renumbered live
+    corpus — a purged index is equivalent to a fresh build (also
+    pinned shard-by-shard in tests/test_deletes.py)."""
+    from synspark.index_store import IndexStore, compact_index
+    from synspark.query import search
+    src = _del_index(spark, sf_dir)
+    live = src.meta().n_docs - src.meta().n_deleted
+    out = Path(str(src.path) + "_purged")
+    ok = False
+    if (out / "meta.json").exists():
+        try:
+            ok = IndexStore(str(out)).meta().n_docs == live
+        except Exception:
+            ok = False
+    store = IndexStore(str(out)) if ok \
+        else compact_index(spark, src, str(out))
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
+def q_fts_upsert_count(spark, sf_dir):
+    """Boolean AND count after an UPSERT (ES index-by-key / Lucene
+    updateDocument): docs with ``doc_id % 11 == 2`` are replaced by
+    new content under their (repo, path) key — old version tombstoned
+    and new version appended in ONE atomic meta commit. Even ids among
+    them still contain the benchmark phrase terms, odd ids lose them;
+    the oracle counts AND-matches over (unchanged docs) ∪ (new
+    versions) — update ids don't matter for counting, so the
+    hash-checked contract is independent of id-assignment order."""
+    from synspark.deletes import upsert_docs
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.query import count_matches
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|ups-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = (_docs(spark, sf_dir)
+              .select(F.concat(F.lit("r"), F.col("doc_id").cast("string"))
+                      .alias("repo"),
+                      F.lit("f").alias("path"), F.lit("c").alias("commit"),
+                      F.col("lang"), F.col("text").alias("content"),
+                      "doc_id"))
+    store = build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=2, expand=False, ignore_case=True),
+        syn=None, n_shards=4, source=f"{sf_dir}:ups", resume=True)
+    if store.meta().n_deleted == 0:
+        new_docs = (corpus.filter(F.col("doc_id") % 11 == 2)
+                    .withColumn(
+                        "content",
+                        F.when(F.col("doc_id") % 2 == 0,
+                               F.lit("data sort merge refreshed entry"))
+                        .otherwise(F.lit("refreshed entry only"))))
+        upsert_docs(spark, store, new_docs, batch_tag="contract-upsert")
+    return count_matches(spark, store, BM25_QUERY, mode="and")
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -643,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_synfilter": q_fts_synfilter,
         "fts_graph_phrase": q_fts_graph_phrase,
         "fts_stream_count": q_fts_stream_count,
+        "fts_delete_topk": q_fts_delete_topk,
+        "fts_purge_topk": q_fts_purge_topk,
+        "fts_upsert_count": q_fts_upsert_count,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -675,13 +777,15 @@ _DELIMS = "[ \t\n\r　]+"
 # tokenizer at n=2, expand=false, no dict (short blocks emit whole-span)
 
 
-def _grams_cte(pred: str = "") -> str:
-    """The bigram CTE over ``documents`` with an optional row
-    predicate (e.g. the streaming row's doc_id < 300 sub-corpus)."""
+def _grams_cte(pred: str = "", table: str = "documents") -> str:
+    """The bigram CTE over ``table`` (default ``documents``; the
+    delete/purge/upsert oracles pass a derived live-docs subquery) with
+    an optional row predicate (e.g. the streaming row's doc_id < 300
+    sub-corpus)."""
     return f"""
 WITH blocks AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
-  FROM documents {pred}
+  FROM {table} {pred}
 ), nb AS (
   SELECT doc_id, blk FROM blocks WHERE length(blk) > 0
 ), gi AS (
@@ -735,19 +839,21 @@ def _qterm_values() -> str:
                      for t in sorted(set(_query_bigrams(BM25_QUERY))))
 
 
-def _bm25_prefix() -> str:
+def _bm25_prefix(table: str = "documents") -> str:
     """Shared CTE chain through ``scored`` (doc_id, score, ng) for the
-    benchmark query's bigrams — reused by every BM25-derived oracle."""
+    benchmark query's bigrams — reused by every BM25-derived oracle.
+    ``table`` swaps in a derived corpus (the purge oracle's renumbered
+    live docs)."""
     terms = sorted(set(_query_bigrams(BM25_QUERY)))
     vals = ", ".join(f"('{t}')" for t in terms)
-    return _GRAMS_CTE + f"""
+    return _grams_cte(table=table) + f"""
 , qterms AS (SELECT * FROM (VALUES {vals}) AS q(term))
 , tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
 ), dl AS (
   SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
 ), stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n,
          (SELECT avg(dl) FROM dl) AS avgdl
 ), dfs AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf
@@ -945,6 +1051,43 @@ WHERE regexp_matches(text,
         # boolean AND count exactly as a one-shot build would — stats
         # and postings are batch-order-independent by construction
         "fts_stream_count": _grams_cte("WHERE doc_id < 300") + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS hits FROM per_doc
+WHERE c = (SELECT count(*) FROM qt)
+""",
+        # phase-1 delete (liveDocs): BM25 over ALL docs — deleted docs
+        # still count in df/N/avgdl (Lucene pre-merge stats) — with
+        # only the final ranking filtered to live docs
+        "fts_delete_topk": _bm25_prefix() + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()} AND doc_id % 7 <> 3
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        # phase-2 purge: the merged index IS a fresh build over the
+        # live corpus with ids renumbered densely in old-id order
+        "fts_purge_topk": _bm25_prefix(table="""
+(SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id, text
+ FROM documents WHERE doc_id % 7 <> 3)""") + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        # upsert: count AND-matches over (unchanged docs) ∪ (new
+        # versions); the replaced originals are tombstoned so only the
+        # new content matches — id assignment order is irrelevant to a
+        # count, keeping this SQL-expressible
+        "fts_upsert_count": _grams_cte(table="""
+(SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 2
+ UNION ALL
+ SELECT 1000000 + doc_id AS doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'data sort merge refreshed entry'
+             ELSE 'refreshed entry only' END AS text
+ FROM documents WHERE doc_id % 11 = 2)""") + f"""
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
 , per_doc AS (
   SELECT doc_id, count(DISTINCT term) AS c FROM grams

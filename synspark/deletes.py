@@ -1,0 +1,502 @@
+"""Document deletes and updates — the Lucene liveDocs two-phase model.
+
+The reference delegates its index to Lucene/ES, where deletion is
+two-phase (public Lucene behavior, not ported code):
+
+1. ``IndexWriter.deleteDocuments`` only marks docs in a liveDocs
+   bitmap. Postings, stored fields, and — crucially — ALL collection
+   statistics keep the deleted docs: ``docFreq``/``maxDoc`` (and
+   therefore BM25 idf and avgdl) ignore deletions until a merge.
+   Search results and total-hit counts exclude marked docs.
+2. A segment MERGE applies the bitmap: deleted docs drop out of every
+   posting list, ids renumber densely, and stats thereafter reflect
+   live docs only.
+
+This module reproduces both phases over the parquet store:
+
+- ``delete_docs`` writes tombstoned ``doc_id``s to a new
+  ``deletes/batch=del-K`` partition and commits them through the one
+  atomic ``meta.json`` write (``delete_batches``/``n_deleted``).
+  Query paths (search / search_batch / count_matches / score_naive)
+  route each shard's tombstones to its worker with a broadcast range
+  join + cogroup — the tombstone set never rides through the driver
+  and scales with churn, not corpus.
+- ``upsert_docs`` is ES's index-by-key: resolve the keys' current
+  doc_ids against the COMMITTED docmap, append the new versions, and
+  tombstone the old ids in the SAME meta commit (a crash anywhere
+  leaves the old versions fully live — atomic like
+  ``IndexWriter.updateDocument``).
+- ``purge_merge`` is the merge that applies tombstones:
+  decode -> drop deleted -> renumber densely -> re-encode, per new
+  shard inside one Arrow-batched worker (the same memory shape as the
+  build encoder), with docmap/docstats/termstats/meta recomputed over
+  live docs. A purged index is equivalent to a fresh build over the
+  live corpus (pinned by tests).
+
+Reference behavior anchors: the plugin itself never deletes (it is an
+analyzer), but its host engine does; the semantics above are Lucene's
+documented liveDocs model, which SynonymPluginTest exercises whenever
+it re-indexes documents (delete-by-reindex between assertions).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .codec import (decode_block, decode_plens, decode_positions,
+                    varint_decode, varint_encode)
+from .index_store import (FORMAT_VERSION, INITIAL_BATCH, IndexMeta,
+                          IndexStore, _digest_expr, _run_concurrent,
+                          append_to_index)
+
+
+# --------------------------------------------------------------------
+# tombstone write path (phase 1)
+# --------------------------------------------------------------------
+
+def _normalize_ids(spark: SparkSession, store: IndexStore,
+                   doc_ids, keys: DataFrame | None,
+                   key_cols: list[str] | None) -> DataFrame:
+    """doc_ids (DataFrame | list of ints) or keys (DataFrame joined to
+    the docmap) -> a (doc_id) DataFrame."""
+    if (doc_ids is None) == (keys is None):
+        raise ValueError("pass exactly one of doc_ids / keys")
+    if keys is not None:
+        kc = key_cols or [c for c in ("repo", "path", "commit")
+                          if c in keys.columns]
+        if not kc:
+            raise ValueError("keys frame has no key columns "
+                             "(repo/path/commit)")
+        return (store.docmap(spark)
+                .join(keys.select(*kc).distinct(), kc)
+                .select("doc_id"))
+    if isinstance(doc_ids, DataFrame):
+        return doc_ids.select("doc_id")
+    return spark.createDataFrame([(int(d),) for d in doc_ids],
+                                 "doc_id long")
+
+
+def _write_tombstones(spark: SparkSession, store: IndexStore,
+                      meta: IndexMeta, ids: DataFrame,
+                      id_bound: int) -> tuple[str | None, int]:
+    """Stage new tombstones into the next ``deletes/batch=del-K``
+    partition (NOT yet committed — the caller's meta write publishes
+    them). Dedupes against committed tombstones and bounds ids to
+    ``[0, id_bound)`` so ``n_deleted`` stays exact. Returns
+    (partition name | None if nothing new, newly-deleted count)."""
+    part = f"del-{len(meta.delete_batches)}"
+    # position-derived name: a crashed prior attempt at this position
+    # left the same partition — clear it (uncommitted by definition
+    # under the single-writer contract, same protocol as appends)
+    leftover = store.path / "deletes" / f"batch={part}"
+    if leftover.exists():
+        leftover.rmtree()
+    new = ids.filter((F.col("doc_id") >= 0)
+                     & (F.col("doc_id") < id_bound)).distinct()
+    if meta.delete_batches:
+        new = new.join(store.deletes(spark), "doc_id", "left_anti")
+    new = new.persist()
+    n_new = new.count()
+    if n_new == 0:
+        new.unpersist()
+        return None, 0
+    (new.withColumn("batch", F.lit(part))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch").parquet(str(store.path / "deletes")))
+    new.unpersist()
+    return part, n_new
+
+
+def delete_docs(spark: SparkSession, store: IndexStore,
+                doc_ids=None, keys: DataFrame | None = None,
+                key_cols: list[str] | None = None,
+                batch_tag: str | None = None,
+                source: str = "<delete>") -> IndexStore:
+    """Phase-1 delete: tombstone documents by ``doc_ids`` (DataFrame
+    with a ``doc_id`` column, or a list of ints) or by ``keys`` (a
+    DataFrame of repo/path/commit key columns, resolved against the
+    docmap). Idempotent per ``batch_tag`` like appends; single-writer
+    locked; committed atomically via the one meta.json write.
+
+    Semantics after this call (Lucene liveDocs, phase 1):
+    - search / count / batch results exclude the deleted docs;
+    - every OTHER doc's BM25 score is UNCHANGED (df, N, avgdl still
+      count deleted docs — Lucene keeps stats until merge);
+    - ``compact_index`` later purges them physically and recomputes
+      stats (phase 2, ``purge_merge``).
+    """
+    store.acquire_writer_lock(owner=source)
+    try:
+        meta = store.meta()
+        if batch_tag is not None and \
+                meta.batches.get(batch_tag, {}).get("status") == "done":
+            return store  # replayed delete batch: already committed
+        ids = _normalize_ids(spark, store, doc_ids, keys, key_cols)
+        part, n_new = _write_tombstones(spark, store, meta, ids,
+                                        meta.n_docs)
+        batches = dict(meta.batches)
+        if part is None:
+            if batch_tag is None:
+                return store
+            # nothing newly deleted: commit only the idempotence record
+            batches[batch_tag] = {"status": "done", "kind": "delete",
+                                  "n_deleted": 0, "partition": None}
+            store._write_meta(IndexMeta(
+                **{**asdict(meta), "batches": batches,
+                   "created_utc": time.time()}))
+            return store
+        batches[batch_tag or part] = {
+            "status": "done", "kind": "delete", "n_deleted": n_new,
+            "partition": part}
+        store._write_meta(IndexMeta(
+            **{**asdict(meta), "batches": batches,
+               "delete_batches": meta.delete_batches + [part],
+               "n_deleted": meta.n_deleted + n_new,
+               "created_utc": time.time()}))
+        return store
+    finally:
+        store.release_writer_lock()
+
+
+def upsert_docs(spark: SparkSession, store: IndexStore,
+                new_docs: DataFrame,
+                syn=None, key_cols: list[str] | None = None,
+                token_filter=None, batch_tag: str | None = None,
+                source: str = "<upsert>",
+                allow_dict_change: bool = False) -> IndexStore:
+    """ES index-by-key / ``IndexWriter.updateDocument``: each incoming
+    document REPLACES the current version under its key (default key:
+    the (repo, path) columns present — a new commit of the same file),
+    or inserts if the key is new.
+
+    Atomicity: the old versions' doc_ids are resolved against the
+    COMMITTED docmap (the resolution plan bakes in the pre-append
+    partition list, so it cannot see the new versions), then
+    ``append_to_index`` writes the new docs AND the tombstones and
+    publishes both in its single meta commit — a crash anywhere leaves
+    the old versions fully live, a ``batch_tag`` replay no-ops.
+    """
+    key_cols = key_cols or [c for c in ("repo", "path")
+                            if c in new_docs.columns]
+    if not key_cols:
+        raise ValueError("upsert needs key columns (repo/path) on "
+                         "new_docs")
+    # new versions always get fresh engine-assigned ids (Lucene
+    # updateDocument: the replacement is a NEW docID); a native id on
+    # the update batch would be the OLD id and would collide after the
+    # append's offset shift
+    new_docs = new_docs.drop("doc_id")
+    old_ids = (store.docmap(spark)
+               .join(new_docs.select(*key_cols).distinct(), key_cols)
+               .select("doc_id")
+               .join(store.deletes(spark), "doc_id", "left_anti"))
+    return append_to_index(spark, store, new_docs, syn=syn,
+                           source=source, batch_tag=batch_tag,
+                           token_filter=token_filter,
+                           allow_dict_change=allow_dict_change,
+                           tombstone_ids=old_ids)
+
+
+# --------------------------------------------------------------------
+# purge merge (phase 2) — applied by compact_index when tombstones exist
+# --------------------------------------------------------------------
+
+_DOCSTATS_BLOCK = 4096  # mirror of indexer._DOCSTATS_BLOCK
+
+
+def _encode_docstats_pseudo(sd: np.ndarray, sl: np.ndarray,
+                            shard: int) -> pd.DataFrame:
+    """Docstats pseudo-term rows for one shard — byte-compatible with
+    the build encoder's inline emission (indexer.py run())."""
+    from .indexer import _SEG_COLS, DOCSTATS_TERM
+    recs = []
+    for seq, b0 in enumerate(range(0, len(sd), _DOCSTATS_BLOCK)):
+        b1 = min(b0 + _DOCSTATS_BLOCK, len(sd))
+        gaps = np.diff(sd[b0:b1], prepend=sd[b0]).astype(np.uint64)
+        recs.append({
+            "term": DOCSTATS_TERM, "shard": int(shard), "salt": 0,
+            "block_seq": seq, "first_doc": int(sd[b0]),
+            "last_doc": int(sd[b1 - 1]), "n_docs": int(b1 - b0),
+            "max_tf": 0, "sum_tf": 0, "min_dl": 0,
+            "doc_bytes": varint_encode(gaps),
+            "tf_bytes": b"",
+            "dl_bytes": varint_encode(sl[b0:b1].astype(np.uint64)),
+            "pos_bytes": None, "pl_bytes": None,
+        })
+    return pd.DataFrame(recs, columns=_SEG_COLS)
+
+
+def _purge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Re-encode one NEW shard dropping tombstoned docs and renumbering
+    ids densely. ``left``: the shard's segment rows (plus ``new_shard``
+    / ``new_start``); ``right``: its tombstones. One vectorized
+    ``encode_sorted_batch`` call re-blocks everything — the same code
+    path (and memory bound) as the map-only build encoder."""
+    from .codec import encode_sorted_batch
+    from .indexer import _SEG_COLS, DOCSTATS_TERM
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
+        _SEG_COLS, ["object", "int32", "int32", "int32", "int64",
+                    "int64", "int32", "int32", "int64", "int32",
+                    "object", "object", "object", "object", "object"])})
+    if len(left) == 0:
+        return empty
+    new_shard = int(left["new_shard"].iat[0])
+    new_start = int(left["new_start"].iat[0])
+    deleted = np.sort(right["doc_id"].to_numpy().astype(np.int64)) \
+        if len(right) else np.zeros(0, np.int64)
+
+    pseudo = left[left["term"] == DOCSTATS_TERM]
+    real = left[left["term"] != DOCSTATS_TERM] \
+        .sort_values(["term", "salt", "first_doc"], kind="stable")
+
+    # all (doc, dl) of the shard from the pseudo rows -> survivors
+    ids_c, dls_c = [], []
+    for fd, nd, db, lb in zip(pseudo["first_doc"], pseudo["n_docs"],
+                              pseudo["doc_bytes"], pseudo["dl_bytes"]):
+        gaps = varint_decode(db, int(nd)).astype(np.int64)
+        ids_c.append(np.cumsum(gaps) + int(fd) - (int(gaps[0])
+                                                  if len(gaps) else 0))
+        dls_c.append(varint_decode(lb, int(nd)).astype(np.int64))
+    all_ids = np.concatenate(ids_c) if ids_c else np.zeros(0, np.int64)
+    all_dls = np.concatenate(dls_c) if dls_c else np.zeros(0, np.int64)
+    o = np.argsort(all_ids)
+    all_ids, all_dls = all_ids[o], all_dls[o]
+    live_mask = ~np.isin(all_ids, deleted)
+    survivors = all_ids[live_mask]
+    if len(survivors) == 0:
+        return empty
+    new_ids_shard = new_start + np.arange(len(survivors), dtype=np.int64)
+
+    out_frames = [
+        _encode_docstats_pseudo(new_ids_shard, all_dls[live_mask],
+                                new_shard)]
+
+    # decode every real block -> occurrence-level arrays, masked + renumbered
+    has_pos = real["pos_bytes"].notna().any() if len(real) else False
+    has_pl = ("pl_bytes" in real.columns
+              and real["pl_bytes"].notna().any()) if len(real) else False
+    doc_c, pos_c, pl_c, dl_c, gid_c = [], [], [], [], []
+    group_terms: list = []   # (term, salt) per group id
+    last_key = None
+    for row in real.itertuples(index=False):
+        docs, tfs = decode_block(int(row.first_doc), row.doc_bytes,
+                                 row.tf_bytes, int(row.n_docs))
+        dls = varint_decode(row.dl_bytes, int(row.n_docs)).astype(np.int64)
+        keep = ~np.isin(docs, deleted)
+        key = (row.term, int(row.salt))
+        if key != last_key:
+            group_terms.append(key)
+            last_key = key
+        if has_pos:
+            pos = decode_positions(row.pos_bytes, tfs)
+            occ = np.repeat(keep, tfs)
+            doc_c.append(np.repeat(docs, tfs)[occ])
+            pos_c.append(pos[occ])
+            if has_pl:
+                pl_c.append(decode_plens(row.pl_bytes, tfs)[occ])
+            dl_c.append(np.repeat(dls, tfs)[occ])
+            gid_c.append(np.full(int(occ.sum()), len(group_terms) - 1,
+                                 dtype=np.int64))
+        else:
+            # no positions stored: expand tf-wise so encode_sorted_batch
+            # recovers tf from run lengths
+            occ = np.repeat(keep, tfs)
+            doc_c.append(np.repeat(docs, tfs)[occ])
+            dl_c.append(np.repeat(dls, tfs)[occ])
+            gid_c.append(np.full(int(occ.sum()), len(group_terms) - 1,
+                                 dtype=np.int64))
+    if not doc_c or not sum(len(d) for d in doc_c):
+        return pd.concat(out_frames, ignore_index=True)
+    doc = np.concatenate(doc_c)
+    dl_tok = np.concatenate(dl_c)
+    gid = np.concatenate(gid_c)
+    pos = np.concatenate(pos_c) if has_pos else None
+    plen = np.concatenate(pl_c) if has_pl else None
+    # renumber (monotone within the shard -> sort order preserved)
+    doc = new_start + np.searchsorted(survivors, doc).astype(np.int64)
+    grp_change = np.empty(len(doc), dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = gid[1:] != gid[:-1]
+
+    enc = encode_sorted_batch(grp_change, doc, pos, dl_tok, plen=plen)
+    tok_idx = enc.pop("doc_start_tok")
+    nb = len(tok_idx)
+    terms_arr = np.array([t for t, _s in group_terms], dtype=object)
+    salts_arr = np.array([s for _t, s in group_terms], dtype=np.int32)
+    blk_gid = gid[tok_idx]
+    out_frames.append(pd.DataFrame({
+        "term": terms_arr[blk_gid],
+        "shard": np.full(nb, new_shard, dtype=np.int32),
+        "salt": salts_arr[blk_gid],
+        **enc,
+    }, columns=_SEG_COLS))
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
+                docs_per_shard: int | None = None) -> IndexStore:
+    """Phase-2 merge applying the tombstones (Lucene merge + liveDocs):
+    writes a complete NEW index at ``out_dir`` containing only live
+    docs, ids renumbered densely in id order, shards re-coalesced to
+    ``docs_per_shard``, and ALL stats (df/cf, dl, avgdl, N) recomputed
+    over live docs. Equivalent to a fresh ``build_index`` over the
+    live corpus (test-pinned). The old index is untouched (crash-safe,
+    like ``compact_index``)."""
+    from .indexer import DOCSTATS_TERM, SEGMENT_SCHEMA
+    from .query import _deletes_by_shard
+
+    meta = store.meta()
+    dels = _deletes_by_shard(spark, store, meta)
+    if dels is None:
+        raise ValueError("no tombstones to purge — use compact_index")
+
+    # per-shard live counts (pseudo-row doc counts minus tombstones):
+    # small frames, collected like compact_index's counts (n_shards
+    # rows; the greedy coalesce is inherently sequential)
+    counts = {int(r["shard"]): int(r["nd"]) for r in
+              store.segments(spark)
+              .filter(F.col("term") == DOCSTATS_TERM)
+              .groupBy("shard").agg(F.sum("n_docs").alias("nd"))
+              .collect()}
+    delc = {int(r["shard"]): int(r["n"]) for r in
+            dels.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    live = {s: counts[s] - delc.get(s, 0) for s in counts}
+    n_live = sum(live.values())
+    per = docs_per_shard or max(1, -(-n_live // max(1, min(
+        len(counts), 8))))
+    mapping = []           # (old_shard, new_shard)
+    new_id, acc = 0, 0
+    for old in sorted(counts):
+        if acc >= per:
+            new_id += 1
+            acc = 0
+        mapping.append((old, new_id))
+        acc += live[old]
+    n_new = new_id + 1
+    # dense id offsets: per NEW shard, and per OLD shard (docmap path)
+    new_start: dict[int, int] = {}
+    old_off: dict[int, int] = {}
+    running = 0
+    for old, nw in mapping:            # mapping is sorted by old shard
+        new_start.setdefault(nw, running)
+        old_off[old] = running
+        running += live[old]
+    def _map_df():
+        # fresh frame per consumer (joining the same tiny frame into
+        # two sides of the cogroup trips the ambiguous-self-join check)
+        return spark.createDataFrame(
+            [(o, nw, new_start[nw]) for o, nw in mapping],
+            "shard int, new_shard int, new_start long")
+
+    dst = IndexStore(out_dir, fs=store.fs)
+    dst.path.mkdir(parents=True, exist_ok=True)
+
+    segs = store.segments(spark).join(F.broadcast(_map_df()), "shard") \
+        .drop("shard")
+    dels_new = dels.join(F.broadcast(_map_df()), "shard") \
+        .select("new_shard", "doc_id")
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _purge_shard(left, right)
+
+    purged = (segs.groupBy("new_shard")
+              .cogroup(dels_new.groupBy("new_shard"))
+              .applyInPandas(run, schema=SEGMENT_SCHEMA))
+    (purged.repartition(max(n_new, 1), "shard")
+     .sortWithinPartitions("term", "salt", "first_doc")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(str(dst.path / "segments")))
+
+    # docmap / docstats renumber: rank within OLD shard + old offset ==
+    # the worker's new_start + rank-in-new-shard (old shards inside a
+    # new shard are consecutive ascending doc ranges)
+    ranges = store.shard_doc_ranges(spark)
+    off_df = spark.createDataFrame(
+        [(s, old_off[s]) for s in sorted(old_off)], "shard int, off long")
+    surv = (store.docstats(spark)
+            .join(store.deletes(spark), "doc_id", "left_anti")
+            .join(F.broadcast(ranges),
+                  (F.col("doc_id") >= F.col("lo"))
+                  & (F.col("doc_id") <= F.col("hi")))
+            .join(F.broadcast(off_df), "shard"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    id_map = surv.withColumn(
+        "new_doc_id",
+        (F.col("off") + F.row_number().over(w) - F.lit(1)).cast("long")) \
+        .select("doc_id", "new_doc_id", "dl")
+
+    def _docstats_job():
+        (id_map.select(F.col("new_doc_id").alias("doc_id"), "dl")
+         .withColumn("batch", F.lit(INITIAL_BATCH))
+         .write.mode("overwrite").partitionBy("batch")
+         .parquet(str(dst.path / "docstats")))
+
+    def _docmap_job():
+        (store.docmap(spark).drop("batch")
+         .join(id_map.select("doc_id", "new_doc_id"), "doc_id")
+         .drop("doc_id")
+         .withColumnRenamed("new_doc_id", "doc_id")
+         .withColumn("batch", F.lit(INITIAL_BATCH))
+         .write.mode("overwrite").partitionBy("batch")
+         .parquet(str(dst.path / "docmap")))
+
+    def _termstats_job():
+        (spark.read.parquet(str(dst.path / "segments"))
+         .filter(F.col("term") != DOCSTATS_TERM)
+         .groupBy("term")
+         .agg(F.sum("n_docs").cast("long").alias("df"),
+              F.sum("sum_tf").alias("cf"))
+         .withColumn("batch", F.lit(INITIAL_BATCH))
+         .write.mode("overwrite").partitionBy("batch")
+         .parquet(str(dst.path / "termstats")))
+
+    _run_concurrent(_docstats_job, _docmap_job)
+    _termstats_job()  # reads the purged segments written above
+
+    row = spark.read.parquet(str(dst.path / "docstats")) \
+        .agg(F.sum("dl").alias("t")).collect()[0]
+    total_dl = int(row["t"] or 0)
+
+    build_id = uuid.uuid4().hex
+    stats = (spark.read.parquet(str(dst.path / "segments"))
+             .groupBy("shard")
+             .agg(F.count("*").alias("rows"),
+                  (F.sum(F.length("doc_bytes"))
+                   + F.sum(F.length("tf_bytes"))
+                   + F.sum(F.length("dl_bytes"))).alias("bytes"),
+                  _digest_expr())
+             .collect())
+    manifest = {"shards": {str(int(r["shard"])): {
+        "status": "done", "rows": int(r["rows"]),
+        "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+        "build_id": build_id} for r in stats},
+        "batches": dict(meta.batches)}
+    for k in range(n_new):   # a fully-deleted new shard is legal
+        manifest["shards"].setdefault(str(k), {
+            "status": "done", "rows": 0, "bytes": 0, "digest": 0,
+            "build_id": build_id})
+    dst._write_manifest(manifest)
+    dst._write_meta(IndexMeta(
+        build_id=build_id, n_docs=n_live,
+        avgdl=(total_dl / n_live) if (n_live and total_dl) else 1.0,
+        n_shards=n_new, k1=meta.k1, b=meta.b, cfg=meta.cfg,
+        dict_fingerprint=meta.dict_fingerprint,
+        source=f"{meta.source} [purged]",
+        store_positions=meta.store_positions,
+        created_utc=time.time(), layout=meta.layout,
+        text_col=meta.text_col, total_dl=total_dl,
+        stats_batches=[INITIAL_BATCH], batches=dict(meta.batches),
+        format=FORMAT_VERSION,
+        uses_token_filter=meta.uses_token_filter,
+        delete_batches=[], n_deleted=0))
+    return dst

@@ -92,8 +92,11 @@ DEFAULT_SHARDS = 8
 #  uses_token_filter analyzer-config flag;
 #  v6: pl_bytes posLength column in SEGMENT_SCHEMA — filter-composed
 #  indexes keep multi-word-rule spans for phrase adjacency — and
-#  committed-partition-gated docstats/docmap readers)
-FORMAT_VERSION = 6
+#  committed-partition-gated docstats/docmap readers;
+#  v7: tombstone deletes — deletes/batch=del-K partitions plus
+#  delete_batches / n_deleted in meta (Lucene liveDocs analogue; see
+#  deletes.py for the two-phase delete -> purge-merge semantics))
+FORMAT_VERSION = 7
 INITIAL_BATCH = "initial"
 
 
@@ -147,6 +150,14 @@ class IndexMeta:
     # filter chain — not index data); the flag makes append fail fast
     # if the caller forgets to pass the same filter.
     uses_token_filter: bool = False
+    # tombstone deletes (v7, Lucene liveDocs analogue): committed
+    # deletes/batch= partition names + the exact deleted-doc count.
+    # n_docs stays the doc-ID-SPACE size (reader gating, append
+    # routing, and — exactly Lucene's pre-merge behavior — the N in
+    # BM25: deleted docs keep counting in docFreq/maxDoc until a merge
+    # purges them). Live docs = n_docs - n_deleted.
+    delete_batches: list = field(default_factory=list)
+    n_deleted: int = 0
 
 
 def _digest_expr():
@@ -294,6 +305,33 @@ class IndexStore:
                 .groupBy("term")
                 .agg(F.sum("df").cast("long").alias("df"),
                      F.sum("cf").cast("long").alias("cf")))
+
+    def deletes(self, spark: SparkSession) -> DataFrame:
+        """Committed tombstoned ``doc_id``s (empty frame when none).
+        Same snapshot gate as the stats readers: only partitions named
+        in ``meta.delete_batches`` participate, so a crashed
+        delete_docs attempt is invisible until its retry commits."""
+        meta = self.meta()
+        if not meta.delete_batches:
+            return spark.range(0).select(F.col("id").alias("doc_id"))
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "deletes"))
+        return df.filter(F.col("batch").isin(meta.delete_batches)) \
+            .select("doc_id")
+
+    def shard_doc_ranges(self, spark: SparkSession) -> DataFrame:
+        """(shard, lo, hi) — each shard's doc-id range, from the
+        docstats pseudo-term rows (DOCSTATS_TERM sorts first within
+        every shard file, so the term predicate prunes to ~one row
+        group per file). Shards partition the id space into disjoint
+        contiguous ranges, so tombstones route to exactly one shard by
+        a range join against this tiny frame."""
+        from .indexer import DOCSTATS_TERM
+        return (self.segments(spark)
+                .filter(F.col("term") == F.lit(DOCSTATS_TERM))
+                .groupBy("shard")
+                .agg(F.min("first_doc").alias("lo"),
+                     F.max("last_doc").alias("hi")))
 
     def docmap(self, spark: SparkSession) -> DataFrame:
         meta = self.meta()
@@ -661,7 +699,8 @@ def append_to_index(spark: SparkSession, store: IndexStore,
                     batch_tag: str | None = None,
                     allow_dict_change: bool = False,
                     fold_stats_every: int = 64,
-                    token_filter=None) -> IndexStore:
+                    token_filter=None,
+                    tombstone_ids: DataFrame | None = None) -> IndexStore:
     """Incrementally add documents: new docs get ids starting at the
     current N and become NEW shards appended after the existing ones —
     existing segment partitions are untouched (the doc-range sharding
@@ -718,19 +757,25 @@ def append_to_index(spark: SparkSession, store: IndexStore,
     behavior exactly (old docs need a reindex, see
     ``rebuild_if_dict_changed``). Default False: a changed fingerprint
     raises, keeping single-dictionary indexes consistent.
+
+    ``tombstone_ids`` (a doc_id DataFrame) additionally deletes those
+    existing docs in the SAME meta commit — the atomic delete+add that
+    ``deletes.upsert_docs`` builds on (Lucene updateDocument).
     """
     store.acquire_writer_lock(owner=source)
     try:
         return _append_locked(
             spark, store, new_corpus, syn, docs_per_shard, source,
-            batch_tag, allow_dict_change, fold_stats_every, token_filter)
+            batch_tag, allow_dict_change, fold_stats_every, token_filter,
+            tombstone_ids)
     finally:
         store.release_writer_lock()
 
 
 def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
                    source, batch_tag, allow_dict_change,
-                   fold_stats_every, token_filter) -> IndexStore:
+                   fold_stats_every, token_filter,
+                   tombstone_ids=None) -> IndexStore:
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
     if meta.uses_token_filter != (token_filter is not None):
@@ -874,6 +919,17 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
     with _timed("append.stats"):
         _run_concurrent(_lineage_job, _docstats_job, _termstats_job)
 
+    # stage tombstones (upsert: the old versions of updated keys) —
+    # they become visible only through the same meta commit below, so
+    # delete+add is atomic (Lucene updateDocument). Resolution happened
+    # against the COMMITTED docmap (the caller's plan baked in the
+    # pre-append partition list), so new docs can never self-tombstone.
+    del_part, n_del_new = None, 0
+    if tombstone_ids is not None:
+        from .deletes import _write_tombstones
+        del_part, n_del_new = _write_tombstones(
+            spark, store, meta, tombstone_ids, old_n)
+
     # shard lineage may land in the manifest before the commit — those
     # shards are invisible until meta advances n_shards
     manifest = store.manifest()
@@ -941,7 +997,10 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
         text_col=meta.text_col, total_dl=total_dl,
         stats_batches=stats_batches, batches=batches,
         format=FORMAT_VERSION,
-        uses_token_filter=meta.uses_token_filter))
+        uses_token_filter=meta.uses_token_filter,
+        delete_batches=meta.delete_batches + ([del_part] if del_part
+                                              else []),
+        n_deleted=meta.n_deleted + n_del_new))
     # vacuum: once the fold's meta is committed, the folded-away delta
     # partitions are unreferenced garbage — reclaim them here instead
     # of waiting for compact_index, so the termstats dir count stays
@@ -970,10 +1029,20 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
     merges multiple blocks per term). Writes a complete NEW index at
     ``out_dir`` (old index untouched — crash-safe), carrying docmap /
     docstats / termstats / meta over unchanged.
+
+    When the index carries tombstones (``meta.delete_batches``),
+    compaction is instead a PURGING merge — deleted docs drop out of
+    every posting list, ids renumber densely, and all stats recompute
+    over live docs only, exactly Lucene's merge applying liveDocs —
+    delegated to ``deletes.purge_merge``.
     """
     from .indexer import DOCSTATS_TERM  # local import to avoid cycle noise
 
     meta = store.meta()
+    if meta.delete_batches:
+        from .deletes import purge_merge
+        return purge_merge(spark, store, out_dir,
+                           docs_per_shard=docs_per_shard)
     per = docs_per_shard or max(1, (meta.n_docs + DEFAULT_SHARDS - 1)
                                 // DEFAULT_SHARDS)
     # per-shard doc counts from the docstats pseudo-rows (tiny: one row

@@ -227,10 +227,17 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
         .groupBy("doc_id", "gid")
         .agg(F.sum("tf").alias("tfg"), F.first("dl").alias("dl"),
              F.first("gidf").alias("gidf"))
+        # association matters at the ULP: WAND computes idf * (tf/denom)
+        # (and its block bound equals exactly that when max_tf/min_dl
+        # coincide with a doc's tf/dl — the float-safe equality). The
+        # oracle must parenthesize identically or ~20% of docs diverge
+        # by 1 ULP and near-ties rank-split (latent until a delete
+        # exposed the tail of the top-k; round-4 fix, fuzz-pinned).
         .withColumn("gscore",
-                    F.col("gidf") * F.col("tfg") /
+                    F.col("gidf") * (F.col("tfg") /
                     (F.col("tfg") + F.lit(k1) *
-                     (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))))
+                     (F.lit(1 - b) + F.lit(b) * F.col("dl")
+                      / F.lit(avgdl)))))
     )
     # deterministic summation: left-fold gscores in ascending gid order,
     # bit-identical to the WAND worker's accumulation (float addition is
@@ -245,6 +252,10 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
         F.count("*").alias("ngroups"))
     if mode == "and":
         agg = agg.filter(F.col("ngroups") == len(plan.groups))
+    if store.meta().delete_batches:
+        # liveDocs anti-join before the top-k cut (stats above already
+        # include deleted docs — Lucene pre-merge semantics)
+        agg = agg.join(store.deletes(spark), "doc_id", "left_anti")
     return (agg.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -253,8 +264,34 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
 # block-max WAND (E10 primary path)
 # --------------------------------------------------------------------
 
+def _deletes_by_shard(spark: SparkSession, store: IndexStore,
+                      meta=None) -> DataFrame | None:
+    """Tombstoned doc_ids routed to their shard — (shard, doc_id), or
+    None when the index has no committed deletes (the common case: the
+    query plan is then byte-identical to a delete-free engine). Routing
+    is a broadcast range join against the tiny shard-range frame —
+    tombstones flow executor-to-executor, never through the driver, and
+    each shard worker receives only ITS tombstones (Lucene's
+    per-segment liveDocs shape)."""
+    meta = meta or store.meta()
+    if not meta.delete_batches:
+        return None
+    ranges = store.shard_doc_ranges(spark)
+    return (store.deletes(spark)
+            .join(F.broadcast(ranges),
+                  (F.col("doc_id") >= F.col("lo"))
+                  & (F.col("doc_id") <= F.col("hi")))
+            .select("shard", "doc_id"))
+
+
+def _del_array(right: pd.DataFrame) -> np.ndarray | None:
+    return np.sort(right["doc_id"].to_numpy().astype(np.int64)) \
+        if len(right) else None
+
+
 def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
-                phrase: bool = False) -> pd.DataFrame:
+                phrase: bool = False,
+                deleted: np.ndarray | None = None) -> pd.DataFrame:
     """Exact top-k for one shard. Windowed block-max pruning: windows
     are visited in descending upper bound; a window is decoded only if
     its bound beats the running kth-best score.
@@ -425,6 +462,12 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         if phrase:
             verified = np.unique(frontier >> np.int64(32)) + d0
             keep &= np.isin(u, verified)
+        if deleted is not None:
+            # liveDocs mask BEFORE heap admission: a deleted doc must
+            # never displace a live one from the shard's top-k. Window
+            # bounds stay valid (removing docs only lowers attainable
+            # scores), so pruning exactness is unaffected.
+            keep &= ~np.isin(u, deleted)
         for d, s in zip(u[keep].tolist(), sc[keep].tolist()):
             item = (s, -d)
             if len(heap) < k:
@@ -452,7 +495,8 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
     admission — fully distributed, nothing collected driver-side."""
-    if phrase and not store.meta().store_positions:
+    meta = store.meta()
+    if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
     plan = plan_query(spark, store, text, syn, cfg, groups)
@@ -464,15 +508,28 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
         .select("term", "shard", "first_doc", "last_doc", "n_docs",
                 "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
                 "pos_bytes", "pl_bytes")
+    dels = _deletes_by_shard(spark, store, meta)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        return _wand_shard(pdf, plan, k, mode, phrase)
+    empty = {"doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+    if dels is None:
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame(empty)
+            return _wand_shard(pdf, plan, k, mode, phrase)
 
-    topk = blocks.groupBy("shard").applyInPandas(
-        run, schema="doc_id long, score double")
+        topk = blocks.groupBy("shard").applyInPandas(
+            run, schema="doc_id long, score double")
+    else:
+        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(empty)
+            return _wand_shard(left, plan, k, mode, phrase,
+                               deleted=_del_array(right))
+
+        topk = (blocks.groupBy("shard")
+                .cogroup(dels.groupBy("shard"))
+                .applyInPandas(run2, schema="doc_id long, score double"))
     return topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -517,8 +574,10 @@ def search_batch(spark: SparkSession, store: IndexStore,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(all_terms)).select(*cols)
+    dels = _deletes_by_shard(spark, store, meta)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _run_all(pdf: pd.DataFrame,
+                 deleted: np.ndarray | None) -> pd.DataFrame:
         outs = []
         for qi, plan in enumerate(plans):
             if not plan.groups or len(pdf) == 0:
@@ -528,7 +587,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
             if not len(sub):
                 continue
             res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
-                              phrase)
+                              phrase, deleted=deleted)
             if len(res):
                 res.insert(0, "query_id", np.int32(qi))
                 outs.append(res)
@@ -538,8 +597,20 @@ def search_batch(spark: SparkSession, store: IndexStore,
                                  "score": pd.Series([], dtype="float64")})
         return pd.concat(outs, ignore_index=True)
 
-    topk = blocks.groupBy("shard").applyInPandas(
-        run, schema="query_id int, doc_id long, score double")
+    if dels is None:
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _run_all(pdf, None)
+
+        topk = blocks.groupBy("shard").applyInPandas(
+            run, schema="query_id int, doc_id long, score double")
+    else:
+        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return _run_all(left, _del_array(right))
+
+        topk = (blocks.groupBy("shard")
+                .cogroup(dels.groupBy("shard"))
+                .applyInPandas(
+                    run2, schema="query_id int, doc_id long, score double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))
     return (topk.withColumn("_r", F.row_number().over(w))
@@ -644,10 +715,10 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
             .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"),
                  F.first("gidf").alias("idf"))
             .withColumn("gscore",
-                        F.col("idf") * F.col("tf") /
+                        F.col("idf") * (F.col("tf") /
                         (F.col("tf") + F.lit(k1) *
                          (F.lit(1 - b) + F.lit(b) * F.col("dl")
-                          / F.lit(avgdl))))
+                          / F.lit(avgdl)))))
             .select("gid", "terms", "tf", "dl", "idf", "gscore")
             .orderBy("gid"))
 
@@ -657,7 +728,8 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
 # --------------------------------------------------------------------
 
 def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
-                 phrase: bool, stats: dict | None = None) -> int:
+                 phrase: bool, stats: dict | None = None,
+                 deleted: np.ndarray | None = None) -> int:
     """Number of matching docs in one shard — whole-shard vectorized
     set algebra over the decoded postings, no ranking, no top-k state.
     Phrase adjacency via (doc, start) key intersection across groups.
@@ -724,6 +796,14 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
             stats["decoded_blocks"] = decoded[0]
         return n
 
+    def live(docs: np.ndarray) -> int:
+        # liveDocs filter on the FINAL matching set (ES total hits
+        # count live matches only); intermediate intersections may
+        # carry deleted docs — harmless, they only widen block skips
+        if deleted is not None and len(docs):
+            docs = docs[~np.isin(docs, deleted)]
+        return len(docs)
+
     # rarest first: posting volume (Σ n_docs over the group's blocks)
     # as the df proxy — valid for AND/phrase (intersection commutes)
     order = list(range(len(plan.groups)))
@@ -753,7 +833,7 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
             if len(frontier) == 0:
                 return done(0)
             cand = np.unique(frontier >> np.int64(32)) + lo
-        return done(len(np.unique(frontier >> np.int64(32))))
+        return done(live(np.unique(frontier >> np.int64(32)) + lo))
 
     if phrase:
         lo = int(first.min()) if len(pdf) else 0
@@ -772,7 +852,7 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
             # surviving docs (sorted: starts is sorted and >>32 is
             # monotone) gate the next group's block decodes
             cand = np.unique(starts >> np.int64(32)) + lo
-        return done(len(np.unique(starts >> np.int64(32))))
+        return done(live(np.unique(starts >> np.int64(32)) + lo))
 
     acc: np.ndarray | None = None
     for gi in order:
@@ -788,7 +868,7 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
         else:
             acc = docs if acc is None else \
                 np.union1d(acc, docs)
-    return done(int(len(acc)) if acc is not None else 0)
+    return done(live(acc) if acc is not None else 0)
 
 
 def count_matches(spark: SparkSession, store: IndexStore, text: str,
@@ -803,7 +883,8 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
     scale-safe replacement for ``search(k=huge).count()``.
 
     Returns a one-row DataFrame ``hits long``."""
-    if phrase and not store.meta().store_positions:
+    meta = store.meta()
+    if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
     plan = plan_query(spark, store, text, syn, cfg, groups)
@@ -816,12 +897,23 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
+    dels = _deletes_by_shard(spark, store, meta)
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = _count_shard(pdf, plan, mode, phrase) if len(pdf) else 0
-        return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
+    if dels is None:
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            n = _count_shard(pdf, plan, mode, phrase) if len(pdf) else 0
+            return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
 
-    partials = blocks.groupBy("shard").applyInPandas(
-        run, schema="hits long")
+        partials = blocks.groupBy("shard").applyInPandas(
+            run, schema="hits long")
+    else:
+        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            n = _count_shard(left, plan, mode, phrase,
+                             deleted=_del_array(right)) if len(left) else 0
+            return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
+
+        partials = (blocks.groupBy("shard")
+                    .cogroup(dels.groupBy("shard"))
+                    .applyInPandas(run2, schema="hits long"))
     return partials.agg(
         F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))
