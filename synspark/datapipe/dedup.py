@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 from .textstats import _words
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Lineage-truncation point. With a RELIABLE checkpoint dir
+    configured (``spark.sparkContext.setCheckpointDir`` — the cluster
+    deployment mode) use ``checkpoint()``: blocks survive executor
+    loss, so a lost node recomputes nothing and fails nothing. Without
+    one (local/sandbox) fall back to ``localCheckpoint()``: same
+    lineage truncation, executor-local blocks, reclaimed by the
+    ContextCleaner — acceptable where an executor loss kills the app
+    anyway (round-3 advice: localCheckpoint alone is not fault-tolerant
+    on a lossy cluster)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: md5 groups with >1 doc."""
@@ -92,13 +108,13 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
     the candidate set for exact verification. The pair join is
     bucket-equal (band_id, band_key), so its cost is bounded by bucket
     collision-group sizes, never all-pairs."""
-    # localCheckpoint (not persist): both join sides reference this
-    # frame; truncating lineage avoids re-inlining the banding subtree,
-    # and the checkpoint blocks are reclaimed by the ContextCleaner once
-    # the result is materialized and this frame goes out of scope — an
-    # explicit .persist() here leaked executor storage across calls in
-    # long-lived sessions (round-2 advice)
-    un = _banded(sigs, bands, rows_per_band, id_col).localCheckpoint()
+    # checkpoint (not persist): both join sides reference this frame;
+    # truncating lineage avoids re-inlining the banding subtree, and
+    # the blocks are reclaimed once the result is materialized and
+    # this frame goes out of scope — an explicit .persist() here
+    # leaked executor storage across calls in long-lived sessions
+    # (round-2 advice). _ckpt picks reliable vs local (round-3 advice).
+    un = _ckpt(_banded(sigs, bands, rows_per_band, id_col))
     a = un.select("band_id", "band_key", F.col(id_col).alias("a"))
     bdf = un.select("band_id", "band_key", F.col(id_col).alias("b"))
     return (a.join(bdf, ["band_id", "band_key"])
@@ -122,23 +138,22 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
     the LSH collision groups."""
     if candidates is not None:
         # the candidate pair set feeds three places (both doc-set sides
-        # + the final pair semi-join). localCheckpoint — not persist —
+        # + the final pair semi-join). Checkpoint — not persist —
         # because TRUNCATING the lineage is the point: each reference
         # would otherwise re-inline the band self-join subtree and the
         # composed plan grows multiplicatively (measured 3.2x wall-time
         # on the drop-list pipeline from plan-compile cost alone).
-        # Trade-off: eager + executor-local storage; on a lossy cluster
-        # use .checkpoint() (reliable dir) for the same effect.
-        candidates = candidates.localCheckpoint()
+        # _ckpt upgrades to a reliable checkpoint when a checkpoint
+        # dir is configured (cluster fault tolerance, round-3 advice).
+        candidates = _ckpt(candidates)
         cdocs = (candidates.select(F.col("a").alias(id_col))
                  .union(candidates.select(F.col("b").alias(id_col)))
                  .distinct())
-        shingles = shingles.join(cdocs, id_col, "leftsemi") \
-            .localCheckpoint()
+        shingles = _ckpt(shingles.join(cdocs, id_col, "leftsemi"))
     else:
         # referenced by both join sides and the per-doc counts; same
         # localCheckpoint-over-persist rationale as above
-        shingles = shingles.localCheckpoint()
+        shingles = _ckpt(shingles)
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     bdf = shingles.select(F.col(id_col).alias("b"), "shingle")
@@ -187,16 +202,15 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     # reused (output branch + survivor anti-join) AND upstream of every
     # near-stage branch: truncate lineage so the md5-group subtree isn't
     # re-inlined into each one (see jaccard_pairs note)
-    exact_drop = (keyed.join(groups, "dup_key")
-                  .filter(F.col(id_col) != F.col("keep"))
-                  .select(F.col(id_col), F.lit("exact").alias("reason"))
-                  .localCheckpoint())
+    exact_drop = _ckpt(keyed.join(groups, "dup_key")
+                       .filter(F.col(id_col) != F.col("keep"))
+                       .select(F.col(id_col),
+                               F.lit("exact").alias("reason")))
     # near-dup stage runs AFTER exact removal: a bucket of N identical
     # docs would otherwise produce N^2/2 candidate pairs — collapsing
     # exact dups first bounds LSH buckets by distinct-content volume
     survivors = df.join(exact_drop.select(id_col), id_col, "left_anti")
-    sh = word_shingles(survivors, shingle_k, text_col, id_col) \
-        .localCheckpoint()
+    sh = _ckpt(word_shingles(survivors, shingle_k, text_col, id_col))
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
         id_col)
@@ -239,7 +253,7 @@ def embedding_near_dups(df: DataFrame, dim: int, threshold: float = 0.9,
                   F.col(vec_col).cast("array<double>").alias(vec_col))
     # bucket expr is n_planes folded dot products; referenced by both
     # join sides — truncate lineage instead of recomputing/persisting
-    b = with_ivf_bucket(d, dim, n_planes, seed, vec_col).localCheckpoint()
+    b = _ckpt(with_ivf_bucket(d, dim, n_planes, seed, vec_col))
     left = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
                     "ivf_bucket")
     right = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),

@@ -629,7 +629,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         n_shards=n_shards, k1=k1, b=b,
         cfg={"n": cfg.n, "delimiters": cfg.delimiters,
              "expand": cfg.expand, "ignore_case": cfg.ignore_case,
-             "emit_short_blocks": cfg.emit_short_blocks},
+             "emit_short_blocks": cfg.emit_short_blocks,
+             "offsets": cfg.offsets},
         dict_fingerprint=syn.fingerprint() if syn else None,
         source=source, store_positions=store_positions,
         created_utc=time.time(), layout=layout, text_col=text_col,

@@ -16,8 +16,12 @@ Layout of the per-block algorithm (reference anchors):
   - order: (start ASC, end ASC, posInc DESC, seq ASC)    (:502-531)
   - consecutive-duplicate elimination (posInc==0 guard)  (:162-172,431-445)
 
-Parity scope: BMP text (offsets are code points here, UTF-16 units in
-Java — identical for BMP; all reference fixtures are BMP).
+Parity scope: BMP text matches Java token-for-token with default
+settings (offsets are code points here, UTF-16 units in Java —
+identical for BMP; all reference fixtures are BMP). For non-BMP text
+``TokenizerConfig(offsets="utf16")`` restores Java OFFSET parity;
+window CONTENT stays code-point based (surrogate-safe — see the
+config docstring).
 
 This module is pure Python (no Spark import at top level) so the same
 code path serves the executor-side pandas UDF and driver-side query
@@ -49,13 +53,32 @@ class TokenizerConfig:
     (NGramSynonymTokenizer.java:291-295). False gives ES
     ``nGram(min_gram=n, max_gram=n)`` parity — short runs emit nothing
     — needed to reproduce the reference's msg2 analyzer (plain 2gram +
-    synonym token FILTER, SynonymPluginTest.java:92-99)."""
+    synonym token FILTER, SynonymPluginTest.java:92-99).
+
+    ``offsets="utf16"`` reports start/end offsets in UTF-16 code
+    UNITS — what the Java reference emits (it reads a char[] buffer,
+    NGramSynonymTokenizer.java:297-300) and what an ES client doing
+    JS/Java-side substring extraction expects. Default ``"codepoint"``
+    counts code points (Python-native). The two agree for all BMP text
+    (every reference fixture); for non-BMP text this option restores
+    offset parity. Token CONTENT stays code-point windowed either way
+    (surrogate pairs are never split — the behavior of every
+    post-4.4 Lucene NGramTokenizer; the reference's own char-unit
+    windows would emit lone surrogates, unrepresentable in UTF-8
+    storage)."""
 
     n: int = DEFAULT_N
     delimiters: str = DEFAULT_DELIMITERS
     expand: bool = True
     ignore_case: bool = True
     emit_short_blocks: bool = True
+    offsets: str = "codepoint"
+
+    def __post_init__(self):
+        if self.offsets not in ("codepoint", "utf16"):
+            raise ValueError(
+                f"offsets must be 'codepoint' or 'utf16', "
+                f"got {self.offsets!r}")
 
 
 @lru_cache(maxsize=64)
@@ -186,7 +209,9 @@ def _tokenize_block(block: str, n: int, expand: bool, ignore_case: bool,
 def tokenize(text: str, cfg: TokenizerConfig = TokenizerConfig(),
              syn: SynonymDict | None = None) -> list:
     """Tokenize a document: [(term, start, end, pos_inc)] with global
-    char offsets (blk_start + local, :150-157)."""
+    char offsets (blk_start + local, :150-157). Offsets count code
+    points, or UTF-16 units with ``cfg.offsets="utf16"`` (Java offset
+    parity for non-BMP text — see TokenizerConfig)."""
     out: list = []
     n, expand, ignore_case = cfg.n, cfg.expand, cfg.ignore_case
     emit_short = cfg.emit_short_blocks
@@ -194,6 +219,13 @@ def tokenize(text: str, cfg: TokenizerConfig = TokenizerConfig(),
         for word, s, e, pi in _tokenize_block(block, n, expand,
                                               ignore_case, syn, emit_short):
             out.append((word, blk_start + s, blk_start + e, pi))
+    if cfg.offsets == "utf16" and out:
+        # exclusive prefix sum of per-code-point UTF-16 widths; only
+        # computed when requested, so the default path pays nothing
+        from itertools import accumulate
+        cum = list(accumulate((1 + (ord(c) > 0xFFFF) for c in text),
+                              initial=0))
+        out = [(w, cum[s], cum[e], pi) for w, s, e, pi in out]
     return out
 
 

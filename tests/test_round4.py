@@ -453,3 +453,33 @@ def test_embedding_multiprobe_recovers_plane_crossing_pair(spark):
     # all-flips probing finds it too, and results stay deduped pairs
     p_all = pairs(n_planes + 1)
     assert (0, 1) in p_all
+
+
+def test_dedup_uses_reliable_checkpoint_when_configured(spark, tmp_path):
+    """round-3 advice: localCheckpoint blocks are lost with their
+    executor; when the operator configures a reliable checkpoint dir
+    (the cluster deployment mode) the dedup lineage-truncation points
+    must use it — proven by the dir actually receiving rdd blocks —
+    and produce identical results either way."""
+    from synspark.datapipe.dedup import dedup_drop_list
+
+    rows = [(i, f"some text body {i % 7} repeated words here")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    local = {tuple(r) for r in
+             dedup_drop_list(df).collect()}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ck = tmp_path / "ckpt"
+    sc.setCheckpointDir(str(ck))
+    try:
+        reliable = {tuple(r) for r in dedup_drop_list(df).collect()}
+        assert reliable == local
+        assert any(ck.rglob("*")), "reliable checkpoint dir unused"
+    finally:
+        # no public unset API; clear via the Scala setter so the
+        # session-scoped fixture's later tests keep local mode
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty())
+    assert sc.getCheckpointDir() is None

@@ -95,3 +95,25 @@ def test_parser_contract_mode():
     # parser expand=False: group contracts to its first term
     d = SynonymDict.parse("a,aa,aaa", expand=False)
     assert d.mapping["aaa"] == ["a"]
+
+
+def test_utf16_offsets_non_bmp():
+    """offsets="utf16" counts UTF-16 units like the Java reference
+    (NGramSynonymTokenizer.java:297-300 reads a char[]); 𩸽 (U+29E3D)
+    is a surrogate pair = 2 units. Token content stays code-point
+    windowed (no split pairs) in both modes."""
+    from synspark.tokenizer import TokenizerConfig, tokenize
+    text = "𩸽の刺身"
+    cp = tokenize(text, TokenizerConfig(n=2, expand=False))
+    assert cp == [("𩸽の", 0, 2, 1), ("の刺", 1, 3, 1), ("刺身", 2, 4, 1)]
+    u16 = tokenize(text, TokenizerConfig(n=2, expand=False,
+                                         offsets="utf16"))
+    assert u16 == [("𩸽の", 0, 3, 1), ("の刺", 2, 4, 1), ("刺身", 3, 5, 1)]
+    # BMP text: the two modes are identical (the documented parity)
+    bmp = "東京タワー"
+    assert tokenize(bmp, TokenizerConfig(n=2)) == \
+        tokenize(bmp, TokenizerConfig(n=2, offsets="utf16"))
+    # config validation
+    import pytest
+    with pytest.raises(ValueError):
+        TokenizerConfig(offsets="bogus")
