@@ -96,10 +96,31 @@ def main(argv=None):
     _add_common(st)
 
     ap_cmp = sub.add_parser("compact",
-                            help="merge small shards into a new index")
+                            help="merge small shards into a new index "
+                            "(applies tombstones when present: purge + "
+                            "dense renumber + stats recompute)")
     ap_cmp.add_argument("--index", required=True)
     ap_cmp.add_argument("--output", required=True)
     ap_cmp.add_argument("--docs-per-shard", type=int, default=None)
+
+    d = sub.add_parser("delete", help="tombstone documents (Lucene "
+                       "liveDocs phase 1: hits/counts exclude them, "
+                       "stats keep them until compact)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", help="comma-separated doc_ids")
+    d.add_argument("--keys", help="parquet of key columns "
+                   "(repo/path/commit), resolved via the docmap")
+    d.add_argument("--batch-tag", help="idempotence tag")
+
+    u = sub.add_parser("upsert", help="replace-by-key + insert "
+                       "(atomic delete+add, one meta commit)")
+    u.add_argument("--input", required=True, help="parquet of new "
+                   "document versions")
+    u.add_argument("--index", required=True)
+    u.add_argument("--key-cols", default=None,
+                   help="comma-separated key columns (default: repo,path)")
+    u.add_argument("--batch-tag", help="idempotence tag")
+    _add_common(u)
 
     args = ap.parse_args(argv)
     from .tokenizer import TokenizerConfig, tokenize_to_string
@@ -110,6 +131,10 @@ def main(argv=None):
     if args.cmd == "analyze":  # no Spark needed (E12)
         print(tokenize_to_string(args.text, cfg, _load_syn(args)))
         return 0
+    if args.cmd == "delete" and bool(args.ids) == bool(args.keys):
+        print("error: pass exactly one of --ids / --keys",
+              file=sys.stderr)
+        return 2
 
     from .session import get_spark
     spark = get_spark(app=f"synspark-{args.cmd}")
@@ -175,6 +200,32 @@ def main(argv=None):
                                   args.output,
                                   docs_per_shard=args.docs_per_shard)
             print(json.dumps({"meta": store.meta().__dict__}))
+        elif args.cmd == "delete":
+            from .deletes import delete_docs
+            from .index_store import IndexStore
+            store = IndexStore(args.index)
+            delete_docs(
+                spark, store,
+                doc_ids=[int(x) for x in args.ids.split(",")]
+                if args.ids else None,
+                keys=spark.read.parquet(args.keys) if args.keys else None,
+                batch_tag=args.batch_tag)
+            m = store.meta()
+            print(json.dumps({"n_docs": m.n_docs,
+                              "n_deleted": m.n_deleted,
+                              "delete_batches": m.delete_batches}))
+        elif args.cmd == "upsert":
+            from .deletes import upsert_docs
+            from .index_store import IndexStore
+            store = IndexStore(args.index)
+            upsert_docs(spark, store, spark.read.parquet(args.input),
+                        syn=_load_syn(args),
+                        key_cols=args.key_cols.split(",")
+                        if args.key_cols else None,
+                        batch_tag=args.batch_tag)
+            m = store.meta()
+            print(json.dumps({"n_docs": m.n_docs,
+                              "n_deleted": m.n_deleted}))
     finally:
         spark.stop()
     return 0

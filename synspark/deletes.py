@@ -210,14 +210,11 @@ def upsert_docs(spark: SparkSession, store: IndexStore,
 # purge merge (phase 2) — applied by compact_index when tombstones exist
 # --------------------------------------------------------------------
 
-_DOCSTATS_BLOCK = 4096  # mirror of indexer._DOCSTATS_BLOCK
-
-
 def _encode_docstats_pseudo(sd: np.ndarray, sl: np.ndarray,
                             shard: int) -> pd.DataFrame:
     """Docstats pseudo-term rows for one shard — byte-compatible with
     the build encoder's inline emission (indexer.py run())."""
-    from .indexer import _SEG_COLS, DOCSTATS_TERM
+    from .indexer import _DOCSTATS_BLOCK, _SEG_COLS, DOCSTATS_TERM
     recs = []
     for seq, b0 in enumerate(range(0, len(sd), _DOCSTATS_BLOCK)):
         b1 = min(b0 + _DOCSTATS_BLOCK, len(sd))

@@ -24,3 +24,12 @@ def test_cli_analyze_no_dict(capsys):
     rc = main(["analyze", "--text", "あいう", "--no-expand"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == "あい,0,2,1/いう,1,3,1"
+
+
+def test_cli_delete_arg_validation(capsys):
+    """delete requires exactly one of --ids / --keys, checked before
+    any Spark session spins up."""
+    assert main(["delete", "--index", "/nonexistent"]) == 2
+    assert main(["delete", "--index", "/nonexistent",
+                 "--ids", "1", "--keys", "/also"]) == 2
+    assert "exactly one" in capsys.readouterr().err

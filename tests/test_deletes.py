@@ -278,3 +278,26 @@ def test_purge_preserves_positions_phrase(spark, tmp_path_factory):
         .collect()[0].hits == 37
     hits = _topk(spark, dst, "sort merge", k=5, phrase=True)
     assert len(hits) == 5
+
+
+def test_deletes_routing_plan_shape(spark, tmp_path_factory):
+    """Plan pin for the tombstone routing (100 TB shape): the tiny
+    shard-ranges frame is the BROADCAST side, the tombstone scan is
+    partition-pruned to committed delete batches, and the ranges scan
+    pushes the docstats pseudo-term predicate into parquet — the
+    tombstone set itself never broadcasts and never hits the driver."""
+    from synspark.query import _deletes_by_shard
+
+    root = tmp_path_factory.mktemp("del_plan")
+    store = build_index(spark, _corpus(spark, n=80), str(root / "idx"),
+                        cfg=CFG, n_shards=2, resume=False)
+    delete_docs(spark, store, doc_ids=[1, 5, 9])
+    dels = _deletes_by_shard(spark, store)
+    plan = dels._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan \
+        or "BroadcastHashJoin" in plan
+    # broadcast side = the aggregated ranges, not the tombstones
+    assert plan.index("deletes") < plan.index("BroadcastExchange") \
+        < plan.index("segments")
+    assert "batch#" in plan and "del-0" in plan      # partition gate
+    assert "EqualTo(term," in plan                   # pushed pseudo-term
