@@ -511,6 +511,32 @@ def q_fts_upsert_count(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="and")
 
 
+def q_fts_match_ids(spark, sf_dir):
+    """ALL matching doc ids for the benchmark AND query (the
+    scroll-all-hits surface feeding delete_by_query) — distributed
+    per-shard set algebra, ids never collected driver-side; returned
+    sorted for the hash check."""
+    from synspark.query import match_ids
+    store = _index(spark, sf_dir)
+    return match_ids(spark, store, BM25_QUERY, mode="and") \
+        .orderBy("doc_id")
+
+
+def q_fts_page2_topk(spark, sf_dir):
+    """ES search_after pagination: ranks 11-20 of the benchmark query,
+    fetched with a (score, doc_id) cursor taken from the exact page-1
+    ranking — each page keeps only a k-sized heap (deep pagination
+    without deep heaps), sound because scores are bit-stable across
+    runs."""
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    p1 = search(spark, store, BM25_QUERY, k=10, mode="and").collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and",
+               after=cursor), 10)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -745,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_delete_topk": q_fts_delete_topk,
         "fts_purge_topk": q_fts_purge_topk,
         "fts_upsert_count": q_fts_upsert_count,
+        "fts_match_ids": q_fts_match_ids,
+        "fts_page2_topk": q_fts_page2_topk,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -1058,6 +1086,22 @@ WHERE regexp_matches(text,
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        # all matching ids for the AND query, sorted
+        "fts_match_ids": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+)
+SELECT doc_id FROM per_doc WHERE c = (SELECT count(*) FROM qt)
+ORDER BY doc_id
+""",
+        # search_after page 2 == ranks 11-20 of the same ordering
+        "fts_page2_topk": _bm25_prefix() + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10 OFFSET 10
 """,
         # phase-1 delete (liveDocs): BM25 over ALL docs — deleted docs
         # still count in df/N/avgdl (Lucene pre-merge stats) — with

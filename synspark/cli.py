@@ -110,7 +110,12 @@ def main(argv=None):
     d.add_argument("--ids", help="comma-separated doc_ids")
     d.add_argument("--keys", help="parquet of key columns "
                    "(repo/path/commit), resolved via the docmap")
+    d.add_argument("--query", help="delete all docs matching this "
+                   "query (ES _delete_by_query)")
+    d.add_argument("--mode", choices=["and", "or"], default="and")
+    d.add_argument("--phrase", action="store_true")
     d.add_argument("--batch-tag", help="idempotence tag")
+    _add_common(d)
 
     u = sub.add_parser("upsert", help="replace-by-key + insert "
                        "(atomic delete+add, one meta commit)")
@@ -131,8 +136,9 @@ def main(argv=None):
     if args.cmd == "analyze":  # no Spark needed (E12)
         print(tokenize_to_string(args.text, cfg, _load_syn(args)))
         return 0
-    if args.cmd == "delete" and bool(args.ids) == bool(args.keys):
-        print("error: pass exactly one of --ids / --keys",
+    if args.cmd == "delete" and \
+            sum(map(bool, (args.ids, args.keys, args.query))) != 1:
+        print("error: pass exactly one of --ids / --keys / --query",
               file=sys.stderr)
         return 2
 
@@ -201,15 +207,22 @@ def main(argv=None):
                                   docs_per_shard=args.docs_per_shard)
             print(json.dumps({"meta": store.meta().__dict__}))
         elif args.cmd == "delete":
-            from .deletes import delete_docs
+            from .deletes import delete_by_query, delete_docs
             from .index_store import IndexStore
             store = IndexStore(args.index)
-            delete_docs(
-                spark, store,
-                doc_ids=[int(x) for x in args.ids.split(",")]
-                if args.ids else None,
-                keys=spark.read.parquet(args.keys) if args.keys else None,
-                batch_tag=args.batch_tag)
+            if args.query:
+                delete_by_query(spark, store, args.query,
+                                mode=args.mode, phrase=args.phrase,
+                                syn=_load_syn(args),
+                                batch_tag=args.batch_tag)
+            else:
+                delete_docs(
+                    spark, store,
+                    doc_ids=[int(x) for x in args.ids.split(",")]
+                    if args.ids else None,
+                    keys=spark.read.parquet(args.keys)
+                    if args.keys else None,
+                    batch_tag=args.batch_tag)
             m = store.meta()
             print(json.dumps({"n_docs": m.n_docs,
                               "n_deleted": m.n_deleted,

@@ -167,6 +167,25 @@ def delete_docs(spark: SparkSession, store: IndexStore,
         store.release_writer_lock()
 
 
+def delete_by_query(spark: SparkSession, store: IndexStore, text: str,
+                    mode: str = "and", phrase: bool = False,
+                    syn=None, cfg=None,
+                    groups: list[list[str]] | None = None,
+                    batch_tag: str | None = None,
+                    source: str = "<delete-by-query>") -> IndexStore:
+    """ES ``_delete_by_query``: tombstone every live doc matching the
+    query (boolean AND/OR or phrase, same analysis as ``search``).
+    The victim set is resolved distributively (``query.match_ids`` —
+    per-shard vectorized set algebra, ids never touch the driver) and
+    committed like any delete: atomic, idempotent per ``batch_tag``,
+    stats untouched until the purge merge."""
+    from .query import match_ids
+    ids = match_ids(spark, store, text, mode=mode, phrase=phrase,
+                    syn=syn, cfg=cfg, groups=groups)
+    return delete_docs(spark, store, doc_ids=ids, batch_tag=batch_tag,
+                       source=source)
+
+
 def upsert_docs(spark: SparkSession, store: IndexStore,
                 new_docs: DataFrame,
                 syn=None, key_cols: list[str] | None = None,

@@ -49,7 +49,11 @@ from .index_store import IndexStore
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig, tokenize
 
-WAND_WINDOW = 4096  # docs per pruning window
+# docs per pruning window. Smaller windows = finer block-max bounds
+# (better pruning on saturating common terms) at more bound-sort
+# overhead; env-overridable for operators (executors inherit the env).
+WAND_WINDOW = int(__import__("os").environ.get(
+    "SYNSPARK_WAND_WINDOW", "4096"))
 
 
 # --------------------------------------------------------------------
@@ -291,7 +295,8 @@ def _del_array(right: pd.DataFrame) -> np.ndarray | None:
 
 def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                 phrase: bool = False,
-                deleted: np.ndarray | None = None) -> pd.DataFrame:
+                deleted: np.ndarray | None = None,
+                after: tuple | None = None) -> pd.DataFrame:
     """Exact top-k for one shard. Windowed block-max pruning: windows
     are visited in descending upper bound; a window is decoded only if
     its bound beats the running kth-best score.
@@ -315,7 +320,13 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     maxn = mtf / (mtf + plan.k1 * (1 - plan.b + plan.b * mdl / plan.avgdl))
     lo = int(first.min())
     hi = int(last.max())
-    win = WAND_WINDOW
+    # Mode-dependent window granularity, measured on the 10M-doc index
+    # (BENCH/BASELINE.md round 4): AND prunes via the all-groups-alive
+    # dead-window test, which gets sharper as windows shrink (2.9s ->
+    # 1.9s at w=512); OR over saturating common terms has flat
+    # (max_tf, min_dl) bounds that prune nothing, so finer windows only
+    # add bound-sort/decode-call overhead (3.9s -> 5.1s at w=512).
+    win = WAND_WINDOW if mode == "or" else max(WAND_WINDOW // 4, 256)
     n_win = (hi - lo) // win + 1
 
     # Per-group, per-window upper bound. Within one term: max of its
@@ -468,6 +479,14 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
             # bounds stay valid (removing docs only lowers attainable
             # scores), so pruning exactness is unaffected.
             keep &= ~np.isin(u, deleted)
+        if after is not None:
+            # search_after cursor: admit only docs ranking STRICTLY
+            # after (score DESC, doc_id ASC) the cursor. Exact float
+            # equality is sound here because scores are bit-stable
+            # across runs (ordered accumulation) — the cursor from
+            # page N reproduces exactly on page N+1.
+            cs, cd = after
+            keep &= (sc < cs) | ((sc == cs) & (u > cd))
         for d, s in zip(u[keep].tolist(), sc[keep].tolist()):
             item = (s, -d)
             if len(heap) < k:
@@ -490,11 +509,19 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            mode: str = "and", phrase: bool = False,
            syn: SynonymDict | None = None,
            cfg: TokenizerConfig | None = None,
-           groups: list[list[str]] | None = None) -> DataFrame:
+           groups: list[list[str]] | None = None,
+           after: tuple | None = None) -> DataFrame:
     """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
-    admission — fully distributed, nothing collected driver-side."""
+    admission — fully distributed, nothing collected driver-side.
+
+    ``after=(score, doc_id)`` is ES search_after pagination: return
+    the k hits ranking strictly after the cursor in (score DESC,
+    doc_id ASC) order — deep pagination without deep heaps (each page
+    keeps a k-sized heap; cursor filtering happens before admission,
+    so page N+1 costs the same as page 1). Sound because ranks are
+    deterministic and scores bit-stable across runs."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -516,7 +543,7 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
                 return pd.DataFrame(empty)
-            return _wand_shard(pdf, plan, k, mode, phrase)
+            return _wand_shard(pdf, plan, k, mode, phrase, after=after)
 
         topk = blocks.groupBy("shard").applyInPandas(
             run, schema="doc_id long, score double")
@@ -525,7 +552,7 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
             if len(left) == 0:
                 return pd.DataFrame(empty)
             return _wand_shard(left, plan, k, mode, phrase,
-                               deleted=_del_array(right))
+                               deleted=_del_array(right), after=after)
 
         topk = (blocks.groupBy("shard")
                 .cogroup(dels.groupBy("shard"))
@@ -730,7 +757,14 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
 def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                  phrase: bool, stats: dict | None = None,
                  deleted: np.ndarray | None = None) -> int:
-    """Number of matching docs in one shard — whole-shard vectorized
+    """Number of matching docs in one shard (see _match_shard)."""
+    return len(_match_shard(pdf, plan, mode, phrase, stats, deleted))
+
+
+def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
+                 phrase: bool, stats: dict | None = None,
+                 deleted: np.ndarray | None = None) -> np.ndarray:
+    """Matching doc ids in one shard — whole-shard vectorized
     set algebra over the decoded postings, no ranking, no top-k state.
     Phrase adjacency via (doc, start) key intersection across groups.
 
@@ -791,18 +825,20 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
             np.ones(len(pdc), np.int64) if want_pos else z)
         return docs, pdc, pvc, plc
 
-    def done(n: int) -> int:
+    znil = np.zeros(0, np.int64)
+
+    def done(docs) -> np.ndarray:
         if stats is not None:
             stats["decoded_blocks"] = decoded[0]
-        return n
+        return znil if isinstance(docs, int) else docs
 
-    def live(docs: np.ndarray) -> int:
+    def live(docs: np.ndarray) -> np.ndarray:
         # liveDocs filter on the FINAL matching set (ES total hits
         # count live matches only); intermediate intersections may
         # carry deleted docs — harmless, they only widen block skips
         if deleted is not None and len(docs):
             docs = docs[~np.isin(docs, deleted)]
-        return len(docs)
+        return docs
 
     # rarest first: posting volume (Σ n_docs over the group's blocks)
     # as the df proxy — valid for AND/phrase (intersection commutes)
@@ -868,7 +904,7 @@ def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
         else:
             acc = docs if acc is None else \
                 np.union1d(acc, docs)
-    return done(live(acc) if acc is not None else 0)
+    return done(live(acc) if acc is not None else znil)
 
 
 def count_matches(spark: SparkSession, store: IndexStore, text: str,
@@ -917,3 +953,53 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
                     .applyInPandas(run2, schema="hits long"))
     return partials.agg(
         F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))
+
+
+def match_ids(spark: SparkSession, store: IndexStore, text: str,
+              mode: str = "and", phrase: bool = False,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              groups: list[list[str]] | None = None) -> DataFrame:
+    """ALL matching (live) doc ids as a DataFrame ``doc_id long`` —
+    the scale-safe scroll-all-hits surface feeding
+    ``deletes.delete_by_query`` (ES ``_delete_by_query`` resolves its
+    victim set the same way: a match query, not a ranked top-k). The
+    id set never rides through the driver: each shard worker emits its
+    matches (the same vectorized set algebra as ``count_matches``,
+    block skips included) and the result stays a distributed frame —
+    callers bound it (delete path: parquet write) or aggregate it."""
+    meta = store.meta()
+    if phrase and not meta.store_positions:
+        raise ValueError("phrase=True requires an index built with "
+                         "store_positions=True (this one has none)")
+    plan = plan_query(spark, store, text, syn, cfg, groups)
+    if not plan.groups:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+
+    cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
+            "doc_bytes", "tf_bytes"]
+    if phrase:
+        cols += ["pos_bytes", "pl_bytes"]
+    blocks = store.segments(spark) \
+        .filter(F.col("term").isin(plan.terms)).select(*cols)
+    dels = _deletes_by_shard(spark, store, meta)
+
+    def _emit(docs: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
+
+    if dels is None:
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _emit(_match_shard(pdf, plan, mode, phrase)
+                         if len(pdf) else np.zeros(0, np.int64))
+
+        return blocks.groupBy("shard").applyInPandas(
+            run, schema="doc_id long")
+
+    def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _emit(_match_shard(left, plan, mode, phrase,
+                                  deleted=_del_array(right))
+                     if len(left) else np.zeros(0, np.int64))
+
+    return (blocks.groupBy("shard")
+            .cogroup(dels.groupBy("shard"))
+            .applyInPandas(run2, schema="doc_id long"))

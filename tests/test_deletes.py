@@ -301,3 +301,67 @@ def test_deletes_routing_plan_shape(spark, tmp_path_factory):
         < plan.index("segments")
     assert "batch#" in plan and "del-0" in plan      # partition gate
     assert "EqualTo(term," in plan                   # pushed pseudo-term
+
+
+def test_match_ids_and_delete_by_query(spark, tmp_path_factory):
+    """ES _delete_by_query: resolve victims with the same analysis as
+    search, distributively; counts and searches reflect it; ids stay
+    live-only (a second identical delete adds nothing)."""
+    from synspark.deletes import delete_by_query
+    from synspark.query import match_ids
+
+    root = tmp_path_factory.mktemp("dbq")
+    rows = [(f"r{i:03d}", "f", "c", "t",
+             ("alpha beta target " if i % 4 == 0 else "alpha beta ")
+             + f"tail{i}")
+            for i in range(80)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    store = build_index(spark, corpus, str(root / "idx"), cfg=CFG,
+                        n_shards=2, resume=False)
+    ids = sorted(r.doc_id for r in
+                 match_ids(spark, store, "target").collect())
+    assert len(ids) == 20
+    delete_by_query(spark, store, "target", batch_tag="dbq1")
+    assert store.meta().n_deleted == 20
+    assert count_matches(spark, store, "target").collect()[0].hits == 0
+    assert count_matches(spark, store, "alpha beta") \
+        .collect()[0].hits == 60
+    # match_ids respects liveDocs: victims are gone from the match set
+    assert match_ids(spark, store, "target").count() == 0
+    # idempotent replay
+    delete_by_query(spark, store, "target", batch_tag="dbq1")
+    assert store.meta().n_deleted == 20
+    # a re-run without the tag finds nothing live to delete
+    delete_by_query(spark, store, "target")
+    assert store.meta().n_deleted == 20
+
+
+def test_search_after_pagination(spark, tmp_path_factory):
+    """search_after: pages concatenate to exactly the one-shot ranking
+    (disjoint, ordered, complete) — including across ties — and page
+    N+1 admits nothing at or before the cursor."""
+    root = tmp_path_factory.mktemp("page")
+    store = build_index(spark, _corpus(spark), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    full = _topk(spark, store, "data sort", k=30)
+    pages = []
+    cursor = None
+    for _ in range(3):
+        page = [(r.doc_id, r.score)
+                for r in search(spark, store, "data sort", k=10,
+                                after=cursor).collect()]
+        assert len(page) == 10
+        pages += page
+        cursor = page[-1][1], page[-1][0]
+    assert pages == full
+    # works with deletes too
+    delete_docs(spark, store, doc_ids=[full[0][0], full[12][0]])
+    full2 = _topk(spark, store, "data sort", k=20)
+    p1 = [(r.doc_id, r.score) for r in
+          search(spark, store, "data sort", k=10).collect()]
+    p2 = [(r.doc_id, r.score) for r in
+          search(spark, store, "data sort", k=10,
+                 after=(p1[-1][1], p1[-1][0])).collect()]
+    assert p1 + p2 == full2
