@@ -511,6 +511,37 @@ def q_fts_upsert_count(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="and")
 
 
+def q_fts_merge_topk(spark, sf_dir):
+    """BM25 top-10 after an INCREMENTAL merge (deletes.merge_shards,
+    the Lucene per-segment merge): docs with ``doc_id % 5 == 1`` are
+    tombstoned, then every shard holding tombstones rewrites
+    copy-on-write at a new shard id with doc ids UNCHANGED; stats
+    adjust by signed delta. With all tombstones merged, scoring equals
+    a live-docs-only index that kept its original ids — which is
+    exactly what the oracle computes (no renumbering, unlike the full
+    purge row)."""
+    from synspark.deletes import delete_docs, merge_shards
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.query import search
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|mrg-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    store = build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=2, expand=False, ignore_case=True),
+        syn=None, n_shards=4, source=f"{sf_dir}:mrg", resume=True)
+    if store.meta().n_purged == 0:
+        delete_docs(spark, store,
+                    doc_ids=corpus.filter(F.col("doc_id") % 5 == 1)
+                    .select("doc_id"))
+        merge_shards(spark, store, min_deleted_fraction=0.0)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and"), 10)
+
+
 def q_fts_match_ids(spark, sf_dir):
     """ALL matching doc ids for the benchmark AND query (the
     scroll-all-hits surface feeding delete_by_query) — distributed
@@ -773,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_upsert_count": q_fts_upsert_count,
         "fts_match_ids": q_fts_match_ids,
         "fts_page2_topk": q_fts_page2_topk,
+        "fts_merge_topk": q_fts_merge_topk,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -1086,6 +1118,14 @@ WHERE regexp_matches(text,
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        # incremental merge with every tombstone applied == a live-
+        # docs-only index with ORIGINAL ids (no renumbering)
+        "fts_merge_topk": _bm25_prefix(table="""
+(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1)""") + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """,
         # all matching ids for the AND query, sorted
         "fts_match_ids": _GRAMS_CTE + f"""

@@ -103,6 +103,15 @@ def main(argv=None):
     ap_cmp.add_argument("--output", required=True)
     ap_cmp.add_argument("--docs-per-shard", type=int, default=None)
 
+    mg = sub.add_parser("merge", help="incremental merge: purge "
+                        "tombstones from shards whose deleted "
+                        "fraction crosses the threshold (Lucene "
+                        "per-segment merge; doc ids stay stable)")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--min-deleted-fraction", type=float, default=0.1)
+    mg.add_argument("--shards", help="comma-separated shard ids "
+                    "(overrides the threshold policy)")
+
     d = sub.add_parser("delete", help="tombstone documents (Lucene "
                        "liveDocs phase 1: hits/counts exclude them, "
                        "stats keep them until compact)")
@@ -227,6 +236,20 @@ def main(argv=None):
             print(json.dumps({"n_docs": m.n_docs,
                               "n_deleted": m.n_deleted,
                               "delete_batches": m.delete_batches}))
+        elif args.cmd == "merge":
+            from .deletes import merge_shards
+            from .index_store import IndexStore
+            store = IndexStore(args.index)
+            merge_shards(
+                spark, store,
+                shards=[int(x) for x in args.shards.split(",")]
+                if args.shards else None,
+                min_deleted_fraction=args.min_deleted_fraction)
+            m = store.meta()
+            print(json.dumps({"n_shards": m.n_shards,
+                              "dead_shards": m.dead_shards,
+                              "n_purged": m.n_purged,
+                              "n_deleted": m.n_deleted}))
         elif args.cmd == "upsert":
             from .deletes import upsert_docs
             from .index_store import IndexStore

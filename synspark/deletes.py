@@ -226,6 +226,213 @@ def upsert_docs(spark: SparkSession, store: IndexStore,
 
 
 # --------------------------------------------------------------------
+# incremental merge: per-shard purge, Lucene's actual merge model
+# --------------------------------------------------------------------
+
+def merge_shards(spark: SparkSession, store: IndexStore,
+                 shards: list[int] | None = None,
+                 min_deleted_fraction: float = 0.1,
+                 source: str = "<merge>") -> IndexStore:
+    """Incrementally apply tombstones to SELECTED shards only — the
+    Lucene per-segment merge. A 100 TB index cannot rewrite itself to
+    purge 0.1% of its docs; Lucene merges individual segments whose
+    deleted fraction crosses a policy threshold, and this is that
+    operation for the doc-range shards:
+
+    - selection: ``shards`` explicitly, or every shard whose deleted
+      fraction >= ``min_deleted_fraction``;
+    - each selected shard's live postings re-encode COPY-ON-WRITE into
+      a NEW shard id appended past the current range, doc ids
+      unchanged (other shards aren't touched, so ids must stay
+      stable); the originals join ``meta.dead_shards`` — readers skip
+      them, disk space is reclaimed at the next ``compact_index``
+      (Lucene keeps replaced segment files until the deleter runs);
+    - stats adjust by DELTA, never by re-aggregation: one signed
+      aggregation over (old ∪ new) selected shards appends a
+      negative/positive termstats delta partition (df/cf are additive
+      — the same merge-on-read that makes appends O(batch)), and
+      total_dl drops by the purged docs' lengths;
+    - scoring follows Lucene exactly: merged-away docs leave docFreq
+      and maxDoc (``n_purged`` joins the scoring N), remaining
+      tombstones in unmerged shards keep counting until their turn;
+    - the single meta.json write publishes the swap atomically:
+      new shards + dead list + stats delta + rewritten remaining
+      tombstones. A crash anywhere leaves the old state fully live;
+      leftovers above the committed shard count are cleared by the
+      next writer (same protocol as appends).
+
+    Returns the same store. docmap/docstats keep stale rows for
+    merged-away docs until ``compact_index`` (their stored-fields
+    analogue also survives until Lucene's full merge); every reader
+    that matters sources doc existence from the postings.
+    """
+    store.acquire_writer_lock(owner=source)
+    try:
+        return _merge_locked(spark, store, shards, min_deleted_fraction,
+                             source)
+    finally:
+        store.release_writer_lock()
+
+
+def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
+    from .index_store import _clear_uncommitted
+    from .indexer import DOCSTATS_TERM, SEGMENT_SCHEMA
+    from .query import _deletes_by_shard
+
+    meta = store.meta()
+    dels = _deletes_by_shard(spark, store, meta)
+    if dels is None:
+        return store  # no tombstones anywhere
+    counts = {int(r["shard"]): int(r["nd"]) for r in
+              store.segments(spark)
+              .filter(F.col("term") == DOCSTATS_TERM)
+              .groupBy("shard").agg(F.sum("n_docs").alias("nd"))
+              .collect()}
+    delc = {int(r["shard"]): int(r["n"]) for r in
+            dels.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    if shards is None:
+        cand = sorted(s for s, nd in counts.items()
+                      if delc.get(s, 0) > 0
+                      and delc[s] / max(nd, 1) >= min_frac)
+    else:
+        cand = sorted(set(shards) & set(counts))
+    cand = [s for s in cand if delc.get(s, 0) > 0]
+    if not cand:
+        return store
+
+    old_shards = meta.n_shards
+    # clear any crashed prior attempt's shard dirs above the committed
+    # count (uncommitted by definition under the single-writer lock)
+    _clear_uncommitted(store, old_shards, f"at-{meta.n_docs}")
+
+    new_ids = {old: old_shards + i for i, old in enumerate(cand)}
+    new_total = old_shards + len(cand)
+
+    def _map_df():
+        # new_start = -1: keep original doc ids (see _purge_shard)
+        return spark.createDataFrame(
+            [(o, n, -1) for o, n in new_ids.items()],
+            "shard int, new_shard int, new_start long")
+
+    segs = (store.segments(spark).filter(F.col("shard").isin(cand))
+            .join(F.broadcast(_map_df()), "shard").drop("shard"))
+    dels_m = (dels.filter(F.col("shard").isin(cand))
+              .join(F.broadcast(_map_df()), "shard")
+              .select("new_shard", "doc_id"))
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _purge_shard(left, right)
+
+    seg_dir = str(store.path / "segments")
+    (segs.groupBy("new_shard")
+     .cogroup(dels_m.groupBy("new_shard"))
+     .applyInPandas(run, schema=SEGMENT_SCHEMA)
+     .repartition(len(cand), "shard")
+     .sortWithinPartitions("term", "salt", "first_doc")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("shard").parquet(seg_dir))
+
+    # signed termstats delta over (replaced ∪ replacement) shards: one
+    # partition-pruned aggregation, additive with every other batch
+    sign = F.when(F.col("shard") >= old_shards, F.lit(1)) \
+        .otherwise(F.lit(-1))
+    delta_part = f"merge-at-{old_shards}"
+    touched = cand + sorted(new_ids.values())
+    (spark.read.parquet(seg_dir)
+     .filter(F.col("shard").isin(touched))
+     .filter(F.col("term") != DOCSTATS_TERM)
+     .groupBy("term")
+     .agg(F.sum(F.col("n_docs") * sign).cast("long").alias("df"),
+          F.sum(F.col("sum_tf") * sign).cast("long").alias("cf"))
+     .filter((F.col("df") != 0) | (F.col("cf") != 0))
+     .withColumn("batch", F.lit(delta_part))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch").parquet(str(store.path / "termstats")))
+
+    # purged tombstones' dl (for total_dl) — tombstones of the merged
+    # shards joined to the OLD shards' pseudo-row stats (small join,
+    # bounded by the tombstone count)
+    from .indexer import decode_docstats_rows
+    old_stats = decode_docstats_rows(
+        spark.read.parquet(seg_dir)
+        .filter(F.col("shard").isin(cand))
+        .filter(F.col("term") == DOCSTATS_TERM))
+    purged = dels.filter(F.col("shard").isin(cand)).select("doc_id") \
+        .join(old_stats, "doc_id")
+    row = purged.agg(F.count("*").alias("n"),
+                     F.sum("dl").alias("dl")).collect()[0]
+    n_purged_now, dl_purged = int(row["n"]), int(row["dl"] or 0)
+
+    # remaining tombstones (unmerged shards) rewrite into one fresh
+    # partition; the old delete partitions become unreferenced on commit
+    remaining = dels.filter(~F.col("shard").isin(cand)).select("doc_id")
+    rem_part = f"del-{delta_part}"
+    leftover = store.path / "deletes" / f"batch={rem_part}"
+    if leftover.exists():
+        leftover.rmtree()
+    remaining = remaining.persist()
+    n_remaining = remaining.count()
+    if n_remaining:
+        (remaining.withColumn("batch", F.lit(rem_part))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(str(store.path / "deletes")))
+    remaining.unpersist()
+
+    # manifest lineage for the replacement shards; mark originals dead
+    lineage = (spark.read.parquet(seg_dir)
+               .filter(F.col("shard").isin(sorted(new_ids.values())))
+               .groupBy("shard")
+               .agg(F.count("*").alias("rows"),
+                    (F.sum(F.length("doc_bytes"))
+                     + F.sum(F.length("tf_bytes"))
+                     + F.sum(F.length("dl_bytes"))).alias("bytes"),
+                    _digest_expr())
+               .collect())
+    build_id = uuid.uuid4().hex
+    manifest = store.manifest()
+    found = set()
+    for r in lineage:
+        found.add(int(r["shard"]))
+        manifest["shards"][str(int(r["shard"]))] = {
+            "status": "done", "rows": int(r["rows"]),
+            "bytes": int(r["bytes"] or 0), "digest": int(r["digest"]),
+            "build_id": build_id}
+    for k in new_ids.values():
+        if k not in found:  # fully-deleted shard: empty replacement
+            manifest["shards"][str(k)] = {
+                "status": "done", "rows": 0, "bytes": 0, "digest": 0,
+                "build_id": build_id}
+    for old in cand:
+        if str(old) in manifest["shards"]:
+            manifest["shards"][str(old)]["status"] = "dead"
+    store._write_manifest(manifest)
+
+    total_dl = meta.total_dl - dl_purged
+    # avgdl denominator: docs still physically present (tombstoned-but-
+    # unmerged docs keep counting — their dl is still in total_dl);
+    # only purged docs leave, exactly as they leave N
+    n_for_avg = meta.n_docs - meta.n_purged - n_purged_now
+    store._write_meta(IndexMeta(
+        **{**asdict(meta),
+           "build_id": build_id,
+           "n_shards": new_total,
+           "avgdl": (total_dl / n_for_avg) if (n_for_avg and total_dl)
+           else 1.0,
+           "total_dl": total_dl,
+           "stats_batches": meta.stats_batches + [delta_part],
+           "delete_batches": [rem_part] if n_remaining else [],
+           "n_deleted": n_remaining,
+           "dead_shards": sorted(set(meta.dead_shards) | set(cand)),
+           "n_purged": meta.n_purged + n_purged_now,
+           "source": f"{meta.source} + {source}",
+           "created_utc": time.time()}))
+    return store
+
+
+# --------------------------------------------------------------------
 # purge merge (phase 2) — applied by compact_index when tombstones exist
 # --------------------------------------------------------------------
 
@@ -267,6 +474,10 @@ def _purge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     if len(left) == 0:
         return empty
     new_shard = int(left["new_shard"].iat[0])
+    # new_start >= 0: renumber survivors densely from it (full purge
+    # merge). new_start == -1: KEEP original doc ids (incremental
+    # merge_shards — other shards aren't rewritten, so ids must stay
+    # stable across the index).
     new_start = int(left["new_start"].iat[0])
     deleted = np.sort(right["doc_id"].to_numpy().astype(np.int64)) \
         if len(right) else np.zeros(0, np.int64)
@@ -291,7 +502,9 @@ def _purge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     survivors = all_ids[live_mask]
     if len(survivors) == 0:
         return empty
-    new_ids_shard = new_start + np.arange(len(survivors), dtype=np.int64)
+    renumber = new_start >= 0
+    new_ids_shard = (new_start + np.arange(len(survivors), dtype=np.int64)
+                     ) if renumber else survivors
 
     out_frames = [
         _encode_docstats_pseudo(new_ids_shard, all_dls[live_mask],
@@ -339,7 +552,8 @@ def _purge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     pos = np.concatenate(pos_c) if has_pos else None
     plen = np.concatenate(pl_c) if has_pl else None
     # renumber (monotone within the shard -> sort order preserved)
-    doc = new_start + np.searchsorted(survivors, doc).astype(np.int64)
+    if renumber:
+        doc = new_start + np.searchsorted(survivors, doc).astype(np.int64)
     grp_change = np.empty(len(doc), dtype=bool)
     grp_change[0] = True
     grp_change[1:] = gid[1:] != gid[:-1]
@@ -378,21 +592,28 @@ def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
 
     # per-shard live counts (pseudo-row doc counts minus tombstones):
     # small frames, collected like compact_index's counts (n_shards
-    # rows; the greedy coalesce is inherently sequential)
-    counts = {int(r["shard"]): int(r["nd"]) for r in
-              store.segments(spark)
+    # rows; the greedy coalesce is inherently sequential). Shards are
+    # ordered by DOC RANGE, not id: incremental merge_shards leaves
+    # replacement shards at high ids covering mid-range docs, and the
+    # dense renumbering below requires range-ascending traversal.
+    counts, lows = {}, {}
+    for r in (store.segments(spark)
               .filter(F.col("term") == DOCSTATS_TERM)
-              .groupBy("shard").agg(F.sum("n_docs").alias("nd"))
-              .collect()}
+              .groupBy("shard").agg(F.sum("n_docs").alias("nd"),
+                                    F.min("first_doc").alias("lo"))
+              .collect()):
+        counts[int(r["shard"])] = int(r["nd"])
+        lows[int(r["shard"])] = int(r["lo"])
     delc = {int(r["shard"]): int(r["n"]) for r in
             dels.groupBy("shard").agg(F.count("*").alias("n")).collect()}
     live = {s: counts[s] - delc.get(s, 0) for s in counts}
     n_live = sum(live.values())
     per = docs_per_shard or max(1, -(-n_live // max(1, min(
         len(counts), 8))))
+    range_order = sorted(counts, key=lambda s: lows[s])
     mapping = []           # (old_shard, new_shard)
     new_id, acc = 0, 0
-    for old in sorted(counts):
+    for old in range_order:
         if acc >= per:
             new_id += 1
             acc = 0
@@ -403,7 +624,7 @@ def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
     new_start: dict[int, int] = {}
     old_off: dict[int, int] = {}
     running = 0
-    for old, nw in mapping:            # mapping is sorted by old shard
+    for old, nw in mapping:            # mapping is in range order
         new_start.setdefault(nw, running)
         old_off[old] = running
         running += live[old]
@@ -435,11 +656,18 @@ def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
 
     # docmap / docstats renumber: rank within OLD shard + old offset ==
     # the worker's new_start + rank-in-new-shard (old shards inside a
-    # new shard are consecutive ascending doc ranges)
+    # new shard are consecutive ascending doc ranges). Survivors come
+    # from the SEGMENTS' pseudo-rows, not the docstats table: after an
+    # incremental merge_shards the docstats/docmap tables still carry
+    # stale rows for merged-away docs (metadata GC happens here), and
+    # only the pseudo-rows are always consistent with the postings.
+    from .indexer import decode_docstats_rows
     ranges = store.shard_doc_ranges(spark)
     off_df = spark.createDataFrame(
         [(s, old_off[s]) for s in sorted(old_off)], "shard int, off long")
-    surv = (store.docstats(spark)
+    pseudo_stats = decode_docstats_rows(
+        store.segments(spark).filter(F.col("term") == DOCSTATS_TERM))
+    surv = (pseudo_stats
             .join(store.deletes(spark), "doc_id", "left_anti")
             .join(F.broadcast(ranges),
                   (F.col("doc_id") >= F.col("lo"))

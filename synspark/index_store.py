@@ -155,9 +155,19 @@ class IndexMeta:
     # n_docs stays the doc-ID-SPACE size (reader gating, append
     # routing, and — exactly Lucene's pre-merge behavior — the N in
     # BM25: deleted docs keep counting in docFreq/maxDoc until a merge
-    # purges them). Live docs = n_docs - n_deleted.
+    # purges them). Live docs = n_docs - n_deleted - n_purged.
     delete_batches: list = field(default_factory=list)
     n_deleted: int = 0
+    # incremental merge (deletes.merge_shards, the Lucene per-segment
+    # merge): shards rewritten copy-on-write land at NEW shard ids and
+    # the replaced originals are listed here — readers skip them, disk
+    # space is reclaimed at the next compact. Doc ids stay stable.
+    dead_shards: list = field(default_factory=list)
+    # docs physically removed by incremental merges: they left the
+    # posting lists AND the stats (df/total_dl adjusted), so scoring N
+    # = n_docs - n_purged (exactly Lucene's maxDoc shrinking as merges
+    # apply liveDocs, while unmerged tombstones keep counting).
+    n_purged: int = 0
 
 
 def _digest_expr():
@@ -267,8 +277,16 @@ class IndexStore:
     # crashed append until its retry commits — cheap O(1) predicates
     # that partition-prune, the parquet-native analogue of a snapshot.
     def segments(self, spark: SparkSession) -> DataFrame:
+        meta = self.meta()
         df = spark.read.parquet(str(self.path / "segments"))
-        return df.filter(F.col("shard") < self.meta().n_shards)
+        df = df.filter(F.col("shard") < meta.n_shards)
+        if meta.dead_shards:
+            # shards replaced by an incremental merge: their rewritten
+            # successors are live at higher ids; the originals stay on
+            # disk (in-flight readers planned on the old meta) until
+            # compact reclaims them
+            df = df.filter(~F.col("shard").isin(meta.dead_shards))
+        return df
 
     def docstats(self, spark: SparkSession) -> DataFrame:
         """(doc_id, dl). Batch-partitioned on disk (one partition per
@@ -952,6 +970,9 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
     # stats partition, exact totals, and the idempotence record ----
     total_dl = meta.total_dl + (dl_sum[0] if dl_sum else 0)
     n_docs = old_n + n_new
+    # avgdl denominator excludes docs physically purged by incremental
+    # merges (their dl already left total_dl) — matches scoring N
+    n_avg = n_docs - meta.n_purged
     batches = dict(meta.batches)
     # keyed by the idempotence TAG (replay check); partition recorded
     batches[batch_tag or batch_part] = {
@@ -988,7 +1009,7 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
         stats_batches = [fold_part]
     store._write_meta(IndexMeta(
         build_id=build_id, n_docs=n_docs,
-        avgdl=(total_dl / n_docs) if (n_docs and total_dl) else 1.0,
+        avgdl=(total_dl / n_avg) if (n_avg and total_dl) else 1.0,
         n_shards=new_total_shards, k1=meta.k1, b=meta.b, cfg=meta.cfg,
         dict_fingerprint=new_fp if allow_dict_change
         else meta.dict_fingerprint,
@@ -1001,7 +1022,8 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
         uses_token_filter=meta.uses_token_filter,
         delete_batches=meta.delete_batches + ([del_part] if del_part
                                               else []),
-        n_deleted=meta.n_deleted + n_del_new))
+        n_deleted=meta.n_deleted + n_del_new,
+        dead_shards=meta.dead_shards, n_purged=meta.n_purged))
     # vacuum: once the fold's meta is committed, the folded-away delta
     # partitions are unreferenced garbage — reclaim them here instead
     # of waiting for compact_index, so the termstats dir count stays
@@ -1047,15 +1069,23 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
     per = docs_per_shard or max(1, (meta.n_docs + DEFAULT_SHARDS - 1)
                                 // DEFAULT_SHARDS)
     # per-shard doc counts from the docstats pseudo-rows (tiny: one row
-    # group per shard, never the vocabulary)
-    counts = {int(r["shard"]): int(r["nd"]) for r in
-              store.segments(spark)
+    # group per shard, never the vocabulary). Coalescing follows DOC
+    # RANGE order, not shard-id order: after an incremental
+    # merge_shards the replacement shards live at high ids but cover
+    # mid-range docs, and grouping by id would hand one worker
+    # non-adjacent ranges (sparse WAND windows, overlapping range
+    # routing).
+    counts, lows = {}, {}
+    for r in (store.segments(spark)
               .filter(F.col("term") == DOCSTATS_TERM)
-              .groupBy("shard").agg(F.sum("n_docs").alias("nd"))
-              .collect()}
+              .groupBy("shard").agg(F.sum("n_docs").alias("nd"),
+                                    F.min("first_doc").alias("lo"))
+              .collect()):
+        counts[int(r["shard"])] = int(r["nd"])
+        lows[int(r["shard"])] = int(r["lo"])
     mapping = []  # (old_shard, new_shard)
     new_id, acc = 0, 0
-    for old in sorted(counts):
+    for old in sorted(counts, key=lambda s: lows[s]):
         if acc >= per:
             new_id += 1
             acc = 0
@@ -1112,7 +1142,10 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
         text_col=meta.text_col, total_dl=meta.total_dl,
         stats_batches=[INITIAL_BATCH], batches=dict(meta.batches),
         format=FORMAT_VERSION,
-        uses_token_filter=meta.uses_token_filter))
+        uses_token_filter=meta.uses_token_filter,
+        # dead shards are not copied (segments() filters them); purged
+        # ids stay gone from the id space accounting
+        n_purged=meta.n_purged))
     return dst
 
 

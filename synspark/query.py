@@ -125,9 +125,13 @@ def plan_query(spark: SparkSession, store: IndexStore, text: str,
         groups = analyze_query(text, cfg, syn)
     terms = sorted({t for g in groups for t in g})
     dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
-    idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
+    # scoring N = maxDoc minus docs physically removed by incremental
+    # merges (Lucene: merged-away docs leave docFreq/maxDoc, unmerged
+    # tombstones keep counting until their shard merges)
+    n_eff = meta.n_docs - meta.n_purged
+    idfs = [idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
             for g in groups]
-    return QueryPlan(groups=groups, idfs=idfs, n_docs=meta.n_docs,
+    return QueryPlan(groups=groups, idfs=idfs, n_docs=n_eff,
                      avgdl=meta.avgdl, k1=meta.k1, b=meta.b)
 
 
