@@ -511,6 +511,37 @@ def q_fts_upsert_count(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="and")
 
 
+def q_fts_multifield_topk(spark, sf_dir):
+    """ES multi_match (most_fields): two per-field indexes over the
+    same corpus — content = full text (boost 1.0), title = first 60
+    chars (boost 2.0) — each field scoring with its OWN df/N/avgdl
+    (per-field norms); a doc matches if at least one field's AND query
+    matches and scores the boost-weighted sum over matching fields.
+    Field indexes share doc ids by construction (same corpus, same
+    deterministic assignment)."""
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.query import search_fields
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|mf-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    cfg = TokenizerConfig(n=2, expand=False, ignore_case=True)
+    corpus = (_docs(spark, sf_dir)
+              .withColumnRenamed("text", "content")
+              .withColumn("title", F.substring("content", 1, 60)))
+    s_c = build_index(spark, corpus, str(out / "content"), cfg=cfg,
+                      syn=None, n_shards=4, text_col="content",
+                      source=f"{sf_dir}:mf-content", resume=True)
+    s_t = build_index(spark, corpus, str(out / "title"), cfg=cfg,
+                      syn=None, n_shards=4, text_col="title",
+                      source=f"{sf_dir}:mf-title", resume=True)
+    return _rounded_topk(
+        search_fields(spark, None,
+                      {"content": (s_c, 1.0), "title": (s_t, 2.0)},
+                      BM25_QUERY, k=200, mode="and"), 10)
+
+
 def q_fts_merge_topk(spark, sf_dir):
     """BM25 top-10 after an INCREMENTAL merge (deletes.merge_shards,
     the Lucene per-segment merge): docs with ``doc_id % 5 == 1`` are
@@ -805,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_match_ids": q_fts_match_ids,
         "fts_page2_topk": q_fts_page2_topk,
         "fts_merge_topk": q_fts_merge_topk,
+        "fts_multifield_topk": q_fts_multifield_topk,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -837,24 +869,27 @@ _DELIMS = "[ \t\n\r　]+"
 # tokenizer at n=2, expand=false, no dict (short blocks emit whole-span)
 
 
-def _grams_cte(pred: str = "", table: str = "documents") -> str:
+def _grams_cte(pred: str = "", table: str = "documents",
+               sfx: str = "", lead: str = "WITH") -> str:
     """The bigram CTE over ``table`` (default ``documents``; the
     delete/purge/upsert oracles pass a derived live-docs subquery) with
     an optional row predicate (e.g. the streaming row's doc_id < 300
-    sub-corpus)."""
+    sub-corpus). ``sfx`` renames every CTE (multi-field oracles chain
+    two instances); ``lead`` is "WITH" for the first chain and "," for
+    a continuation."""
     return f"""
-WITH blocks AS (
+{lead} blocks{sfx} AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
   FROM {table} {pred}
-), nb AS (
-  SELECT doc_id, blk FROM blocks WHERE length(blk) > 0
-), gi AS (
+), nb{sfx} AS (
+  SELECT doc_id, blk FROM blocks{sfx} WHERE length(blk) > 0
+), gi{sfx} AS (
   SELECT doc_id, blk, unnest(generate_series(1, length(blk)-1)) AS i
-  FROM nb WHERE length(blk) >= 2
-), grams AS (
-  SELECT doc_id, blk AS term FROM nb WHERE length(blk) < 2
+  FROM nb{sfx} WHERE length(blk) >= 2
+), grams{sfx} AS (
+  SELECT doc_id, blk AS term FROM nb{sfx} WHERE length(blk) < 2
   UNION ALL
-  SELECT doc_id, substr(blk, i, 2) AS term FROM gi
+  SELECT doc_id, substr(blk, i, 2) AS term FROM gi{sfx}
 )
 """
 
@@ -899,36 +934,39 @@ def _qterm_values() -> str:
                      for t in sorted(set(_query_bigrams(BM25_QUERY))))
 
 
-def _bm25_prefix(table: str = "documents") -> str:
-    """Shared CTE chain through ``scored`` (doc_id, score, ng) for the
-    benchmark query's bigrams — reused by every BM25-derived oracle.
-    ``table`` swaps in a derived corpus (the purge oracle's renumbered
-    live docs)."""
+def _bm25_prefix(table: str = "documents", sfx: str = "",
+                 lead: str = "WITH") -> str:
+    """Shared CTE chain through ``scored{sfx}`` (doc_id, score, ng)
+    for the benchmark query's bigrams — reused by every BM25-derived
+    oracle. ``table`` swaps in a derived corpus (the purge oracle's
+    renumbered live docs); ``sfx``/``lead`` allow chaining two
+    instances (multi-field)."""
     terms = sorted(set(_query_bigrams(BM25_QUERY)))
     vals = ", ".join(f"('{t}')" for t in terms)
-    return _grams_cte(table=table) + f"""
-, qterms AS (SELECT * FROM (VALUES {vals}) AS q(term))
-, tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
-), dl AS (
-  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
-), stats AS (
+    return _grams_cte(table=table, sfx=sfx, lead=lead) + f"""
+, qterms{sfx} AS (SELECT * FROM (VALUES {vals}) AS q(term))
+, tf{sfx} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams{sfx}
+  GROUP BY 1, 2
+), dl{sfx} AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams{sfx} GROUP BY 1
+), stats{sfx} AS (
   SELECT (SELECT count(*) FROM {table})::DOUBLE AS n,
-         (SELECT avg(dl) FROM dl) AS avgdl
-), dfs AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf
-  WHERE term IN (SELECT term FROM qterms) GROUP BY term
-), scored AS (
+         (SELECT avg(dl) FROM dl{sfx}) AS avgdl
+), dfs{sfx} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf{sfx}
+  WHERE term IN (SELECT term FROM qterms{sfx}) GROUP BY term
+), scored{sfx} AS (
   SELECT t.doc_id,
          sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
              t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
            AS score,
          count(*) AS ng
-  FROM tf t
-  JOIN dfs d USING (term)
-  JOIN dl l USING (doc_id)
-  CROSS JOIN stats s
-  WHERE t.term IN (SELECT term FROM qterms)
+  FROM tf{sfx} t
+  JOIN dfs{sfx} d USING (term)
+  JOIN dl{sfx} l USING (doc_id)
+  CROSS JOIN stats{sfx} s
+  WHERE t.term IN (SELECT term FROM qterms{sfx})
   GROUP BY t.doc_id
 )
 """
@@ -1118,6 +1156,22 @@ WHERE regexp_matches(text,
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        # multi_match most_fields: content (boost 1) + title = first
+        # 60 chars (boost 2), per-field stats, bool-should across
+        # fields, boost-weighted score sum
+        "fts_multifield_topk": _bm25_prefix(sfx="_c")
+        + _bm25_prefix(table="""
+(SELECT doc_id, substr(text, 1, 60) AS text FROM documents)""",
+                       sfx="_t", lead=",") + f"""
+SELECT coalesce(c.doc_id, t.doc_id) AS doc_id,
+       round(coalesce(c.score, 0) * 1.0
+             + coalesce(t.score, 0) * 2.0, 6) AS score_r
+FROM (SELECT doc_id, score FROM scored_c WHERE ng = {_n_groups()}) c
+FULL OUTER JOIN
+     (SELECT doc_id, score FROM scored_t WHERE ng = {_n_groups()}) t
+  ON c.doc_id = t.doc_id
+ORDER BY score_r DESC, doc_id LIMIT 10
 """,
         # incremental merge with every tombstone applied == a live-
         # docs-only index with ORIGINAL ids (no renumbering)

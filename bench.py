@@ -129,6 +129,22 @@ def main() -> None:
     lat("q_bm25_batch16", lambda: search_batch(
         spark, store_docs, batch_texts, k=10, mode="and").collect())
 
+    # -- 3b. liveDocs overhead (round 4): same WAND query with 1% of
+    # docs tombstoned — measures the cogroup tombstone-routing path
+    # (broadcast range join + per-shard numpy mask) vs the identical
+    # untouched plan above ------------------------------------------
+    import shutil as _sh
+
+    from synspark.deletes import delete_docs
+    _sh.copytree(f"{tmp}/idx_docs", f"{tmp}/idx_docs_del")
+    from synspark.index_store import IndexStore
+    store_del = IndexStore(f"{tmp}/idx_docs_del")
+    delete_docs(spark, store_del,
+                doc_ids=docs.filter(F.col("doc_id") % 100 == 7)
+                .select("doc_id"))
+    lat("q_bm25_wand_deleted", lambda: search(
+        spark, store_del, "data sort merge", k=10, mode="and").collect())
+
     # -- 4. datapipe ops ----------------------------------------------
     lat("dp_minhash_lsh",
         lambda: entrymod.q_dp_minhash_lsh(spark, SF_DIR).count())

@@ -103,6 +103,11 @@ def main(argv=None):
     ap_cmp.add_argument("--output", required=True)
     ap_cmp.add_argument("--docs-per-shard", type=int, default=None)
 
+    stt = sub.add_parser("stats", help="index stats (_cat/indices "
+                         "style): docs/deleted/purged, shard layout, "
+                         "segment bytes — no Spark job")
+    stt.add_argument("--index", required=True)
+
     mg = sub.add_parser("merge", help="incremental merge: purge "
                         "tombstones from shards whose deleted "
                         "fraction crosses the threshold (Lucene "
@@ -144,6 +149,10 @@ def main(argv=None):
 
     if args.cmd == "analyze":  # no Spark needed (E12)
         print(tokenize_to_string(args.text, cfg, _load_syn(args)))
+        return 0
+    if args.cmd == "stats":  # meta + manifest only — no Spark needed
+        from .index_store import IndexStore
+        print(json.dumps(IndexStore(args.index).stats()))
         return 0
     if args.cmd == "delete" and \
             sum(map(bool, (args.ids, args.keys, args.query))) != 1:

@@ -359,6 +359,39 @@ class IndexStore:
                           .isin(self._committed_data_parts(meta)))
                 .filter(F.col("doc_id") < meta.n_docs))
 
+    def stats(self) -> dict:
+        """The ES ``_stats``/``_cat/indices`` surface: doc accounting,
+        shard layout, and on-disk lineage totals — all from meta + the
+        manifest, no Spark job."""
+        meta = self.meta()
+        man = self.manifest()
+        live_shards = [int(k) for k, v in man["shards"].items()
+                       if v.get("status") == "done"
+                       and int(k) < meta.n_shards
+                       and int(k) not in meta.dead_shards]
+        return {
+            "n_docs": meta.n_docs,
+            "n_live": meta.n_docs - meta.n_deleted - meta.n_purged,
+            "n_deleted": meta.n_deleted,     # tombstoned, pre-merge
+            "n_purged": meta.n_purged,       # removed by partial merges
+            "n_shards": meta.n_shards,
+            "n_live_shards": len(live_shards),
+            "dead_shards": list(meta.dead_shards),
+            "avgdl": meta.avgdl,
+            "total_dl": meta.total_dl,
+            "segment_rows": sum(v.get("rows", 0)
+                                for k, v in man["shards"].items()
+                                if int(k) in set(live_shards)),
+            "segment_bytes": sum(v.get("bytes", 0)
+                                 for k, v in man["shards"].items()
+                                 if int(k) in set(live_shards)),
+            "stats_batches": len(meta.stats_batches),
+            "delete_batches": len(meta.delete_batches),
+            "format": meta.format,
+            "build_id": meta.build_id,
+            "source": meta.source,
+        }
+
     def term_dfs(self, spark: SparkSession, terms: list[str],
                  build_id: str | None = None) -> dict:
         """{term: df} for ``terms`` (0 for absent terms), served from a

@@ -729,10 +729,16 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
     the sum of gscore over rows is exactly the doc's search score
     (same ordered accumulation)."""
     plan = plan_query(spark, store, text, syn, cfg)
+    empty_schema = ("gid int, terms string, tf long, dl long, "
+                    "idf double, gscore double")
     if not plan.groups:
-        return spark.createDataFrame(
-            [], "gid int, terms string, tf long, dl long, idf double, "
-                "gscore double")
+        return spark.createDataFrame([], empty_schema)
+    # ES _explain on a deleted doc reports not-found (liveDocs checked
+    # before scoring); a purged doc falls out naturally (no postings)
+    if store.meta().delete_batches and \
+            store.deletes(spark).filter(F.col("doc_id") == doc_id) \
+            .limit(1).count():
+        return spark.createDataFrame([], empty_schema)
     # doc filter pushed to block metadata: ~one block per term decoded,
     # not the terms' full posting lists (df-linear — round-3 finding)
     p = decoded_postings(spark, store, plan.terms, doc_ids=[doc_id])
@@ -1007,3 +1013,83 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
     return (blocks.groupBy("shard")
             .cogroup(dels.groupBy("shard"))
             .applyInPandas(run2, schema="doc_id long"))
+
+
+def search_fields(spark: SparkSession, store,
+                  fields: dict, text: str, k: int = 10,
+                  mode: str = "and",
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None) -> DataFrame:
+    """ES ``multi_match`` (most_fields) over per-field indexes:
+    ``fields`` maps field name -> (IndexStore, boost). The reference's
+    msg1/msg2 deployment indexes each field separately (one analyzer
+    chain per field — our ``build_index(text_col=...)`` shape); ES
+    then scores a bool-should of per-field match queries:
+
+    - a doc matches if AT LEAST ONE field's query matches (each field
+      applies ``mode`` with its own analyzer/stats);
+    - score = Σ over matching fields of boost_f × BM25_f(doc) — each
+      field uses ITS OWN df/N/avgdl (per-field norms, exactly ES).
+
+    Requires the field indexes to share doc ids: built from the same
+    corpus (native ids, or the deterministic key-derived assignment —
+    identical either way). ``store`` is accepted positionally for API
+    symmetry and may be None; ids/ordering come from the field stores.
+
+    Execution is the declarative exact path (the per-field analogue of
+    ``score_naive``): per-field decoded postings restricted to the
+    query's terms, one hash aggregation per (doc, field, group), the
+    per-field boolean gate, an ordered per-field fold, a boost-weighted
+    sum across fields, then a global top-k — all Catalyst-planned, no
+    driver-side state. Single-field queries should keep using
+    ``search`` (the WAND fast path)."""
+    del store
+    per_field = []
+    for fi, (fname, (fstore, boost)) in enumerate(sorted(fields.items())):
+        meta = fstore.meta()
+        fcfg = cfg or TokenizerConfig(**meta.cfg)
+        plan = plan_query(spark, fstore, text, syn, fcfg)
+        if not plan.groups:
+            continue
+        p = decoded_postings(spark, fstore, plan.terms)
+        gm = [(t, gi, plan.idfs[gi]) for gi, g in enumerate(plan.groups)
+              for t in g]
+        group_map = spark.createDataFrame(
+            gm, "term string, gid int, gidf double")
+        k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+        per_group = (
+            p.join(F.broadcast(group_map), "term")
+            .groupBy("doc_id", "gid")
+            .agg(F.sum("tf").alias("tfg"), F.first("dl").alias("dl"),
+                 F.first("gidf").alias("gidf"))
+            .withColumn("gscore",
+                        F.col("gidf") * (F.col("tfg") /
+                        (F.col("tfg") + F.lit(k1) *
+                         (F.lit(1 - b) + F.lit(b) * F.col("dl")
+                          / F.lit(avgdl))))))
+        agg = per_group.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("gid", "gscore"))),
+                F.lit(0.0), lambda acc, x: acc + x["gscore"],
+            ).alias("fscore"),
+            F.count("*").alias("ngroups"))
+        if mode == "and":
+            agg = agg.filter(F.col("ngroups") == len(plan.groups))
+        if meta.delete_batches:
+            agg = agg.join(fstore.deletes(spark), "doc_id", "left_anti")
+        per_field.append(agg.select(
+            "doc_id", (F.col("fscore") * F.lit(float(boost)))
+            .alias("fscore"),
+            F.lit(fi).alias("_f")))
+    if not per_field:
+        return spark.createDataFrame([], "doc_id long, score double")
+    un = per_field[0]
+    for f in per_field[1:]:
+        un = un.unionByName(f)
+    # ordered fold over field index — bit-stable cross-field sum
+    out = un.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_f", "fscore"))),
+            F.lit(0.0), lambda acc, x: acc + x["fscore"],
+        ).alias("score"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -167,3 +167,85 @@ def test_append_then_compact_after_merge(spark, merged):
     b = [(r.doc_id, r.score)
          for r in score_naive(spark, dst, "data sort", k=20).collect()]
     assert a == b
+
+
+def test_stats_surface_and_explain_livedocs(spark, merged, capsys):
+    """store.stats() (the _cat/indices surface) reflects merged state
+    without a Spark job; explain_score on a tombstoned doc reports
+    not-found (empty — ES checks liveDocs before scoring) while a live
+    doc still explains to its exact search score."""
+    from synspark.cli import main as cli_main
+    from synspark.deletes import delete_docs
+    from synspark.query import explain_score
+
+    store, _ = merged
+    st = store.stats()
+    assert st["n_docs"] == 210 and st["n_purged"] == 25
+    assert st["dead_shards"] == [1]
+    assert st["n_live"] == 210 - 25 - st["n_deleted"]
+    assert st["segment_rows"] > 0 and st["segment_bytes"] > 0
+    # CLI mirror, no Spark session required
+    assert cli_main(["stats", "--index", str(store.path)]) == 0
+    assert '"n_purged": 25' in capsys.readouterr().out
+
+    # 160 was tombstoned (unmerged shard): _explain says not-found
+    assert explain_score(spark, store, "data sort", 160).count() == 0
+    # a purged doc (merged away) also explains to nothing
+    assert explain_score(spark, store, "data sort", 55).count() == 0
+    # a live doc's explain sums to its search score
+    live = search(spark, store, "data sort", k=1).collect()[0]
+    rows = explain_score(spark, store, "data sort",
+                         int(live.doc_id)).collect()
+    assert abs(sum(r.gscore for r in rows) - live.score) < 1e-15
+
+
+def test_search_fields_multi_match(spark, tmp_path_factory):
+    """ES multi_match (most_fields): score == Σ boost_f × per-field
+    BM25 with per-field stats; bool-should across fields (a doc
+    matching only the title still ranks); rank order (score DESC,
+    doc_id ASC)."""
+    from synspark.query import search_fields
+
+    root = tmp_path_factory.mktemp("mf")
+    rows = [(f"r{i:03d}", "f", "c", "t",
+             f"body text data sort {i} " + ("data " * (i % 4)),
+             ("sort title" if i % 3 == 0 else f"plain {i}"))
+            for i in range(120)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, title string")
+    s_c = build_index(spark, corpus, str(root / "c"), cfg=CFG,
+                      n_shards=2, text_col="content", resume=False)
+    s_t = build_index(spark, corpus, str(root / "t"), cfg=CFG,
+                      n_shards=2, text_col="title", resume=False)
+    got = [(r.doc_id, r.score) for r in
+           search_fields(spark, None,
+                         {"content": (s_c, 1.0), "title": (s_t, 2.0)},
+                         "sort", k=15, mode="and").collect()]
+    nc = {r.doc_id: r.score
+          for r in score_naive(spark, s_c, "sort", k=1000).collect()}
+    nt = {r.doc_id: r.score
+          for r in score_naive(spark, s_t, "sort", k=1000).collect()}
+    exp = {d: (0.0 + nc.get(d, 0.0) * 1.0) + nt.get(d, 0.0) * 2.0
+           for d in set(nc) | set(nt)}
+    expected = sorted(exp.items(), key=lambda x: (-x[1], x[0]))[:15]
+    assert got == expected
+    # bool-should: make a doc match ONLY via title
+    only_title = [d for d in nt if d not in nc]
+    if only_title:
+        assert set(only_title) <= set(exp)
+    # deletes respected per field
+    delete_docs(spark, s_c, doc_ids=[got[0][0]])
+    got2 = {r.doc_id for r in
+            search_fields(spark, None,
+                          {"content": (s_c, 1.0), "title": (s_t, 2.0)},
+                          "sort", k=15, mode="and").collect()}
+    # the doc may still match via the title index (not deleted there);
+    # its content contribution must be gone
+    res2 = [(r.doc_id, r.score) for r in
+            search_fields(spark, None,
+                          {"content": (s_c, 1.0), "title": (s_t, 2.0)},
+                          "sort", k=200, mode="and").collect()]
+    m2 = dict(res2)
+    if got[0][0] in m2:
+        assert abs(m2[got[0][0]] - nt.get(got[0][0], 0.0) * 2.0) < 1e-12
