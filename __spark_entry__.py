@@ -511,6 +511,18 @@ def q_fts_upsert_count(spark, sf_dir):
     return count_matches(spark, store, BM25_QUERY, mode="and")
 
 
+def q_fts_index_stats(spark, sf_dir):
+    """Global index statistics (the ``_stats`` surface) pinned against
+    first principles: N, live docs, exact integer Σ dl, and avgdl —
+    the quantities every BM25 score depends on. One row."""
+    store = _index(spark, sf_dir)
+    st = store.stats()
+    return spark.createDataFrame(
+        [(int(st["n_docs"]), int(st["n_live"]), int(st["total_dl"]),
+          float(round(st["avgdl"], 6)))],
+        "n_docs long, n_live long, total_dl long, avgdl_r double")
+
+
 def q_fts_multifield_topk(spark, sf_dir):
     """ES multi_match (most_fields): two per-field indexes over the
     same corpus — content = full text (boost 1.0), title = first 60
@@ -537,7 +549,7 @@ def q_fts_multifield_topk(spark, sf_dir):
                       syn=None, n_shards=4, text_col="title",
                       source=f"{sf_dir}:mf-title", resume=True)
     return _rounded_topk(
-        search_fields(spark, None,
+        search_fields(spark,
                       {"content": (s_c, 1.0), "title": (s_t, 2.0)},
                       BM25_QUERY, k=200, mode="and"), 10)
 
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_page2_topk": q_fts_page2_topk,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
+        "fts_index_stats": q_fts_index_stats,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
         "dp_subword_counts": q_dp_subword_counts,
@@ -1156,6 +1169,16 @@ WHERE regexp_matches(text,
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        # global stats every BM25 score depends on, from first
+        # principles over the raw corpus
+        "fts_index_stats": _GRAMS_CTE + """
+, dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM grams GROUP BY 1)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM documents)::BIGINT AS n_live,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_dl,
+       round((SELECT sum(dl) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl_r
 """,
         # multi_match most_fields: content (boost 1) + title = first
         # 60 chars (boost 2), per-field stats, bool-should across

@@ -133,6 +133,13 @@ def delete_docs(spark: SparkSession, store: IndexStore,
       count deleted docs — Lucene keeps stats until merge);
     - ``compact_index`` later purges them physically and recomputes
       stats (phase 2, ``purge_merge``).
+
+    Note on ``keys`` after an incremental merge: the docmap retains
+    rows for merged-away docs until the next full compact (their
+    stored-fields analogue also survives Lucene's partial merges), so
+    a key lookup may tombstone an id whose postings are already gone.
+    Such tombstones are inert (they mask nothing) and are reconciled
+    — dropped without counting — by the next merge of their range.
     """
     store.acquire_writer_lock(owner=source)
     try:

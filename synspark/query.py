@@ -1015,8 +1015,8 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
             .applyInPandas(run2, schema="doc_id long"))
 
 
-def search_fields(spark: SparkSession, store,
-                  fields: dict, text: str, k: int = 10,
+def search_fields(spark: SparkSession, fields: dict, text: str,
+                  k: int = 10,
                   mode: str = "and",
                   syn: SynonymDict | None = None,
                   cfg: TokenizerConfig | None = None) -> DataFrame:
@@ -1033,8 +1033,7 @@ def search_fields(spark: SparkSession, store,
 
     Requires the field indexes to share doc ids: built from the same
     corpus (native ids, or the deterministic key-derived assignment —
-    identical either way). ``store`` is accepted positionally for API
-    symmetry and may be None; ids/ordering come from the field stores.
+    identical either way).
 
     Execution is the declarative exact path (the per-field analogue of
     ``score_naive``): per-field decoded postings restricted to the
@@ -1043,7 +1042,6 @@ def search_fields(spark: SparkSession, store,
     sum across fields, then a global top-k — all Catalyst-planned, no
     driver-side state. Single-field queries should keep using
     ``search`` (the WAND fast path)."""
-    del store
     per_field = []
     for fi, (fname, (fstore, boost)) in enumerate(sorted(fields.items())):
         meta = fstore.meta()

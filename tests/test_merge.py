@@ -219,7 +219,7 @@ def test_search_fields_multi_match(spark, tmp_path_factory):
     s_t = build_index(spark, corpus, str(root / "t"), cfg=CFG,
                       n_shards=2, text_col="title", resume=False)
     got = [(r.doc_id, r.score) for r in
-           search_fields(spark, None,
+           search_fields(spark,
                          {"content": (s_c, 1.0), "title": (s_t, 2.0)},
                          "sort", k=15, mode="and").collect()]
     nc = {r.doc_id: r.score
@@ -237,13 +237,13 @@ def test_search_fields_multi_match(spark, tmp_path_factory):
     # deletes respected per field
     delete_docs(spark, s_c, doc_ids=[got[0][0]])
     got2 = {r.doc_id for r in
-            search_fields(spark, None,
+            search_fields(spark,
                           {"content": (s_c, 1.0), "title": (s_t, 2.0)},
                           "sort", k=15, mode="and").collect()}
     # the doc may still match via the title index (not deleted there);
     # its content contribution must be gone
     res2 = [(r.doc_id, r.score) for r in
-            search_fields(spark, None,
+            search_fields(spark,
                           {"content": (s_c, 1.0), "title": (s_t, 2.0)},
                           "sort", k=200, mode="and").collect()]
     m2 = dict(res2)
