@@ -272,6 +272,14 @@ def merge_shards(spark: SparkSession, store: IndexStore,
     merged-away docs until ``compact_index`` (their stored-fields
     analogue also survives until Lucene's full merge); every reader
     that matters sources doc existence from the postings.
+
+    Policy guidance (measured at 10M docs, BENCH/BASELINE.md): live
+    tombstones cost queries a broadcast range join + cogroup per
+    query — negligible at tens of thousands, material at millions
+    (unlike Lucene's in-memory liveDocs bitmaps, parquet tombstones
+    pay routing until merged). Merge when a shard's deleted fraction
+    crosses ~10%, or when total tombstones reach the order of one
+    shard's doc count.
     """
     store.acquire_writer_lock(owner=source)
     try:

@@ -324,13 +324,16 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     maxn = mtf / (mtf + plan.k1 * (1 - plan.b + plan.b * mdl / plan.avgdl))
     lo = int(first.min())
     hi = int(last.max())
-    # Mode-dependent window granularity, measured on the 10M-doc index
-    # (BENCH/BASELINE.md round 4): AND prunes via the all-groups-alive
-    # dead-window test, which gets sharper as windows shrink (2.9s ->
-    # 1.9s at w=512); OR over saturating common terms has flat
-    # (max_tf, min_dl) bounds that prune nothing, so finer windows only
-    # add bound-sort/decode-call overhead (3.9s -> 5.1s at w=512).
-    win = WAND_WINDOW if mode == "or" else max(WAND_WINDOW // 4, 256)
+    # One window size for every mode, measured BOTH ways on the
+    # 10M-doc index (BENCH/BASELINE.md round 4): a first probe on a
+    # vocabulary-mismatched query (empty AND intersection) suggested
+    # finer AND windows — but that only sharpened the dead-window skip
+    # on a query where every window is dead. Re-probed on real-hit
+    # queries (410k matching docs), finer windows are strictly worse
+    # in both modes (6.0s vs 3.5s for AND at w/4: per-window decode
+    # call overhead, no extra pruning when every group is everywhere).
+    # SYNSPARK_WAND_WINDOW stays the operator knob.
+    win = WAND_WINDOW
     n_win = (hi - lo) // win + 1
 
     # Per-group, per-window upper bound. Within one term: max of its
