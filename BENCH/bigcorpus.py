@@ -69,18 +69,22 @@ def main() -> None:
             ts.append(time.time() - t0)
         out[name] = round(min(ts), 3)
 
+    # vocabulary-consistent queries (the synthetic corpus speaks code
+    # keywords; a documents-table phrase here is an empty intersection
+    # and only measures dead-window pruning — round-4 correction,
+    # BENCH/BASELINE.md). Hit counts at 10M: "return import" 410k AND.
     lat("q_bm25_wand", lambda: search(
-        spark, store, "data sort merge", k=10, mode="and").collect())
+        spark, store, "return import", k=10, mode="and").collect())
     lat("q_bm25_or", lambda: search(
-        spark, store, "data sort merge", k=10, mode="or").collect())
+        spark, store, "return import", k=10, mode="or").collect())
     lat("q_phrase_count", lambda: count_matches(
-        spark, store, "data sort", phrase=True).collect())
+        spark, store, "match case", phrase=True).collect())
     lat("q_synonym_wand", lambda: search(
-        spark, store, "data sort", k=10, mode="and", syn=syn).collect())
-    qs = ["data sort merge", "key order", "slow fast", "table value",
-          "batch window", "agg join", "data column", "row scan",
-          "part hash", "small filter", "spark order", "fast slow",
-          "value part", "scan slow", "merge row", "order data"]
+        spark, store, "かきいうえお", k=10, mode="and", syn=syn).collect())
+    qs = ["return import", "match case", "filter reduce", "class static",
+          "yield await", "async lambda", "public void", "try except",
+          "new delete", "struct union", "switch case", "val var",
+          "int str", "len map", "get set", "for val"]
     lat("q_batch16", lambda: search_batch(
         spark, store, qs, k=10, mode="and").collect())
     print(json.dumps(out), flush=True)
