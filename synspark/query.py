@@ -428,6 +428,21 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         # away from the doc_id ASC tie-break — rank-identity guarantee
         if bound <= 0 or (len(heap) >= k and bound < theta):
             continue  # pruned: window can't beat current top-k
+        if len(heap) >= k and bound == theta and lo + w * win > -heap[0][1]:
+            # tie-aware skip: the bound EQUALS the kth score, so this
+            # window can only produce ties — and under (score DESC,
+            # doc_id ASC) a tie enters only with a SMALLER id than the
+            # kth item's; every doc here starts past it. Exact and
+            # free. Scope note: fires only when the bound is ATTAINED
+            # (single-term groups whose block max coincides with the
+            # doc's tf/dl); for multi-alternative groups the bound
+            # over-estimates (subadditive Σ over alternatives — same
+            # as Lucene's SynonymQuery), so the identical-doc synonym
+            # flood still decodes its full posting volume: scoring 2M
+            # matching docs exactly IS the work there (measured 13s at
+            # 10M docs; argsort stability keeps equal-bound windows in
+            # ascending doc order either way).
+            continue
         d0, d1 = lo + w * win, lo + (w + 1) * win
         gdocs: list[np.ndarray] = []
         gscores: list[np.ndarray] = []
@@ -494,6 +509,19 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
             # page N reproduces exactly on page N+1.
             cs, cd = after
             keep &= (sc < cs) | ((sc == cs) & (u > cd))
+        if len(heap) >= k:
+            # vectorized admission pre-filter against the CURRENT kth
+            # item: a candidate not beating (score, -doc) of heap[0]
+            # now can never enter (theta only rises within the loop),
+            # so this is exactly the heappushpop admission test hoisted
+            # to numpy — the per-doc Python loop below then sees ~k
+            # survivors per window instead of every tying candidate
+            # (millions on the identical-doc synonym fixture). On that
+            # measured worst case decode volume dominates (13s at 10M
+            # docs is ~14M decoded postings), but the loop is no
+            # longer a second ceiling behind it.
+            th_s, th_nd = heap[0]
+            keep &= (sc > th_s) | ((sc == th_s) & (-u > th_nd))
         for d, s in zip(u[keep].tolist(), sc[keep].tolist()):
             item = (s, -d)
             if len(heap) < k:
