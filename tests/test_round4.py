@@ -483,3 +483,48 @@ def test_dedup_uses_reliable_checkpoint_when_configured(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.empty())
     assert sc.getCheckpointDir() is None
+
+
+def test_hadoopfs_delete_merge_lifecycle(spark, tmp_path_factory):
+    """Round-4 surfaces through the Hadoop FileSystem shim bound to a
+    file: URI — tombstone commit, query filtering, incremental merge
+    (copy-on-write + dead shards), and the full purge compact all run
+    on the FS abstraction the commit layer was ported to (the
+    round-3 #1 port must hold for the new write paths too)."""
+    from synspark.deletes import delete_docs, merge_shards
+    from synspark.fs import HadoopFS
+    from synspark.index_store import compact_index
+    from synspark.query import count_matches, search
+
+    local = tmp_path_factory.mktemp("hfs_del")
+    base = f"file:{local}/index"
+    fs = HadoopFS(spark, base)
+
+    st = build_index(spark, mk(spark, 0, 80), base, cfg=CFG,
+                     n_shards=4, source="hfs", fs=fs)
+    from synspark.query import match_ids
+    matched = {r.doc_id
+               for r in match_ids(spark, st, "alpha beta").collect()}
+    dead = set(range(0, 20)) | {70}
+    expect = len(matched - dead)
+
+    delete_docs(spark, st, doc_ids=sorted(dead))
+    assert isinstance(st.fs, HadoopFS)
+    assert st.meta().n_deleted == 21
+    assert count_matches(spark, st, "alpha beta").collect()[0].hits \
+        == expect
+    assert not (st.path / "writer.lock").exists()
+
+    merge_shards(spark, st, min_deleted_fraction=0.5)
+    m = st.meta()
+    assert m.n_purged == 20 and m.n_deleted == 1
+    assert m.dead_shards == [0] and m.n_shards == 5
+    assert count_matches(spark, st, "alpha beta").collect()[0].hits \
+        == expect
+    hits = search(spark, st, "alpha beta", k=10).collect()
+    assert hits and not {r.doc_id for r in hits} & dead
+
+    dst = compact_index(spark, st, f"file:{local}/purged")
+    assert dst.meta().n_docs == 80 - 21
+    assert count_matches(spark, dst, "alpha beta").collect()[0].hits \
+        == expect
