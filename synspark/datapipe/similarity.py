@@ -42,6 +42,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _probe_buckets(qbits: int, n_planes: int, probes: int) -> list[int]:
+    """First ``probes`` bucket ids in (Hamming distance to qbits ASC,
+    bucket id ASC) order, enumerated directly from the Hamming ball
+    (ascending flip-count combinations) — the same sequence sorting
+    all ``2^n_planes`` ids by that key would give, at O(probes ×
+    n_planes) driver cost instead of a million-to-billion-element
+    sort at the n_planes (20+) large corpora need."""
+    import itertools
+    out: list[int] = []
+    for r in range(n_planes + 1):
+        if len(out) >= probes:
+            break
+        ring = sorted(qbits ^ sum(1 << i for i in flips)
+                      for flips in
+                      itertools.combinations(range(n_planes), r))
+        out.extend(ring)
+    return out[:probes]
+
+
 def with_ivf_bucket(df: DataFrame, dim: int, n_planes: int = 6,
                     seed: int = 42, vec_col: str = "embedding") -> DataFrame:
     """Deterministic LSH bucket id = sign bits against fixed random
@@ -78,8 +97,7 @@ def ivf_topk_indexed(spark, path: str, query_vec: list[float], dim: int,
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = int(sum((1 << i) for i, d in
                     enumerate(planes @ np.asarray(query_vec)) if d >= 0))
-    probe_set = sorted(range(1 << n_planes),
-                       key=lambda b: (bin(b ^ qbits).count("1"), b))[:probes]
+    probe_set = _probe_buckets(qbits, n_planes, probes)
     df = spark.read.parquet(path).filter(F.col("ivf_bucket").isin(probe_set))
     return (df.select(F.col(id_col),
                       F.round(_cosine(F.col(vec_col).cast("array<double>"),
@@ -95,9 +113,7 @@ def ivf_topk(df_bucketed: DataFrame, query_vec: list[float], dim: int,
     planes = _hyperplanes(dim, n_planes, seed)
     qbits = int(sum((1 << i) for i, d in
                     enumerate(planes @ np.asarray(query_vec)) if d >= 0))
-    all_buckets = sorted(range(1 << n_planes),
-                         key=lambda b: (bin(b ^ qbits).count("1"), b))
-    probe_set = all_buckets[:probes]
+    probe_set = _probe_buckets(qbits, n_planes, probes)
     return (df_bucketed.filter(F.col("ivf_bucket").isin(probe_set))
             .select(F.col(id_col),
                     F.round(_cosine(F.col(vec_col).cast("array<double>"),

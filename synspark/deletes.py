@@ -103,6 +103,12 @@ def _write_tombstones(spark: SparkSession, store: IndexStore,
                      & (F.col("doc_id") < id_bound)).distinct()
     if meta.delete_batches:
         new = new.join(store.deletes(spark), "doc_id", "left_anti")
+    if meta.purged_batches:
+        # an id already purged by merge_shards is still resolvable via
+        # the stale docmap; tombstoning it again would be inert (masks
+        # nothing) yet would inflate n_deleted and skew purge-merge
+        # live accounting — drop it at entry
+        new = new.join(store.purged(spark), "doc_id", "left_anti")
     new = new.persist()
     n_new = new.count()
     if n_new == 0:
@@ -221,6 +227,18 @@ def upsert_docs(spark: SparkSession, store: IndexStore,
     # the update batch would be the OLD id and would collide after the
     # append's offset shift
     new_docs = new_docs.drop("doc_id")
+    # two rows sharing a key within ONE batch have no defined order in
+    # a DataFrame, so "last write wins" (ES _bulk / updateDocument) is
+    # unimplementable deterministically — both would stay live. Fail
+    # fast instead of silently diverging from the docstring's contract.
+    dup = (new_docs.groupBy(*key_cols).agg(F.count("*").alias("n"))
+           .filter(F.col("n") > 1).limit(1).collect())
+    if dup:
+        kv = ", ".join(f"{c}={dup[0][c]!r}" for c in key_cols)
+        raise ValueError(
+            f"upsert batch has multiple rows for key ({kv}); a "
+            "DataFrame has no row order, so last-write-wins is "
+            "undefined — dedupe new_docs to one row per key first")
     old_ids = (store.docmap(spark)
                .join(new_docs.select(*key_cols).distinct(), key_cols)
                .select("doc_id")
@@ -376,9 +394,27 @@ def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
         .filter(F.col("term") == DOCSTATS_TERM))
     purged = dels.filter(F.col("shard").isin(cand)).select("doc_id") \
         .join(old_stats, "doc_id")
+    purged = purged.persist()
     row = purged.agg(F.count("*").alias("n"),
                      F.sum("dl").alias("dl")).collect()[0]
     n_purged_now, dl_purged = int(row["n"]), int(row["dl"] or 0)
+
+    # record the ACTUALLY-applied tombstones (dels ∩ old postings) so
+    # later key-deletes/upserts resolving these ids off the stale
+    # docmap are rejected at _write_tombstones instead of becoming
+    # inert tombstones. Crash protocol as everywhere: deterministic
+    # name, cleared if a prior attempt left it, visible only through
+    # the meta commit below.
+    pg_part = f"pg-{delta_part}"
+    if n_purged_now:
+        leftover_pg = store.path / "purged" / f"batch={pg_part}"
+        if leftover_pg.exists():
+            leftover_pg.rmtree()
+        (purged.select("doc_id").withColumn("batch", F.lit(pg_part))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch").parquet(str(store.path / "purged")))
+    purged.unpersist()
 
     # remaining tombstones (unmerged shards) rewrite into one fresh
     # partition; the old delete partitions become unreferenced on commit
@@ -442,6 +478,8 @@ def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
            "n_deleted": n_remaining,
            "dead_shards": sorted(set(meta.dead_shards) | set(cand)),
            "n_purged": meta.n_purged + n_purged_now,
+           "purged_batches": meta.purged_batches
+           + ([pg_part] if n_purged_now else []),
            "source": f"{meta.source} + {source}",
            "created_utc": time.time()}))
     return store
@@ -605,27 +643,34 @@ def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
     if dels is None:
         raise ValueError("no tombstones to purge — use compact_index")
 
-    # per-shard live counts (pseudo-row doc counts minus tombstones):
-    # small frames, collected like compact_index's counts (n_shards
-    # rows; the greedy coalesce is inherently sequential). Shards are
-    # ordered by DOC RANGE, not id: incremental merge_shards leaves
-    # replacement shards at high ids covering mid-range docs, and the
-    # dense renumbering below requires range-ascending traversal.
-    counts, lows = {}, {}
-    for r in (store.segments(spark)
-              .filter(F.col("term") == DOCSTATS_TERM)
-              .groupBy("shard").agg(F.sum("n_docs").alias("nd"),
-                                    F.min("first_doc").alias("lo"))
-              .collect()):
-        counts[int(r["shard"])] = int(r["nd"])
-        lows[int(r["shard"])] = int(r["lo"])
-    delc = {int(r["shard"]): int(r["n"]) for r in
-            dels.groupBy("shard").agg(F.count("*").alias("n")).collect()}
-    live = {s: counts[s] - delc.get(s, 0) for s in counts}
+    # per-shard live counts from ACTUAL survivors — decoded pseudo-row
+    # doc_ids anti-joined with the tombstones, never "row count minus
+    # tombstone count": an inert tombstone (id already purged by
+    # merge_shards, reachable via key-delete/upsert against the stale
+    # docmap) is in the deletes table but matches no posting, so the
+    # subtraction would under-count live docs and the dense-renumber
+    # offsets would overlap across new shards (silent corruption; see
+    # test_purge_after_inert_tombstones). Shards are ordered by DOC
+    # RANGE, not id: incremental merge_shards leaves replacement
+    # shards at high ids covering mid-range docs, and the dense
+    # renumbering below requires range-ascending traversal.
+    from .indexer import decode_docstats_rows
+    lows = {int(r["shard"]): int(r["lo"]) for r in
+            (store.segments(spark)
+             .filter(F.col("term") == DOCSTATS_TERM)
+             .groupBy("shard").agg(F.min("first_doc").alias("lo"))
+             .collect())}
+    live = {s: 0 for s in lows}
+    for r in (decode_docstats_rows(
+            store.segments(spark).filter(F.col("term") == DOCSTATS_TERM),
+            keep_shard=True)
+            .join(store.deletes(spark), "doc_id", "left_anti")
+            .groupBy("shard").agg(F.count("*").alias("nl")).collect()):
+        live[int(r["shard"])] = int(r["nl"])
     n_live = sum(live.values())
     per = docs_per_shard or max(1, -(-n_live // max(1, min(
-        len(counts), 8))))
-    range_order = sorted(counts, key=lambda s: lows[s])
+        len(lows), 8))))
+    range_order = sorted(lows, key=lambda s: lows[s])
     mapping = []           # (old_shard, new_shard)
     new_id, acc = 0, 0
     for old in range_order:

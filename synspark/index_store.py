@@ -168,6 +168,15 @@ class IndexMeta:
     # = n_docs - n_purged (exactly Lucene's maxDoc shrinking as merges
     # apply liveDocs, while unmerged tombstones keep counting).
     n_purged: int = 0
+    # committed purged/batch= partitions: the doc_ids each incremental
+    # merge ACTUALLY removed from postings. The docmap keeps stale rows
+    # for those ids until a full compact, so a later key-delete/upsert
+    # can resolve an already-purged id; _write_tombstones anti-joins
+    # this record to drop such inert tombstones at entry (they would
+    # mask nothing but would skew n_deleted and the purge-merge live
+    # counts). Bounded by churn since the last full compact; a
+    # purge_merge output starts empty (docmap rebuilt, ids dense).
+    purged_batches: list = field(default_factory=list)
 
 
 def _digest_expr():
@@ -335,6 +344,19 @@ class IndexStore:
         df = spark.read.option("ignoreMissingFiles", "true") \
             .parquet(str(self.path / "deletes"))
         return df.filter(F.col("batch").isin(meta.delete_batches)) \
+            .select("doc_id")
+
+    def purged(self, spark: SparkSession) -> DataFrame:
+        """doc_ids physically removed by incremental merges whose
+        stale docmap rows are still visible (empty frame when none) —
+        the anti-join source that keeps re-deletes of purged ids from
+        becoming inert tombstones. Same snapshot gate as deletes()."""
+        meta = self.meta()
+        if not meta.purged_batches:
+            return spark.range(0).select(F.col("id").alias("doc_id"))
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "purged"))
+        return df.filter(F.col("batch").isin(meta.purged_batches)) \
             .select("doc_id")
 
     def shard_doc_ranges(self, spark: SparkSession) -> DataFrame:
@@ -1056,7 +1078,8 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
         delete_batches=meta.delete_batches + ([del_part] if del_part
                                               else []),
         n_deleted=meta.n_deleted + n_del_new,
-        dead_shards=meta.dead_shards, n_purged=meta.n_purged))
+        dead_shards=meta.dead_shards, n_purged=meta.n_purged,
+        purged_batches=meta.purged_batches))
     # vacuum: once the fold's meta is committed, the folded-away delta
     # partitions are unreferenced garbage — reclaim them here instead
     # of waiting for compact_index, so the termstats dir count stays
@@ -1147,6 +1170,13 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
     (store.termstats(spark).withColumn("batch", F.lit(INITIAL_BATCH))
      .write.mode("overwrite").partitionBy("batch")
      .parquet(str(dst.path / "termstats")))
+    if meta.purged_batches:
+        # the copied docmap still carries stale rows for merged-away
+        # docs, so the purged-id record must follow it (folded to one
+        # partition like the stats)
+        (store.purged(spark).withColumn("batch", F.lit(INITIAL_BATCH))
+         .write.mode("overwrite").partitionBy("batch")
+         .parquet(str(dst.path / "purged")))
 
     build_id = uuid.uuid4().hex
     stats = (spark.read.parquet(str(dst.path / "segments"))
@@ -1178,7 +1208,8 @@ def compact_index(spark: SparkSession, store: IndexStore, out_dir: str,
         uses_token_filter=meta.uses_token_filter,
         # dead shards are not copied (segments() filters them); purged
         # ids stay gone from the id space accounting
-        n_purged=meta.n_purged))
+        n_purged=meta.n_purged,
+        purged_batches=[INITIAL_BATCH] if meta.purged_batches else []))
     return dst
 
 

@@ -451,27 +451,43 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     return routed.mapInPandas(run, schema=SEGMENT_SCHEMA)
 
 
-def decode_docstats_rows(rows: DataFrame) -> DataFrame:
-    """Inverse of the docstats pseudo-term rows -> (doc_id, dl)."""
+def decode_docstats_rows(rows: DataFrame,
+                         keep_shard: bool = False) -> DataFrame:
+    """Inverse of the docstats pseudo-term rows -> (doc_id, dl)
+    (+ ``shard`` when ``keep_shard`` — lets callers count a shard's
+    ACTUAL docs without a range join, the source of truth inert
+    tombstones can't skew)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, dls = [], []
-            for fd, nd, db, lb in zip(pdf["first_doc"], pdf["n_docs"],
-                                      pdf["doc_bytes"], pdf["dl_bytes"]):
-                gaps = varint_decode(db, int(nd)).astype(np.int64)
-                ids.append(np.cumsum(gaps) + int(fd) - int(gaps[0])
+            ids, dls, shs = [], [], []
+            for row in pdf.itertuples(index=False):
+                nd = int(row.n_docs)
+                gaps = varint_decode(row.doc_bytes, nd).astype(np.int64)
+                ids.append(np.cumsum(gaps) + int(row.first_doc)
+                           - int(gaps[0])
                            if len(gaps) else np.zeros(0, np.int64))
-                dls.append(varint_decode(lb, int(nd)).astype(np.int64))
-            yield pd.DataFrame({
+                dls.append(varint_decode(row.dl_bytes, nd)
+                           .astype(np.int64))
+                if keep_shard:
+                    shs.append(np.full(nd, int(row.shard), np.int32))
+            out = {
                 "doc_id": np.concatenate(ids) if ids else
                 np.zeros(0, np.int64),
                 "dl": (np.concatenate(dls) if dls
                        else np.zeros(0, np.int64)).astype(np.int32),
-            })
+            }
+            if keep_shard:
+                out["shard"] = (np.concatenate(shs) if shs
+                                else np.zeros(0, np.int32))
+            yield pd.DataFrame(out)
 
-    return rows.select("first_doc", "n_docs", "doc_bytes", "dl_bytes") \
-        .mapInPandas(run, schema="doc_id long, dl int")
+    cols = ["first_doc", "n_docs", "doc_bytes", "dl_bytes"]
+    schema = "doc_id long, dl int"
+    if keep_shard:
+        cols.append("shard")
+        schema += ", shard int"
+    return rows.select(*cols).mapInPandas(run, schema=schema)
 
 
 # ---------------------------------------------------------------------

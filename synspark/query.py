@@ -51,7 +51,11 @@ from .tokenizer import TokenizerConfig, tokenize
 
 # docs per pruning window. Smaller windows = finer block-max bounds
 # (better pruning on saturating common terms) at more bound-sort
-# overhead; env-overridable for operators (executors inherit the env).
+# overhead. The env var is read ON THE DRIVER at plan time and rides
+# to executors inside the serialized QueryPlan — on a real cluster a
+# driver-only env var does not reach executor Python workers, so an
+# executor-side read would silently ignore the knob (results are
+# exact at any window size; this is purely the perf dial).
 WAND_WINDOW = int(__import__("os").environ.get(
     "SYNSPARK_WAND_WINDOW", "4096"))
 
@@ -100,6 +104,9 @@ class QueryPlan:
     avgdl: float
     k1: float
     b: float
+    # pruning-window size, resolved on the DRIVER (env knob) so it
+    # reaches executors via plan serialization, not via os.environ
+    window: int = WAND_WINDOW
 
     @property
     def terms(self) -> list[str]:
@@ -332,8 +339,8 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     # queries (410k matching docs), finer windows are strictly worse
     # in both modes (6.0s vs 3.5s for AND at w/4: per-window decode
     # call overhead, no extra pruning when every group is everywhere).
-    # SYNSPARK_WAND_WINDOW stays the operator knob.
-    win = WAND_WINDOW
+    # SYNSPARK_WAND_WINDOW stays the operator knob (plan-carried).
+    win = plan.window or WAND_WINDOW
     n_win = (hi - lo) // win + 1
 
     # Per-group, per-window upper bound. Within one term: max of its
@@ -600,7 +607,8 @@ def search_batch(spark: SparkSession, store: IndexStore,
                  phrase: bool = False,
                  syn: SynonymDict | None = None,
                  cfg: TokenizerConfig | None = None,
-                 groups_list: list[list[list[str]]] | None = None
+                 groups_list: list[list[list[str]]] | None = None,
+                 after_list: list[tuple | None] | None = None
                  ) -> DataFrame:
     """Answer MANY queries in one Spark job: one planning pass, one
     blocks scan for the union of all query terms, per-shard workers run
@@ -611,11 +619,19 @@ def search_batch(spark: SparkSession, store: IndexStore,
 
     ``groups_list`` (one per-position groups value per query, as in
     ``search(groups=...)``) overrides analysis — batch serving for
-    filter-composed analyzers."""
+    filter-composed analyzers.
+
+    ``after_list`` (one ``(score, doc_id)`` cursor or None per query)
+    is per-query search_after pagination, same semantics as
+    ``search(after=...)`` — page N+1 of a batch costs the same one
+    job as page 1."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
     if groups_list is not None and len(groups_list) != len(texts):
         raise ValueError("groups_list must have one entry per query")
+    if after_list is not None and len(after_list) != len(texts):
+        raise ValueError("after_list must have one entry per query")
+    afters = after_list if after_list is not None else [None] * len(texts)
     groups_per_q = groups_list if groups_list is not None \
         else [analyze_query(t, cfg, syn) for t in texts]
     all_terms = sorted({t for gs in groups_per_q for g in gs for t in g})
@@ -623,11 +639,15 @@ def search_batch(spark: SparkSession, store: IndexStore,
         return spark.createDataFrame([],
                                      "query_id int, doc_id long, score double")
     dfs = store.term_dfs(spark, all_terms, build_id=meta.build_id)
+    # scoring N must match plan_query's n_eff (maxDoc minus merged-away
+    # docs) or batch scores diverge from single-query search after an
+    # incremental merge — pinned by test_search_batch_merged_identity
+    n_eff = meta.n_docs - meta.n_purged
     plans = []
     for gs in groups_per_q:
-        idfs = [idf(meta.n_docs, max((dfs.get(t, 0) for t in g), default=0))
+        idfs = [idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
                 for g in gs]
-        plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=meta.n_docs,
+        plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=n_eff,
                                avgdl=meta.avgdl, k1=meta.k1, b=meta.b))
 
     cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
@@ -649,7 +669,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
             if not len(sub):
                 continue
             res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
-                              phrase, deleted=deleted)
+                              phrase, deleted=deleted, after=afters[qi])
             if len(res):
                 res.insert(0, "query_id", np.int32(qi))
                 outs.append(res)

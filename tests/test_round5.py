@@ -1,0 +1,266 @@
+"""Round-5 fixes: batch scoring after incremental merges, per-query
+batch pagination, inert-tombstone reconciliation (the stale-docmap
+lifecycle), upsert intra-batch key safety, and plan-carried WAND
+window. Truth anchors remain public Lucene/ES behavior: docFreq/maxDoc
+shrink as merges apply liveDocs (scoring N = n_docs - n_purged
+everywhere, including batch), updateDocument is one-live-version-per-
+key, and re-deleting a merged-away doc is a no-op that must not skew
+accounting or corrupt a later full merge.
+"""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synspark.deletes import delete_docs, merge_shards, upsert_docs
+from synspark.index_store import (IndexStore, build_index,
+                                  compact_index)
+from synspark.query import (count_matches, score_naive, search,
+                            search_batch)
+from synspark.tokenizer import TokenizerConfig
+
+CFG = TokenizerConfig(n=2, expand=False, ignore_case=True)
+
+
+def _corpus(spark, n=200):
+    rows = [(f"r{i:03d}", "f", "c", "t",
+             f"data sort merge row {i} " + ("data " * (i % 5))
+             + f"unique{i}")
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+
+@pytest.fixture(scope="module")
+def merged(spark, tmp_path_factory):
+    """200 docs / 4 shards; shard 1 heavily tombstoned then merged
+    (n_purged=25 > 0 — the state where n_docs != scoring N), one
+    tombstone left live in shard 3."""
+    root = tmp_path_factory.mktemp("r5")
+    store = build_index(spark, _corpus(spark), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    delete_docs(spark, store, doc_ids=list(range(50, 75)) + [160])
+    merge_shards(spark, store, min_deleted_fraction=0.2)
+    m = store.meta()
+    assert m.n_purged == 25 and m.n_deleted == 1
+    return store, root
+
+
+# --------------------------------------------------------------------
+# search_batch idf N after incremental merge (round-4 wrong #1)
+# --------------------------------------------------------------------
+
+def test_search_batch_merged_identity(spark, merged):
+    """On a store where merge_shards has run (n_purged > 0),
+    search_batch must stay rank-identical to per-query search — doc
+    ids AND bit-exact scores (both use N = n_docs - n_purged, Lucene's
+    post-merge docFreq/maxDoc)."""
+    store, _ = merged
+    texts = ["data sort", "merge row", "data data"]
+    batch = search_batch(spark, store, texts, k=12).collect()
+    per_q = {qi: [(r.doc_id, r.score)
+                  for r in search(spark, store, t, k=12).collect()]
+             for qi, t in enumerate(texts)}
+    got = {}
+    for r in batch:
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert got == per_q
+    # and both equal the naive oracle under the merged stats
+    for qi, t in enumerate(texts):
+        naive = [(r.doc_id, r.score)
+                 for r in score_naive(spark, store, t, k=12).collect()]
+        assert per_q[qi] == naive
+
+
+def test_search_batch_after_cursor(spark, merged):
+    """after_list: per-query search_after pagination in ONE batch job,
+    page 2 identical to the single-query search(after=...) path and to
+    rows k..2k of the full ordering."""
+    store, _ = merged
+    texts = ["data sort", "merge row"]
+    k = 5
+    full = {t: [(r.doc_id, r.score)
+                for r in search(spark, store, t, k=3 * k).collect()]
+            for t in texts}
+    page1 = search_batch(spark, store, texts, k=k).collect()
+    cursors = {}
+    for r in page1:
+        cursors[r.query_id] = (r.score, r.doc_id)  # last row wins
+    afters = [cursors[qi] for qi in range(len(texts))]
+    page2 = search_batch(spark, store, texts, k=k,
+                         after_list=afters).collect()
+    got2 = {qi: [] for qi in range(len(texts))}
+    for r in page2:
+        got2[r.query_id].append((r.doc_id, r.score))
+    for qi, t in enumerate(texts):
+        assert got2[qi] == full[t][k:2 * k]
+        single = [(r.doc_id, r.score)
+                  for r in search(spark, store, t, k=k,
+                                  after=afters[qi]).collect()]
+        assert got2[qi] == single
+    with pytest.raises(ValueError):
+        search_batch(spark, store, texts, k=k, after_list=[None])
+
+
+# --------------------------------------------------------------------
+# inert tombstones: reconciliation + purge-merge integrity
+# --------------------------------------------------------------------
+
+def test_redelete_purged_ids_is_inert_and_uncounted(spark, merged):
+    """delete_docs on already-purged ids (resolvable via the stale
+    docmap — by id or by key) must not change n_deleted, the deletes
+    table, or any query result (VERDICT r4 task #9 / ADVICE)."""
+    store, _ = merged
+    m0 = store.meta()
+    cnt0 = count_matches(spark, store, "data sort").collect()[0].hits
+    # purged ids are recorded exactly
+    purged = sorted(r.doc_id for r in store.purged(spark).collect())
+    assert purged == list(range(50, 75))
+    # by id
+    delete_docs(spark, store, doc_ids=[55, 60])
+    # by key: the stale docmap rows for purged docs still resolve
+    # (doc ids are engine-assigned, so look the keys up by purged id)
+    keys = (store.docmap(spark)
+            .filter(F.col("doc_id").isin([56, 61]))
+            .select("repo", "path", "commit"))
+    delete_docs(spark, store, keys=keys)
+    m1 = store.meta()
+    assert m1.n_deleted == m0.n_deleted
+    assert sorted(r.doc_id for r in store.deletes(spark).collect()) \
+        == [160]
+    assert count_matches(spark, store, "data sort") \
+        .collect()[0].hits == cnt0
+
+
+def test_purge_merge_sound_with_legacy_inert_tombstones(
+        spark, tmp_path_factory):
+    """A pre-fix store can carry committed inert tombstones (ids whose
+    postings a merge already removed). purge_merge must derive live
+    counts from actual survivors, not row-count-minus-tombstone-count:
+    the compacted index gets dense non-overlapping ids, the right
+    n_docs, and oracle-identical scores (ADVICE high)."""
+    root = tmp_path_factory.mktemp("r5_inert")
+    store = build_index(spark, _corpus(spark), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    delete_docs(spark, store, doc_ids=list(range(50, 75)))
+    merge_shards(spark, store, min_deleted_fraction=0.2)
+    assert store.meta().n_purged == 25
+
+    # forge a legacy inert tombstone batch: bypass _write_tombstones'
+    # purged-anti-join gate by writing the partition + meta directly
+    (spark.createDataFrame([(55,), (60,), (70,)], "doc_id long")
+     .withColumn("batch", F.lit("del-legacy"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch")
+     .parquet(str(store.path / "deletes")))
+    mp = store.path / "meta.json"
+    meta_d = json.loads(mp.read_text())
+    meta_d["delete_batches"] = meta_d["delete_batches"] + ["del-legacy"]
+    meta_d["n_deleted"] = meta_d["n_deleted"] + 3
+    mp.write_text(json.dumps(meta_d))
+    # also one REAL tombstone so the purge drops a live doc too
+    delete_docs(spark, store, doc_ids=[100])
+
+    dst = compact_index(spark, store, str(root / "purged"))
+    md = dst.meta()
+    assert md.n_docs == 200 - 25 - 1
+    ids = sorted(r.doc_id for r in dst.docmap(spark).collect())
+    assert ids == list(range(md.n_docs))       # dense, no overlap
+    from synspark.indexer import DOCSTATS_TERM, decode_docstats_rows
+    stats_ids = sorted(
+        r.doc_id for r in decode_docstats_rows(
+            dst.segments(spark).filter(
+                F.col("term") == DOCSTATS_TERM)).collect())
+    assert stats_ids == list(range(md.n_docs))  # postings agree
+    a = [(r.doc_id, r.score)
+         for r in search(spark, dst, "data sort", k=20).collect()]
+    b = [(r.doc_id, r.score)
+         for r in score_naive(spark, dst, "data sort", k=20).collect()]
+    assert a == b
+    assert count_matches(spark, dst, "data sort") \
+        .collect()[0].hits == md.n_docs
+
+
+def test_upsert_intra_batch_duplicate_key_raises(spark, tmp_path_factory):
+    """Two rows for one key inside a single upsert batch have no
+    defined order (a DataFrame is unordered), so last-write-wins is
+    undefinable — the engine fails fast instead of leaving both live
+    (divergence from ES _bulk / IndexWriter.updateDocument)."""
+    root = tmp_path_factory.mktemp("r5_dup")
+    store = build_index(spark, _corpus(spark, n=20), str(root / "idx"),
+                        cfg=CFG, n_shards=2, resume=False)
+    dup = spark.createDataFrame(
+        [("r001", "f", "c", "t", "version one"),
+         ("r001", "f", "c", "t", "version two")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_docs(spark, store, dup, key_cols=["repo", "path"])
+    # distinct keys still upsert fine
+    ok = spark.createDataFrame(
+        [("r001", "f", "c", "t", "fresh data sort"),
+         ("zz9", "f", "c", "t", "new data sort doc")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    upsert_docs(spark, store, ok, key_cols=["repo", "path"])
+    m = store.meta()
+    assert m.n_docs == 22 and m.n_deleted == 1
+
+
+def test_wand_window_is_plan_carried(spark, merged):
+    """The pruning window rides inside QueryPlan (driver-resolved), so
+    an executor that never saw SYNSPARK_WAND_WINDOW still honors it —
+    and results are exact at ANY window size."""
+    from synspark.query import plan_query, _wand_shard
+    store, _ = merged
+    plan = plan_query(spark, store, "data sort")
+    assert plan.window > 0
+    base = [(r.doc_id, r.score)
+            for r in search(spark, store, "data sort", k=10).collect()]
+    # same query, absurdly small window, via a hand-carried plan
+    import dataclasses
+    tiny = dataclasses.replace(plan, window=7)
+    blocks = store.segments(spark) \
+        .filter(F.col("term").isin(plan.terms)) \
+        .select("term", "shard", "first_doc", "last_doc", "n_docs",
+                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+                "pos_bytes", "pl_bytes").toPandas()
+    from synspark.query import _deletes_by_shard, _del_array
+    dels = _deletes_by_shard(spark, store).toPandas()
+    out = []
+    for shard, pdf in blocks.groupby("shard"):
+        d = dels[dels["shard"] == shard]
+        res = _wand_shard(pdf.reset_index(drop=True), tiny, 10, "and",
+                          deleted=_del_array(d) if len(d) else None)
+        out.extend([(int(r.doc_id), float(r.score))
+                    for r in res.itertuples(index=False)])
+    out = sorted(out, key=lambda x: (-x[1], x[0]))[:10]
+    assert out == base
+
+
+# --------------------------------------------------------------------
+# IVF probe enumeration: Hamming ball, not a 2^n_planes driver sort
+# --------------------------------------------------------------------
+
+def test_probe_buckets_hamming_ball():
+    """_probe_buckets must equal the brute-force (hamming, id)-sorted
+    prefix at small n_planes, and stay millisecond-fast at n_planes=24
+    where the old sort was a 16M-element driver job (VERDICT r4 #3)."""
+    import time
+    from synspark.datapipe.similarity import _probe_buckets
+    for n_planes in (4, 6):
+        for qbits in (0, 5, (1 << n_planes) - 1):
+            for probes in (1, 3, 8, 1 << n_planes):
+                ref = sorted(range(1 << n_planes),
+                             key=lambda b: (bin(b ^ qbits).count("1"),
+                                            b))[:probes]
+                assert _probe_buckets(qbits, n_planes, probes) == ref
+    t0 = time.perf_counter()
+    out = _probe_buckets(0b101010101010101010101010, 24, 64)
+    dt = time.perf_counter() - t0
+    assert len(out) == 64 and len(set(out)) == 64
+    assert dt < 0.05
