@@ -571,7 +571,16 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
+    return _wand_topk(spark, store, meta, plan, k, mode, phrase, after)
 
+
+def _wand_topk(spark: SparkSession, store: IndexStore, meta,
+               plan: QueryPlan, k: int, mode: str,
+               phrase: bool = False,
+               after: tuple | None = None) -> DataFrame:
+    """The shard-parallel WAND execution behind ``search``, taking a
+    pre-built plan (so multi-field search can run it per field without
+    re-analysis)."""
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)) \
         .select("term", "shard", "first_doc", "last_doc", "n_docs",
@@ -1066,6 +1075,103 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
             .applyInPandas(run2, schema="doc_id long"))
 
 
+def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
+                        plan: QueryPlan, mode: str,
+                        cand_ids: list[int] | None = None) -> DataFrame:
+    """One field's exact per-doc BM25 fold (doc_id, fscore) — the
+    declarative scorer shared by ``search_fields`` (candidate-
+    restricted) and ``search_fields_scan`` (full decode). When
+    ``cand_ids`` is given, the restriction is pushed to BLOCK METADATA
+    (``decoded_postings(doc_ids=...)``): only blocks whose doc range
+    covers a candidate are decoded — ~one block per term per
+    candidate run instead of the term's whole posting list."""
+    # beyond this many candidates the per-doc block predicate stops
+    # paying (a huge OR tree); fall back to full decode + semi-join
+    pushdown = cand_ids if (cand_ids is not None
+                            and len(cand_ids) <= 1024) else None
+    p = decoded_postings(spark, fstore, plan.terms, doc_ids=pushdown)
+    if cand_ids is not None and pushdown is None:
+        cand_df = spark.createDataFrame([(int(d),) for d in cand_ids],
+                                        "doc_id long")
+        p = p.join(F.broadcast(cand_df), "doc_id", "left_semi")
+    gm = [(t, gi, plan.idfs[gi]) for gi, g in enumerate(plan.groups)
+          for t in g]
+    group_map = spark.createDataFrame(
+        gm, "term string, gid int, gidf double")
+    k1, b, avgdl = plan.k1, plan.b, plan.avgdl
+    per_group = (
+        p.join(F.broadcast(group_map), "term")
+        .groupBy("doc_id", "gid")
+        .agg(F.sum("tf").alias("tfg"), F.first("dl").alias("dl"),
+             F.first("gidf").alias("gidf"))
+        .withColumn("gscore",
+                    F.col("gidf") * (F.col("tfg") /
+                    (F.col("tfg") + F.lit(k1) *
+                     (F.lit(1 - b) + F.lit(b) * F.col("dl")
+                      / F.lit(avgdl))))))
+    agg = per_group.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("gid", "gscore"))),
+            F.lit(0.0), lambda acc, x: acc + x["gscore"],
+        ).alias("fscore"),
+        F.count("*").alias("ngroups"))
+    if mode == "and":
+        agg = agg.filter(F.col("ngroups") == len(plan.groups))
+    if meta.delete_batches:
+        agg = agg.join(fstore.deletes(spark), "doc_id", "left_anti")
+    return agg.select("doc_id", "fscore")
+
+
+def _fields_total(spark: SparkSession, planned: list, mode: str,
+                  cand_ids: list[int] | None) -> DataFrame:
+    """Boost-weighted most_fields total (doc_id, score) over the
+    planned fields, ordered per-field fold so the cross-field sum is
+    bit-stable (same association as the scan oracle)."""
+    per_field = []
+    for fi, (fstore, boost, plan, meta) in enumerate(planned):
+        agg = _field_group_scores(spark, fstore, meta, plan, mode,
+                                  cand_ids)
+        per_field.append(agg.select(
+            "doc_id",
+            (F.col("fscore") * F.lit(float(boost))).alias("fscore"),
+            F.lit(fi).alias("_f")))
+    un = per_field[0]
+    for f in per_field[1:]:
+        un = un.unionByName(f)
+    return un.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_f", "fscore"))),
+            F.lit(0.0), lambda acc, x: acc + x["fscore"],
+        ).alias("score"))
+
+
+def _plan_fields(spark, fields, text, syn, cfg) -> list:
+    planned = []
+    for fname, (fstore, boost) in sorted(fields.items()):
+        meta = fstore.meta()
+        fcfg = cfg or TokenizerConfig(**meta.cfg)
+        plan = plan_query(spark, fstore, text, syn, fcfg)
+        if plan.groups:
+            planned.append((fstore, boost, plan, meta))
+    return planned
+
+
+def search_fields_scan(spark: SparkSession, fields: dict, text: str,
+                       k: int = 10,
+                       mode: str = "and",
+                       syn: SynonymDict | None = None,
+                       cfg: TokenizerConfig | None = None) -> DataFrame:
+    """The declarative full-decode multi_match scorer — every posting
+    of every query term in every field is decoded (df-linear). Kept as
+    the in-repo oracle for ``search_fields``; use that WAND-pruned
+    path for serving."""
+    planned = _plan_fields(spark, fields, text, syn, cfg)
+    if not planned:
+        return spark.createDataFrame([], "doc_id long, score double")
+    out = _fields_total(spark, planned, mode, None)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def search_fields(spark: SparkSession, fields: dict, text: str,
                   k: int = 10,
                   mode: str = "and",
@@ -1074,8 +1180,9 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
     """ES ``multi_match`` (most_fields) over per-field indexes:
     ``fields`` maps field name -> (IndexStore, boost). The reference's
     msg1/msg2 deployment indexes each field separately (one analyzer
-    chain per field — our ``build_index(text_col=...)`` shape); ES
-    then scores a bool-should of per-field match queries:
+    chain per field — our ``build_index(text_col=...)`` shape,
+    SynonymPluginTest.java:106-131); ES then scores a bool-should of
+    per-field match queries:
 
     - a doc matches if AT LEAST ONE field's query matches (each field
       applies ``mode`` with its own analyzer/stats);
@@ -1086,59 +1193,50 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
     corpus (native ids, or the deterministic key-derived assignment —
     identical either way).
 
-    Execution is the declarative exact path (the per-field analogue of
-    ``score_naive``): per-field decoded postings restricted to the
-    query's terms, one hash aggregation per (doc, field, group), the
-    per-field boolean gate, an ordered per-field fold, a boost-weighted
-    sum across fields, then a global top-k — all Catalyst-planned, no
-    driver-side state. Single-field queries should keep using
-    ``search`` (the WAND fast path)."""
-    per_field = []
-    for fi, (fname, (fstore, boost)) in enumerate(sorted(fields.items())):
-        meta = fstore.meta()
-        fcfg = cfg or TokenizerConfig(**meta.cfg)
-        plan = plan_query(spark, fstore, text, syn, fcfg)
-        if not plan.groups:
-            continue
-        p = decoded_postings(spark, fstore, plan.terms)
-        gm = [(t, gi, plan.idfs[gi]) for gi, g in enumerate(plan.groups)
-              for t in g]
-        group_map = spark.createDataFrame(
-            gm, "term string, gid int, gidf double")
-        k1, b, avgdl = plan.k1, plan.b, plan.avgdl
-        per_group = (
-            p.join(F.broadcast(group_map), "term")
-            .groupBy("doc_id", "gid")
-            .agg(F.sum("tf").alias("tfg"), F.first("dl").alias("dl"),
-                 F.first("gidf").alias("gidf"))
-            .withColumn("gscore",
-                        F.col("gidf") * (F.col("tfg") /
-                        (F.col("tfg") + F.lit(k1) *
-                         (F.lit(1 - b) + F.lit(b) * F.col("dl")
-                          / F.lit(avgdl))))))
-        agg = per_group.groupBy("doc_id").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("gid", "gscore"))),
-                F.lit(0.0), lambda acc, x: acc + x["gscore"],
-            ).alias("fscore"),
-            F.count("*").alias("ngroups"))
-        if mode == "and":
-            agg = agg.filter(F.col("ngroups") == len(plan.groups))
-        if meta.delete_batches:
-            agg = agg.join(fstore.deletes(spark), "doc_id", "left_anti")
-        per_field.append(agg.select(
-            "doc_id", (F.col("fscore") * F.lit(float(boost)))
-            .alias("fscore"),
-            F.lit(fi).alias("_f")))
-    if not per_field:
+    EXACT top-k without a full posting scan — Fagin-style threshold
+    algorithm over per-field block-max WAND:
+
+    1. per field: WAND top-k' (the ``search`` fast path, per-field
+       plans/norms/liveDocs, k' starts at k) → candidate ids C and
+       the field's k'-th score s_f (0 when the field exhausted, i.e.
+       returned < k' hits: every matching doc is already in C);
+    2. exact totals for C only — the declarative fold restricted to
+       candidate blocks (block-metadata pushdown, ~one block per term
+       per candidate instead of whole posting lists);
+    3. soundness gate: any doc outside C scores ≤ τ = Σ_f boost_f×s_f
+       in every field, so if the k-th exact total beats τ (or every
+       field exhausted), the top-k is PROVEN exact; otherwise deepen
+       k' ×4 and repeat (terminates: k' reaches every field's hit
+       count and all fields exhaust).
+
+    A common term no longer costs a df-linear decode per field — the
+    round-4 scale hole; ``search_fields_scan`` remains the oracle."""
+    planned = _plan_fields(spark, fields, text, syn, cfg)
+    if not planned:
         return spark.createDataFrame([], "doc_id long, score double")
-    un = per_field[0]
-    for f in per_field[1:]:
-        un = un.unionByName(f)
-    # ordered fold over field index — bit-stable cross-field sum
-    out = un.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("_f", "fscore"))),
-            F.lit(0.0), lambda acc, x: acc + x["fscore"],
-        ).alias("score"))
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    kk = max(k, 1)
+    while True:
+        cand: set[int] = set()
+        tau = 0.0
+        exhausted = True
+        for fstore, boost, plan, meta in planned:
+            hits = _wand_topk(spark, fstore, meta, plan, kk,
+                              mode).collect()
+            cand.update(int(r.doc_id) for r in hits)
+            if len(hits) >= kk:
+                exhausted = False
+                tau += float(boost) * hits[-1].score
+            # else: every matching doc of this field is in C; docs
+            # outside C score 0 here — contributes nothing to τ
+        if not cand:
+            return spark.createDataFrame([],
+                                         "doc_id long, score double")
+        totals = _fields_total(spark, planned, mode, sorted(cand))
+        top = totals.orderBy(F.desc("score"),
+                             F.asc("doc_id")).limit(k).collect()
+        if exhausted or (len(top) == k and top[-1].score > tau):
+            return spark.createDataFrame(
+                [(int(r.doc_id), float(r.score)) for r in top],
+                "doc_id long, score double")
+        kk *= 4

@@ -264,3 +264,89 @@ def test_probe_buckets_hamming_ball():
     dt = time.perf_counter() - t0
     assert len(out) == 64 and len(set(out)) == 64
     assert dt < 0.05
+
+
+# --------------------------------------------------------------------
+# multi-field WAND (most_fields threshold algorithm)
+# --------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mf(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("r5mf")
+    rows = [(f"r{i:03d}", "f", "c", "t",
+             f"body text data sort {i} " + ("data " * (i % 4)),
+             ("sort title" if i % 3 == 0 else f"plain {i}"))
+            for i in range(150)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, title string")
+    s_c = build_index(spark, corpus, str(root / "c"), cfg=CFG,
+                      n_shards=3, text_col="content", resume=False)
+    s_t = build_index(spark, corpus, str(root / "t"), cfg=CFG,
+                      n_shards=3, text_col="title", resume=False)
+    return {"content": (s_c, 1.0), "title": (s_t, 2.0)}
+
+
+def test_search_fields_wand_equals_scan(spark, mf):
+    """The threshold-algorithm multi-field path must be EXACT: same
+    rows and bit-identical scores as the full-decode scan oracle, at
+    several k (small k exercises the soundness gate, large k the
+    exhaustion path) and in both boolean modes."""
+    from synspark.query import search_fields, search_fields_scan
+    for mode in ("and", "or"):
+        for k in (3, 15, 400):
+            a = [(r.doc_id, r.score) for r in
+                 search_fields(spark, mf, "data sort", k=k,
+                               mode=mode).collect()]
+            b = [(r.doc_id, r.score) for r in
+                 search_fields_scan(spark, mf, "data sort", k=k,
+                                    mode=mode).collect()]
+            assert a == b, (mode, k)
+
+
+def test_search_fields_wand_respects_deletes_and_merge(
+        spark, tmp_path_factory):
+    """Per-field liveDocs + post-merge per-field norms flow through
+    the WAND multi-field path identically to the scan oracle."""
+    from synspark.query import search_fields, search_fields_scan
+    root = tmp_path_factory.mktemp("r5mfd")
+    rows = [(f"r{i:03d}", "f", "c", "t",
+             f"alpha data sort {i}", f"sort {i % 7}")
+            for i in range(120)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, title string")
+    s_c = build_index(spark, corpus, str(root / "c"), cfg=CFG,
+                      n_shards=4, text_col="content", resume=False)
+    s_t = build_index(spark, corpus, str(root / "t"), cfg=CFG,
+                      n_shards=4, text_col="title", resume=False)
+    delete_docs(spark, s_c, doc_ids=list(range(0, 40)))
+    merge_shards(spark, s_c, min_deleted_fraction=0.2)   # n_purged > 0
+    delete_docs(spark, s_t, doc_ids=[100])               # tombstone only
+    fields = {"content": (s_c, 1.0), "title": (s_t, 3.0)}
+    for k in (5, 50):
+        a = [(r.doc_id, r.score) for r in
+             search_fields(spark, fields, "data sort", k=k).collect()]
+        b = [(r.doc_id, r.score) for r in
+             search_fields_scan(spark, fields, "data sort",
+                                k=k).collect()]
+        assert a == b, k
+
+
+def test_search_fields_no_full_posting_scan(spark, mf, monkeypatch):
+    """Plan shape (VERDICT r4 task #2 'done' bar): in the common
+    regime every decoded_postings call issued by the multi-field WAND
+    path is candidate-restricted (doc_ids pushed to block metadata) —
+    never the df-linear full scan the old implementation did."""
+    import synspark.query as q
+    calls = []
+    real = q.decoded_postings
+
+    def spy(spark_, store_, terms_, doc_ids=None):
+        calls.append(doc_ids)
+        return real(spark_, store_, terms_, doc_ids=doc_ids)
+
+    monkeypatch.setattr(q, "decoded_postings", spy)
+    q.search_fields(spark, mf, "data sort", k=5).collect()
+    assert calls, "expected the exact-scoring phase to run"
+    assert all(ids is not None for ids in calls)
