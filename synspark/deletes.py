@@ -96,9 +96,10 @@ def _write_tombstones(spark: SparkSession, store: IndexStore,
     # position-derived name: a crashed prior attempt at this position
     # left the same partition — clear it (uncommitted by definition
     # under the single-writer contract, same protocol as appends)
-    leftover = store.path / "deletes" / f"batch={part}"
-    if leftover.exists():
-        leftover.rmtree()
+    for root in ("deletes", "deletes_routed"):
+        leftover = store.path / root / f"batch={part}"
+        if leftover.exists():
+            leftover.rmtree()
     new = ids.filter((F.col("doc_id") >= 0)
                      & (F.col("doc_id") < id_bound)).distinct()
     if meta.delete_batches:
@@ -118,6 +119,22 @@ def _write_tombstones(spark: SparkSession, store: IndexStore,
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch").parquet(str(store.path / "deletes")))
+    # routed mirror: assign each tombstone its doc-range shard NOW
+    # (one broadcast range join per delete commit) so queries read
+    # (shard, doc_id) straight off parquet instead of re-routing per
+    # query. Same staging protocol — visible only through the caller's
+    # meta commit listing `part` in routed_batches. Ranges come from
+    # the COMMITTED meta (segments() gates on it), which is exactly
+    # the id space the bound restricted `new` to.
+    ranges = store.shard_doc_ranges(spark)
+    (new.join(F.broadcast(ranges),
+              (F.col("doc_id") >= F.col("lo"))
+              & (F.col("doc_id") <= F.col("hi")))
+     .select("shard", "doc_id")
+     .withColumn("batch", F.lit(part))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch").parquet(str(store.path / "deletes_routed")))
     new.unpersist()
     return part, n_new
 
@@ -173,6 +190,7 @@ def delete_docs(spark: SparkSession, store: IndexStore,
         store._write_meta(IndexMeta(
             **{**asdict(meta), "batches": batches,
                "delete_batches": meta.delete_batches + [part],
+               "routed_batches": meta.routed_batches + [part],
                "n_deleted": meta.n_deleted + n_new,
                "created_utc": time.time()}))
         return store
@@ -204,7 +222,8 @@ def upsert_docs(spark: SparkSession, store: IndexStore,
                 syn=None, key_cols: list[str] | None = None,
                 token_filter=None, batch_tag: str | None = None,
                 source: str = "<upsert>",
-                allow_dict_change: bool = False) -> IndexStore:
+                allow_dict_change: bool = False,
+                auto_merge_fraction: float | None = None) -> IndexStore:
     """ES index-by-key / ``IndexWriter.updateDocument``: each incoming
     document REPLACES the current version under its key (default key:
     the (repo, path) columns present — a new commit of the same file),
@@ -243,11 +262,19 @@ def upsert_docs(spark: SparkSession, store: IndexStore,
                .join(new_docs.select(*key_cols).distinct(), key_cols)
                .select("doc_id")
                .join(store.deletes(spark), "doc_id", "left_anti"))
-    return append_to_index(spark, store, new_docs, syn=syn,
-                           source=source, batch_tag=batch_tag,
-                           token_filter=token_filter,
-                           allow_dict_change=allow_dict_change,
-                           tombstone_ids=old_ids)
+    store = append_to_index(spark, store, new_docs, syn=syn,
+                            source=source, batch_tag=batch_tag,
+                            token_filter=token_filter,
+                            allow_dict_change=allow_dict_change,
+                            tombstone_ids=old_ids)
+    if auto_merge_fraction is not None:
+        # post-commit policy run: the upsert is already durable, so a
+        # crash here only defers the merge (auto_merge's gate picks it
+        # up on the next call)
+        store = auto_merge(spark, store,
+                           min_deleted_fraction=auto_merge_fraction,
+                           source=f"{source}:auto-merge")
+    return store
 
 
 # --------------------------------------------------------------------
@@ -292,12 +319,14 @@ def merge_shards(spark: SparkSession, store: IndexStore,
     that matters sources doc existence from the postings.
 
     Policy guidance (measured at 10M docs, BENCH/BASELINE.md): live
-    tombstones cost queries a broadcast range join + cogroup per
-    query — negligible at tens of thousands, material at millions
-    (unlike Lucene's in-memory liveDocs bitmaps, parquet tombstones
-    pay routing until merged). Merge when a shard's deleted fraction
-    crosses ~10%, or when total tombstones reach the order of one
-    shard's doc count.
+    tombstones cost queries a per-query cogroup exchange (routing
+    itself is amortized to delete-commit time since v8, but the
+    tombstones still ship to the shard workers every query — unlike
+    Lucene's resident liveDocs bitmaps). Merge when a shard's deleted
+    fraction crosses ~10%, or when total tombstones reach the order
+    of one shard's doc count. ``auto_merge`` runs exactly this policy
+    after each commit; upsert/streaming callers should prefer it over
+    hand-scheduling.
     """
     store.acquire_writer_lock(owner=source)
     try:
@@ -305,6 +334,48 @@ def merge_shards(spark: SparkSession, store: IndexStore,
                              source)
     finally:
         store.release_writer_lock()
+
+
+def auto_merge(spark: SparkSession, store: IndexStore,
+               min_deleted_fraction: float = 0.1,
+               source: str = "<auto-merge>") -> IndexStore:
+    """Self-executing merge policy (Lucene TieredMergePolicy's
+    deletes-percentage trigger): call after any commit that may have
+    added tombstones and the index keeps its live-tombstone count
+    bounded without operator action — the thing the merge_shards
+    docstring used to ask the operator to do by hand.
+
+    Two-level check, exactly the documented policy:
+
+    1. meta-only gate (zero Spark jobs, safe to run per micro-batch):
+       skip unless total tombstones could possibly push SOME shard
+       over ``min_deleted_fraction`` — i.e. unless
+       ``n_deleted >= min_deleted_fraction * avg live docs/shard``.
+       Doc-range shards are sized uniformly by construction
+       (docs_per_shard), so the average is a faithful per-shard
+       proxy; the gate is also the policy's second clause ("merge
+       when total tombstones reach the order of one shard's worth").
+    2. ``merge_shards``'s exact per-shard selection (its own counting
+       jobs) merges every shard whose actual deleted fraction crosses
+       the threshold; shards below it keep their tombstones until
+       their turn — Lucene semantics, so live tombstones stay bounded
+       by ~min_deleted_fraction of the corpus in the worst
+       perfectly-spread case and by one shard's worth in the typical
+       clustered-churn case.
+
+    Crash-safe by composition: the gate reads committed meta only and
+    merge_shards is atomic, so a crash between an upsert's commit and
+    its auto-merge just defers the merge to the next call."""
+    meta = store.meta()
+    if not meta.delete_batches or meta.n_deleted == 0:
+        return store
+    live_shards = max(1, meta.n_shards - len(meta.dead_shards))
+    per_shard = max(1.0, (meta.n_docs - meta.n_purged) / live_shards)
+    if meta.n_deleted < min_deleted_fraction * per_shard:
+        return store
+    return merge_shards(spark, store,
+                        min_deleted_fraction=min_deleted_fraction,
+                        source=source)
 
 
 def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
@@ -418,18 +489,28 @@ def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
 
     # remaining tombstones (unmerged shards) rewrite into one fresh
     # partition; the old delete partitions become unreferenced on commit
-    remaining = dels.filter(~F.col("shard").isin(cand)).select("doc_id")
+    remaining = dels.filter(~F.col("shard").isin(cand)) \
+        .select("shard", "doc_id")
     rem_part = f"del-{delta_part}"
-    leftover = store.path / "deletes" / f"batch={rem_part}"
-    if leftover.exists():
-        leftover.rmtree()
+    for root in ("deletes", "deletes_routed"):
+        leftover = store.path / root / f"batch={rem_part}"
+        if leftover.exists():
+            leftover.rmtree()
     remaining = remaining.persist()
     n_remaining = remaining.count()
     if n_remaining:
-        (remaining.withColumn("batch", F.lit(rem_part))
+        (remaining.select("doc_id").withColumn("batch", F.lit(rem_part))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch").parquet(str(store.path / "deletes")))
+        # routed mirror rides along: `dels` is already (shard, doc_id)
+        # and the surviving shards are exactly the unmerged ones, so
+        # no re-routing is needed
+        (remaining.withColumn("batch", F.lit(rem_part))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch")
+         .parquet(str(store.path / "deletes_routed")))
     remaining.unpersist()
 
     # manifest lineage for the replacement shards; mark originals dead
@@ -475,6 +556,7 @@ def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
            "total_dl": total_dl,
            "stats_batches": meta.stats_batches + [delta_part],
            "delete_batches": [rem_part] if n_remaining else [],
+           "routed_batches": [rem_part] if n_remaining else [],
            "n_deleted": n_remaining,
            "dead_shards": sorted(set(meta.dead_shards) | set(cand)),
            "n_purged": meta.n_purged + n_purged_now,

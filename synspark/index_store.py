@@ -177,6 +177,15 @@ class IndexMeta:
     # counts). Bounded by churn since the last full compact; a
     # purge_merge output starts empty (docmap rebuilt, ids dense).
     purged_batches: list = field(default_factory=list)
+    # delete batches that ALSO have a shard-routed mirror under
+    # deletes_routed/ (shard, doc_id): the broadcast range join that
+    # assigns each tombstone to its doc-range shard runs ONCE at
+    # delete-commit time instead of inside every query (round-4 task
+    # #5 — at a million live tombstones the per-query routing cost
+    # 8-11s vs 5.3s clean). Writers keep this equal to delete_batches;
+    # readers fall back to query-time routing for any batch without a
+    # mirror (pre-v8 stores).
+    routed_batches: list = field(default_factory=list)
 
 
 def _digest_expr():
@@ -345,6 +354,22 @@ class IndexStore:
             .parquet(str(self.path / "deletes"))
         return df.filter(F.col("batch").isin(meta.delete_batches)) \
             .select("doc_id")
+
+    def deletes_routed(self, spark: SparkSession) -> DataFrame | None:
+        """Shard-routed tombstones (shard, doc_id) when EVERY committed
+        delete batch has a routed mirror, else None (caller falls back
+        to the query-time broadcast range join — pre-v8 stores only).
+        The mirror is written in the same commit as the delete batch,
+        so the snapshot gate is the same meta list."""
+        meta = self.meta()
+        if not meta.delete_batches:
+            return None
+        if not set(meta.delete_batches) <= set(meta.routed_batches):
+            return None
+        df = spark.read.option("ignoreMissingFiles", "true") \
+            .parquet(str(self.path / "deletes_routed"))
+        return df.filter(F.col("batch").isin(meta.delete_batches)) \
+            .select("shard", "doc_id")
 
     def purged(self, spark: SparkSession) -> DataFrame:
         """doc_ids physically removed by incremental merges whose
@@ -1076,6 +1101,8 @@ def _append_locked(spark, store, new_corpus, syn, docs_per_shard,
         format=FORMAT_VERSION,
         uses_token_filter=meta.uses_token_filter,
         delete_batches=meta.delete_batches + ([del_part] if del_part
+                                              else []),
+        routed_batches=meta.routed_batches + ([del_part] if del_part
                                               else []),
         n_deleted=meta.n_deleted + n_del_new,
         dead_shards=meta.dead_shards, n_purged=meta.n_purged,

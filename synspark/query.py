@@ -291,6 +291,12 @@ def _deletes_by_shard(spark: SparkSession, store: IndexStore,
     meta = meta or store.meta()
     if not meta.delete_batches:
         return None
+    # fast path: every delete commit since v8 also wrote a shard-routed
+    # mirror, so the hot serving path is a plain parquet scan — no
+    # range join, no shard_doc_ranges job per query (round-4 task #5)
+    routed = store.deletes_routed(spark)
+    if routed is not None:
+        return routed
     ranges = store.shard_doc_ranges(spark)
     return (store.deletes(spark)
             .join(F.broadcast(ranges),

@@ -21,6 +21,8 @@ within each batch.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import SparkSession
 
 from .index_store import IndexStore, append_to_index, build_index
@@ -133,7 +135,10 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
                   schema=None,
                   dict_path: str | None = None,
                   dict_poll_interval: float = 1.0,
-                  fs=None):
+                  fs=None,
+                  mode: str = "append",
+                  key_cols: list[str] | None = None,
+                  auto_merge_fraction: float | None = None):
     """Tail ``input_dir`` (parquet corpus files) into the index at
     ``index_dir``. Returns the StreamingQuery; callers own its
     lifecycle (``awaitTermination`` / ``stop``).
@@ -153,8 +158,21 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
     synonyms change (SynonymPluginTest.java:367-484: after swapping
     東京,とうきょう → 東京,TOKYO only newly indexed docs carry the new
     stacked tokens). ``dict_path`` and ``syn`` are mutually exclusive.
+
+    ``mode="upsert"`` makes each micro-batch REPLACE documents by key
+    (default key: repo/path — ES's index-by-id through a streaming
+    sink) instead of blind-appending; ``auto_merge_fraction`` then
+    runs the TieredMergePolicy analogue after every batch so the
+    tombstones continuous upserts generate stay bounded without any
+    operator action (``deletes.auto_merge``: meta-only gate per batch,
+    exact per-shard merge when a shard crosses the fraction). A
+    micro-batch with two rows for one key fails fast (see
+    ``upsert_docs``) — dedupe upstream, e.g. with
+    ``stream_dedup.dedup_stream_exact``.
     """
     cfg = cfg or TokenizerConfig()
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be append|upsert, got {mode!r}")
     if dict_path is not None and syn is not None:
         raise ValueError("pass either syn (pinned rules) or dict_path "
                          "(live-reloaded rules), not both")
@@ -174,9 +192,35 @@ def stream_ingest(spark: SparkSession, input_dir: str, index_dir: str,
         store = IndexStore(index_dir, fs=fs)
         tag = f"stream-batch-{batch_id}"
         if (store.path / "meta.json").exists():
-            append_to_index(batch_df.sparkSession, store, bdf, syn=cur_syn,
+            if mode == "upsert":
+                from .deletes import auto_merge, upsert_docs
+                upsert_docs(batch_df.sparkSession, store, bdf,
+                            syn=cur_syn, key_cols=key_cols,
                             source=tag, batch_tag=tag,
                             allow_dict_change=watcher is not None)
+                if auto_merge_fraction is not None:
+                    # run the policy on a worker thread: py4j executes
+                    # callback-originated JVM calls ON the stream
+                    # execution thread, whose remaining stack (under
+                    # the streaming + callback frames) is too shallow
+                    # for Catalyst planning of the merge jobs
+                    # (observed java.util.regex StackOverflowError); a
+                    # fresh Python thread gets a fresh JVM gateway
+                    # thread with full stack. The upsert is already
+                    # committed — a crash here only defers the merge.
+                    def _policy():
+                        auto_merge(batch_df.sparkSession, store,
+                                   min_deleted_fraction=
+                                   auto_merge_fraction,
+                                   source=f"{tag}:auto-merge")
+                    t = threading.Thread(target=_policy,
+                                         name=f"auto-merge-{batch_id}")
+                    t.start()
+                    t.join()
+            else:
+                append_to_index(batch_df.sparkSession, store, bdf,
+                                syn=cur_syn, source=tag, batch_tag=tag,
+                                allow_dict_change=watcher is not None)
         else:
             build_index(batch_df.sparkSession, bdf, index_dir, cfg=cfg,
                         syn=cur_syn, n_shards=n_shards_first,
