@@ -349,6 +349,92 @@ def q_fts_graph_phrase(spark, sf_dir):
                          groups=[["ko"], follow])
 
 
+def q_fts_stream_reload(spark, sf_dir):
+    """Live dictionary reload through the streaming sink as a CONTRACT
+    row (round-4 verdict task #8 — the last pytest-only surface, T14/
+    D3, promoted to a hash-checked driver row): docs 0-149 stream in
+    under rules v1 ``data,info``, the rules FILE is swapped to v2
+    ``sort,order`` mid-stream (DictWatcher mtime/fingerprint poll — no
+    restart), docs 150-299 stream in under v2. Reference semantics
+    (SynonymPluginTest.java:367-484): a dictionary change applies to
+    SUBSEQUENT documents only; previously indexed docs keep their old
+    tokens until reindexed. The two anchor counts pin BOTH directions
+    of that truth table on one index:
+
+    - ``hits_info``  = docs with whole-token ``info``  — only v1-era
+      docs (doc_id < 150) containing data|info got the stacked
+      anchors; v2-era docs tokenize those substrings as plain grams;
+    - ``hits_order`` = docs with whole-token ``order`` — only v2-era
+      docs (doc_id >= 150) containing sort|order.
+    """
+    import shutil
+    import time as _time
+
+    from synspark.index_store import FORMAT_VERSION, IndexStore
+    from synspark.query import count_matches
+    from synspark.streaming import stream_ingest
+    from synspark.synonyms import SynonymDict
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|reload-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"synspark_reload_{key}"
+    idx = root / "index"
+    corpus = (_docs(spark, sf_dir)
+              .filter(F.col("doc_id") < 300)
+              .select(F.concat(F.lit("r"),
+                               F.lpad(F.col("doc_id").cast("string"),
+                                      8, "0")).alias("repo"),
+                      F.lit("f").alias("path"),
+                      F.lit("c").alias("commit"),
+                      F.lit("t").alias("lang"),
+                      F.col("text").alias("content"),
+                      "doc_id"))
+    ok = False
+    if (idx / "meta.json").exists():
+        try:
+            ok = IndexStore(str(idx)).meta().n_docs == 300
+        except Exception:
+            ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        root.mkdir(parents=True)
+        inp = root / "input"
+        inp.mkdir()
+        rules = root / "rules.txt"
+        rules.write_text("data,info\n")
+        q = stream_ingest(
+            spark, str(inp), str(idx), str(root / "ckpt"),
+            cfg=TokenizerConfig(n=2, expand=True, ignore_case=True),
+            n_shards_first=4, poll_files_per_batch=1,
+            dict_path=str(rules), dict_poll_interval=0.05)
+        try:
+            (corpus.filter(F.col("doc_id") < 150).drop("doc_id")
+             .coalesce(1).write.mode("append").parquet(str(inp)))
+            q.processAllAvailable()
+            assert IndexStore(str(idx)).meta().n_docs == 150
+            # swap the rules FILE in place — the watcher's
+            # (mtime_ns, size) + fingerprint poll picks it up before
+            # the next micro-batch; nothing restarts
+            rules.write_text("sort,order\n")
+            _time.sleep(0.1)
+            (corpus.filter(F.col("doc_id") >= 150).drop("doc_id")
+             .coalesce(1).write.mode("append").parquet(str(inp)))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    store = IndexStore(str(idx))
+    assert store.meta().n_docs == 300, store.meta().n_docs
+    qcfg = TokenizerConfig(n=2, expand=False, ignore_case=True)
+    a = count_matches(spark, store, "info", mode="and",
+                      syn=SynonymDict.parse("data,info"), cfg=qcfg) \
+        .select(F.col("hits").alias("hits_info"))
+    b = count_matches(spark, store, "order", mode="and",
+                      syn=SynonymDict.parse("sort,order"), cfg=qcfg) \
+        .select(F.col("hits").alias("hits_order"))
+    return a.crossJoin(b)
+
+
 def q_fts_stream_count(spark, sf_dir):
     """Structured-Streaming ingest as a CONTRACT row (round-3 verdict
     task #7): the first 300 documents are split into 3 parquet files,
@@ -842,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_synfilter": q_fts_synfilter,
         "fts_graph_phrase": q_fts_graph_phrase,
         "fts_stream_count": q_fts_stream_count,
+        "fts_stream_reload": q_fts_stream_reload,
         "fts_delete_topk": q_fts_delete_topk,
         "fts_purge_topk": q_fts_purge_topk,
         "fts_upsert_count": q_fts_upsert_count,
@@ -1169,6 +1256,30 @@ WHERE regexp_matches(text,
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        # live dict reload mid-stream: v1-era docs (id<150) carry
+        # data,info anchors, v2-era docs (id>=150) carry sort,order —
+        # whole-token anchor counts are substring existence per era
+        # (the asym-count oracle pattern, era-restricted)
+        "fts_stream_reload": f"""
+WITH blocks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '{_DELIMS}')) AS blk
+  FROM documents WHERE doc_id < 300
+), nb AS (
+  SELECT doc_id, lower(blk) AS blk FROM blocks WHERE length(blk) > 0
+), m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(blk, '(data|info)')) AS m1,
+    len(regexp_extract_all(blk, '(sort|order)')) AS m2
+  FROM nb
+), d AS (
+  SELECT doc_id, sum(m1) AS m1, sum(m2) AS m2 FROM m GROUP BY doc_id
+)
+SELECT
+  (SELECT count(*) FROM d WHERE doc_id < 150 AND m1 > 0)::BIGINT
+    AS hits_info,
+  (SELECT count(*) FROM d WHERE doc_id >= 150 AND m2 > 0)::BIGINT
+    AS hits_order
 """,
         # global stats every BM25 score depends on, from first
         # principles over the raw corpus

@@ -16,6 +16,17 @@ round-over-round deltas meaningful.
 
 Scaling-efficiency evidence (north rule, N vs 4N executors) lives in
 BENCH/scaling.py — run separately, results recorded in BENCH/BASELINE.md.
+
+A/B mode (round-4 verdict task #10 — first-class drift adjudication):
+``python bench.py --ab <git-ref>`` checks out ``<git-ref>`` into a
+temp dir (git archive, repo untouched) and runs HEAD and the ref
+INTERLEAVED (ref,head,ref,head,... one full bench subprocess each,
+min-of-$SPARK_GRAFT_BENCH_REPEATS per side) so host drift hits both
+sides equally; prints ONE JSON line with both query maps and the
+head/ref ratio per query. Round-over-round nominal drift is then
+self-adjudicating instead of relying on ad-hoc disclosure (round 4's
+across-the-board ~15% "regression" was 1.65× host steal, proven by
+exactly this experiment run by hand).
 """
 
 from __future__ import annotations
@@ -172,5 +183,68 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def run_ab(ref: str) -> None:
+    """Interleaved HEAD-vs-<ref> benchmark; see module docstring."""
+    import shutil
+    import subprocess
+
+    def one_run(cwd: str, tag: str) -> dict:
+        env = dict(os.environ,
+                   SPARK_GRAFT_BENCH_REPEATS="1",
+                   SPARK_GRAFT_SF_DIR=SF_DIR,
+                   SPARK_GRAFT_CPUS=str(CPUS),
+                   SPARK_GRAFT_BENCH_DOCS=str(BENCH_DOCS))
+        p = subprocess.run([sys.executable, "bench.py"], cwd=cwd,
+                           env=env, capture_output=True, text=True,
+                           timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"{tag} bench failed:\n{p.stderr[-2000:]}")
+        # last stdout line is the JSON contract
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    tmp = tempfile.mkdtemp(prefix="synspark_ab_")
+    try:
+        ref_dir = os.path.join(tmp, "ref")
+        os.makedirs(ref_dir)
+        subprocess.run(
+            f"git archive {ref} | tar -x -C {ref_dir}",
+            shell=True, cwd=str(REPO), check=True, capture_output=True)
+        sha = subprocess.run(["git", "rev-parse", ref], cwd=str(REPO),
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+        head_sha = subprocess.run(["git", "rev-parse", "HEAD"],
+                                  cwd=str(REPO), capture_output=True,
+                                  text=True, check=True).stdout.strip()
+        head_q: dict[str, float] = {}
+        ref_q: dict[str, float] = {}
+
+        def fold(acc: dict, run: dict) -> None:
+            for k, v in run["queries"].items():
+                acc[k] = min(acc.get(k, float("inf")), v)
+
+        # strict interleaving: each repeat runs ref then head
+        # back-to-back, so a noisy host window inflates both sides
+        for _ in range(REPEATS):
+            fold(ref_q, one_run(ref_dir, f"ref({ref})"))
+            fold(head_q, one_run(str(REPO), "head"))
+        ratio = {k: round(head_q[k] / ref_q[k], 3)
+                 for k in sorted(head_q) if k in ref_q and ref_q[k] > 0}
+        print(json.dumps({
+            "metric": "ab_head_over_ref",
+            "ref": ref, "ref_sha": sha, "head_sha": head_sha,
+            "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+            if "sf" in SF_DIR else 0.0,
+            "repeats": REPEATS,
+            "head_queries": head_q,
+            "ref_queries": ref_q,
+            "ratio": ratio,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        run_ab(sys.argv[2])
+    else:
+        main()
