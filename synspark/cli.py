@@ -93,6 +93,16 @@ def main(argv=None):
                     "dynamic_reload); mutually exclusive with --synonyms")
     st.add_argument("--timeout", type=float, default=None,
                     help="stop after N seconds (default: run forever)")
+    st.add_argument("--mode", choices=["append", "upsert"],
+                    default="append",
+                    help="upsert: replace documents by key per "
+                    "micro-batch instead of blind-appending")
+    st.add_argument("--key-cols", default=None,
+                    help="comma-separated upsert key columns "
+                    "(default: repo,path)")
+    st.add_argument("--auto-merge-fraction", type=float, default=None,
+                    help="run the TieredMergePolicy-analogue merge "
+                    "after each batch at this deleted fraction")
     _add_common(st)
 
     ap_cmp = sub.add_parser("compact",
@@ -139,6 +149,9 @@ def main(argv=None):
     u.add_argument("--key-cols", default=None,
                    help="comma-separated key columns (default: repo,path)")
     u.add_argument("--batch-tag", help="idempotence tag")
+    u.add_argument("--auto-merge-fraction", type=float, default=None,
+                   help="run the TieredMergePolicy-analogue merge "
+                   "after the commit at this deleted fraction")
     _add_common(u)
 
     args = ap.parse_args(argv)
@@ -212,7 +225,10 @@ def main(argv=None):
                 spark, args.input, args.index, args.checkpoint, cfg=cfg,
                 syn=_load_syn(args), n_shards_first=args.shards_first,
                 poll_files_per_batch=args.files_per_batch,
-                dict_path=args.dict_path)
+                dict_path=args.dict_path, mode=args.mode,
+                key_cols=args.key_cols.split(",")
+                if args.key_cols else None,
+                auto_merge_fraction=args.auto_merge_fraction)
             if args.timeout:
                 q.awaitTermination(args.timeout)
                 q.stop()
@@ -267,7 +283,8 @@ def main(argv=None):
                         syn=_load_syn(args),
                         key_cols=args.key_cols.split(",")
                         if args.key_cols else None,
-                        batch_tag=args.batch_tag)
+                        batch_tag=args.batch_tag,
+                        auto_merge_fraction=args.auto_merge_fraction)
             m = store.meta()
             print(json.dumps({"n_docs": m.n_docs,
                               "n_deleted": m.n_deleted}))
