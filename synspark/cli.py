@@ -139,6 +139,9 @@ def main(argv=None):
     d.add_argument("--mode", choices=["and", "or"], default="and")
     d.add_argument("--phrase", action="store_true")
     d.add_argument("--batch-tag", help="idempotence tag")
+    d.add_argument("--auto-merge-fraction", type=float, default=None,
+                   help="run the TieredMergePolicy-analogue merge "
+                   "after the commit at this deleted fraction")
     _add_common(d)
 
     u = sub.add_parser("upsert", help="replace-by-key + insert "

@@ -23,6 +23,51 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_DOCS = 128
+# cap on stored impact pairs per block (quantization segments); Lucene
+# caps its per-level impact lists similarly
+MAX_IMPACTS = 8
+
+
+def pareto_impacts(tfs: np.ndarray, dls: np.ndarray,
+                   cap: int = MAX_IMPACTS) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized impacts for one block (Lucene's competitive freq-norm
+    pairs, re-derived): the pareto front of the block's ACTUAL
+    (tf, dl) posting pairs — (f_i, d_i) with f and d strictly
+    ascending such that every posting is dominated by some pair
+    (tf <= f_i and dl >= d_i). The WAND bound max_i score(f_i, d_i)
+    is then ATTAINED whenever a block is a mix of homogeneous doc
+    populations (each population's exact (tf, dl) is its own pair),
+    which (max_tf, min_dl) — a cross-doc chimera — never achieves on
+    mixed blocks. Fronts longer than ``cap`` quantize by merging
+    adjacent pairs into (max f, min d) — still dominating, slightly
+    looser."""
+    o = np.lexsort((-tfs, dls))            # dl asc, tf desc within dl
+    tfo, dlo = tfs[o], dls[o]
+    cm = np.maximum.accumulate(tfo)
+    member = np.empty(len(tfo), dtype=bool)
+    member[0] = True
+    member[1:] = cm[1:] > cm[:-1]
+    f, d = tfo[member], dlo[member]
+    if len(f) > cap:
+        r = np.arange(len(f))
+        seg = (r * cap) // len(f)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(seg)) + 1))
+        f = np.maximum.reduceat(f, starts)  # front is f-ascending
+        d = d[starts]                       # and d-ascending: min = first
+    return f.astype(np.int64), d.astype(np.int64)
+
+
+def encode_impacts(f: np.ndarray, d: np.ndarray) -> bytes:
+    """varint [P, f_1..f_P, d_1..d_P]."""
+    return varint_encode(np.concatenate(
+        ([len(f)], f, d)).astype(np.uint64))
+
+
+def decode_impacts(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_impacts -> (f int64 asc, d int64 asc)."""
+    v = varint_decode(buf).astype(np.int64)
+    p = int(v[0])
+    return v[1:1 + p], v[1 + p:1 + 2 * p]
 
 
 def varint_encode_with_lengths(values: np.ndarray) -> tuple:
@@ -163,6 +208,10 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
             "tf_bytes": varint_encode(block_tfs),
             "dl_bytes": (varint_encode(dls[b0:b1].astype(np.uint64))
                          if dls is not None else b""),
+            "imp_bytes": (encode_impacts(*pareto_impacts(
+                tfs[b0:b1].astype(np.int64),
+                dls[b0:b1].astype(np.int64)))
+                if dls is not None else None),
             "pos_bytes": None,
         }
         if positions_concat is not None:
@@ -176,6 +225,66 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray,
                 np.asarray(seg).astype(np.uint64))
         out.append(rec)
     return out
+
+
+def _impacts_batch(tf: np.ndarray, udl: np.ndarray,
+                   blk_starts: np.ndarray,
+                   docs_per_blk: np.ndarray) -> list:
+    """Vectorized per-block quantized impacts for the batch encoder —
+    byte-identical to ``encode_impacts(*pareto_impacts(...))`` per
+    block (pinned by tests), with no per-block Python.
+
+    Segmented pareto trick: sort docs by (block, dl asc, tf desc);
+    ``blk*(M+1) + tf`` makes a single ``np.maximum.accumulate`` a
+    per-block running max (each block's base exceeds every value of
+    the previous block), and the pareto members are exactly the
+    positions where that running max strictly increases."""
+    D = len(tf)
+    NB = len(blk_starts)
+    blk = np.zeros(D, dtype=np.int64)
+    blk[blk_starts[1:]] = 1
+    blk = np.cumsum(blk)
+    M = int(tf.max()) if D else 0
+    order = np.lexsort((-tf, udl, blk))
+    tfo, dlo, blko = tf[order], udl[order], blk[order]
+    comb = blko * np.int64(M + 1) + tfo
+    cm = np.maximum.accumulate(comb)
+    member = np.empty(D, dtype=bool)
+    member[0] = True
+    member[1:] = cm[1:] > cm[:-1]
+    ftf, fdl, fblk = tfo[member], dlo[member], blko[member]
+    # within-block rank over pareto members (every block has >= 1)
+    P = np.bincount(fblk, minlength=NB).astype(np.int64)
+    first_m = np.concatenate(
+        ([0], np.flatnonzero(fblk[1:] != fblk[:-1]) + 1))
+    rank = np.arange(len(ftf)) - np.repeat(first_m, P)
+    # quantize fronts longer than MAX_IMPACTS: merge adjacent pairs
+    Pk = P[fblk]
+    seg = np.where(Pk > MAX_IMPACTS, (rank * MAX_IMPACTS) // Pk, rank)
+    segchg = np.empty(len(ftf), dtype=bool)
+    segchg[0] = True
+    segchg[1:] = (fblk[1:] != fblk[:-1]) | (seg[1:] != seg[:-1])
+    sstarts = np.flatnonzero(segchg)
+    mtf = np.maximum.reduceat(ftf, sstarts)   # front is f-ascending
+    mdl = fdl[sstarts]                        # and d-ascending
+    mblk = fblk[sstarts]
+    P2 = np.bincount(mblk, minlength=NB).astype(np.int64)
+    # value stream per block: [P, f_1..f_P, d_1..d_P]
+    tot = 1 + 2 * P2
+    off = np.concatenate(([0], np.cumsum(tot)))
+    vals = np.zeros(int(off[-1]), dtype=np.int64)
+    vals[off[:-1]] = P2
+    first2 = np.concatenate(
+        ([0], np.flatnonzero(mblk[1:] != mblk[:-1]) + 1))
+    rank2 = np.arange(len(mtf)) - np.repeat(first2, P2)
+    vals[off[mblk] + 1 + rank2] = mtf
+    vals[off[mblk] + 1 + P2[mblk] + rank2] = mdl
+    raw, lens = varint_encode_with_lengths(vals.astype(np.uint64))
+    voff = np.concatenate(([0], np.cumsum(lens)))
+    b0 = voff[off[:-1]]
+    b1 = voff[off[1:]]
+    rb = raw.tobytes()
+    return [rb[int(s):int(e)] for s, e in zip(b0, b1)]
 
 
 def encode_sorted_batch(grp_change: np.ndarray, doc: np.ndarray,
@@ -261,6 +370,7 @@ def encode_sorted_batch(grp_change: np.ndarray, doc: np.ndarray,
         "doc_bytes": block_slices(gap_raw, gap_len, blk_starts, docs_per_blk),
         "tf_bytes": block_slices(tf_raw, tf_len, blk_starts, docs_per_blk),
         "dl_bytes": block_slices(dl_raw, dl_len, blk_starts, docs_per_blk),
+        "imp_bytes": _impacts_batch(tf, udl, blk_starts, docs_per_blk),
         "doc_start_tok": doc_starts[blk_starts],  # token idx of block start
     }
 

@@ -143,12 +143,15 @@ def delete_docs(spark: SparkSession, store: IndexStore,
                 doc_ids=None, keys: DataFrame | None = None,
                 key_cols: list[str] | None = None,
                 batch_tag: str | None = None,
-                source: str = "<delete>") -> IndexStore:
+                source: str = "<delete>",
+                auto_merge_fraction: float | None = None) -> IndexStore:
     """Phase-1 delete: tombstone documents by ``doc_ids`` (DataFrame
     with a ``doc_id`` column, or a list of ints) or by ``keys`` (a
     DataFrame of repo/path/commit key columns, resolved against the
     docmap). Idempotent per ``batch_tag`` like appends; single-writer
     locked; committed atomically via the one meta.json write.
+    ``auto_merge_fraction`` runs the TieredMergePolicy analogue after
+    the commit (``auto_merge``) so bulk deletes self-purge.
 
     Semantics after this call (Lucene liveDocs, phase 1):
     - search / count / batch results exclude the deleted docs;
@@ -166,36 +169,49 @@ def delete_docs(spark: SparkSession, store: IndexStore,
     """
     store.acquire_writer_lock(owner=source)
     try:
-        meta = store.meta()
-        if batch_tag is not None and \
-                meta.batches.get(batch_tag, {}).get("status") == "done":
-            return store  # replayed delete batch: already committed
-        ids = _normalize_ids(spark, store, doc_ids, keys, key_cols)
-        part, n_new = _write_tombstones(spark, store, meta, ids,
-                                        meta.n_docs)
-        batches = dict(meta.batches)
-        if part is None:
-            if batch_tag is None:
-                return store
-            # nothing newly deleted: commit only the idempotence record
-            batches[batch_tag] = {"status": "done", "kind": "delete",
-                                  "n_deleted": 0, "partition": None}
-            store._write_meta(IndexMeta(
-                **{**asdict(meta), "batches": batches,
-                   "created_utc": time.time()}))
-            return store
-        batches[batch_tag or part] = {
-            "status": "done", "kind": "delete", "n_deleted": n_new,
-            "partition": part}
-        store._write_meta(IndexMeta(
-            **{**asdict(meta), "batches": batches,
-               "delete_batches": meta.delete_batches + [part],
-               "routed_batches": meta.routed_batches + [part],
-               "n_deleted": meta.n_deleted + n_new,
-               "created_utc": time.time()}))
-        return store
+        store = _delete_locked(spark, store, doc_ids, keys, key_cols,
+                               batch_tag, source)
     finally:
         store.release_writer_lock()
+    if auto_merge_fraction is not None:
+        # post-commit policy run (same contract as upsert_docs): the
+        # delete is durable; a crash here only defers the merge
+        store = auto_merge(spark, store,
+                           min_deleted_fraction=auto_merge_fraction,
+                           source=f"{source}:auto-merge")
+    return store
+
+
+def _delete_locked(spark, store, doc_ids, keys, key_cols, batch_tag,
+                   source) -> IndexStore:
+    meta = store.meta()
+    if batch_tag is not None and \
+            meta.batches.get(batch_tag, {}).get("status") == "done":
+        return store  # replayed delete batch: already committed
+    ids = _normalize_ids(spark, store, doc_ids, keys, key_cols)
+    part, n_new = _write_tombstones(spark, store, meta, ids,
+                                    meta.n_docs)
+    batches = dict(meta.batches)
+    if part is None:
+        if batch_tag is None:
+            return store
+        # nothing newly deleted: commit only the idempotence record
+        batches[batch_tag] = {"status": "done", "kind": "delete",
+                              "n_deleted": 0, "partition": None}
+        store._write_meta(IndexMeta(
+            **{**asdict(meta), "batches": batches,
+               "created_utc": time.time()}))
+        return store
+    batches[batch_tag or part] = {
+        "status": "done", "kind": "delete", "n_deleted": n_new,
+        "partition": part}
+    store._write_meta(IndexMeta(
+        **{**asdict(meta), "batches": batches,
+           "delete_batches": meta.delete_batches + [part],
+           "routed_batches": meta.routed_batches + [part],
+           "n_deleted": meta.n_deleted + n_new,
+           "created_utc": time.time()}))
+    return store
 
 
 def delete_by_query(spark: SparkSession, store: IndexStore, text: str,
@@ -203,7 +219,9 @@ def delete_by_query(spark: SparkSession, store: IndexStore, text: str,
                     syn=None, cfg=None,
                     groups: list[list[str]] | None = None,
                     batch_tag: str | None = None,
-                    source: str = "<delete-by-query>") -> IndexStore:
+                    source: str = "<delete-by-query>",
+                    auto_merge_fraction: float | None = None
+                    ) -> IndexStore:
     """ES ``_delete_by_query``: tombstone every live doc matching the
     query (boolean AND/OR or phrase, same analysis as ``search``).
     The victim set is resolved distributively (``query.match_ids`` —
@@ -214,7 +232,8 @@ def delete_by_query(spark: SparkSession, store: IndexStore, text: str,
     ids = match_ids(spark, store, text, mode=mode, phrase=phrase,
                     syn=syn, cfg=cfg, groups=groups)
     return delete_docs(spark, store, doc_ids=ids, batch_tag=batch_tag,
-                       source=source)
+                       source=source,
+                       auto_merge_fraction=auto_merge_fraction)
 
 
 def upsert_docs(spark: SparkSession, store: IndexStore,
@@ -428,8 +447,9 @@ def _merge_locked(spark, store, shards, min_frac, source) -> IndexStore:
         return _purge_shard(left, right)
 
     seg_dir = str(store.path / "segments")
-    (segs.groupBy("new_shard")
-     .cogroup(dels_m.groupBy("new_shard"))
+    from .query import _fanout
+    (_fanout(segs, "new_shard").groupBy("new_shard")
+     .cogroup(_fanout(dels_m, "new_shard").groupBy("new_shard"))
      .applyInPandas(run, schema=SEGMENT_SCHEMA)
      .repartition(len(cand), "shard")
      .sortWithinPartitions("term", "salt", "first_doc")
@@ -588,7 +608,7 @@ def _encode_docstats_pseudo(sd: np.ndarray, sl: np.ndarray,
             "doc_bytes": varint_encode(gaps),
             "tf_bytes": b"",
             "dl_bytes": varint_encode(sl[b0:b1].astype(np.uint64)),
-            "pos_bytes": None, "pl_bytes": None,
+            "imp_bytes": None, "pos_bytes": None, "pl_bytes": None,
         })
     return pd.DataFrame(recs, columns=_SEG_COLS)
 
@@ -605,7 +625,8 @@ def _purge_shard(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in zip(
         _SEG_COLS, ["object", "int32", "int32", "int32", "int64",
                     "int64", "int32", "int32", "int64", "int32",
-                    "object", "object", "object", "object", "object"])})
+                    "object", "object", "object", "object", "object",
+                    "object"])})
     if len(left) == 0:
         return empty
     new_shard = int(left["new_shard"].iat[0])
@@ -788,8 +809,10 @@ def purge_merge(spark: SparkSession, store: IndexStore, out_dir: str,
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return _purge_shard(left, right)
 
-    purged = (segs.groupBy("new_shard")
-              .cogroup(dels_new.groupBy("new_shard"))
+    from .query import _fanout
+    purged = (_fanout(segs, "new_shard").groupBy("new_shard")
+              .cogroup(_fanout(dels_new, "new_shard")
+                       .groupBy("new_shard"))
               .applyInPandas(run, schema=SEGMENT_SCHEMA))
     (purged.repartition(max(n_new, 1), "shard")
      .sortWithinPartitions("term", "salt", "first_doc")

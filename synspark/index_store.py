@@ -96,7 +96,9 @@ DEFAULT_SHARDS = 8
 #  v7: tombstone deletes — deletes/batch=del-K partitions plus
 #  delete_batches / n_deleted in meta (Lucene liveDocs analogue; see
 #  deletes.py for the two-phase delete -> purge-merge semantics))
-FORMAT_VERSION = 7
+#  v8: imp_bytes quantized-impact column in SEGMENT_SCHEMA + routed
+#      tombstone mirror (deletes_routed/, meta.routed_batches)
+FORMAT_VERSION = 8
 INITIAL_BATCH = "initial"
 
 

@@ -67,6 +67,12 @@ SEGMENT_SCHEMA = StructType([
     StructField("doc_bytes", BinaryType(), False),
     StructField("tf_bytes", BinaryType(), False),
     StructField("dl_bytes", BinaryType(), False),
+    # quantized impacts (v8): the pareto front of the block's actual
+    # (tf, dl) pairs, capped at MAX_IMPACTS — gives WAND attainable
+    # per-block bounds on mixed-population blocks where the
+    # (max_tf, min_dl) chimera over-estimates (Lucene's competitive
+    # freq-norm impact lists, re-derived; see codec.pareto_impacts)
+    StructField("imp_bytes", BinaryType(), True),
     StructField("pos_bytes", BinaryType(), True),
     # posLength graph (v6): per-occurrence spans, present only for
     # filter-composed builds whose rules produce multi-position tokens
@@ -443,6 +449,7 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                     "doc_bytes": varint_encode(gaps),
                     "tf_bytes": b"",
                     "dl_bytes": varint_encode(sl[b0:b1].astype(np.uint64)),
+                    "imp_bytes": None,
                     "pos_bytes": None,
                     "pl_bytes": None,
                 })

@@ -43,8 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .codec import (decode_block, decode_plens, decode_positions,
-                    varint_decode)
+from .codec import (decode_block, decode_impacts, decode_plens,
+                    decode_positions, varint_decode)
 from .index_store import IndexStore
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig, tokenize
@@ -312,6 +312,23 @@ def _del_array(right: pd.DataFrame) -> np.ndarray | None:
         if len(right) else None
 
 
+
+def _fanout(df: DataFrame, key: str = "shard") -> DataFrame:
+    """Pin the grouped-map exchange to a real fan-out. AQE's
+    post-shuffle coalescing sees only the tiny encoded-blocks shuffle
+    (tens of MB at 10M docs) and folds the applyInPandas stage into
+    ONE task — serializing every shard worker through a single Python
+    process (measured: the 10M synonym flood spent 11.5s of worker
+    time strictly serially; the scan stage's 800 tasks masked it).
+    A USER-SPECIFIED repartition is exempt from AQE coalescing, so
+    grouping on its output keeps defaultParallelism tasks — one wave
+    of real parallel workers. Groups (shards) hash uniformly; fewer
+    groups than tasks just leaves cheap empty tasks."""
+    spark = df.sparkSession
+    n = max(1, spark.sparkContext.defaultParallelism)
+    return df.repartition(n, key)
+
+
 def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                 phrase: bool = False,
                 deleted: np.ndarray | None = None,
@@ -326,10 +343,6 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     ranking is among phrase-matching docs only (Lucene semantics), all
     shard-local — no candidate set ever leaves the executor."""
     n_groups = len(plan.groups)
-    term_gid = {}
-    for gi, g in enumerate(plan.groups):
-        for t in g:
-            term_gid.setdefault(t, []).append(gi)
 
     # organize blocks per group; block upper bound from (max_tf, min_dl)
     first = pdf["first_doc"].to_numpy()
@@ -378,28 +391,111 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     # lives only in long-doc blocks (its own min_dl ≫ the group's),
     # (1) exceeds (2) whenever Σ f(a_t) > f(Σ a_t) binds (common —
     # that's subadditivity). min of two valid bounds is valid.
-    terms_arr = pdf["term"].to_numpy()
+    # vectorized block-metadata fold: per-(term, window) aggregates
+    # via factorized codes + scatter .at updates (a per-row Python
+    # loop here was ~30µs/row — at 16 queries × 800 shards × ~900
+    # rows it was the batch-serving ceiling)
+    codes, uterm_arr = pd.factorize(pdf["term"])
+    codes = codes.astype(np.int64)
+    uterms = {t: i for i, t in enumerate(uterm_arr)}
     mtf_i = pdf["max_tf"].to_numpy().astype(np.int64)
     mdl_i = pdf["min_dl"].to_numpy().astype(np.int64)
-    uterms = {t: i for i, t in enumerate(dict.fromkeys(terms_arr))}
-    ub_term = np.zeros((len(uterms), n_win))
-    mtf_term = np.zeros((len(uterms), n_win), dtype=np.int64)
-    mdl_term = np.full((len(uterms), n_win), np.iinfo(np.int64).max,
+    nT = len(uterms)
+    ub_term = np.zeros(nT * n_win)
+    mtf_term = np.zeros(nT * n_win, dtype=np.int64)
+    mdl_term = np.full(nT * n_win, np.iinfo(np.int64).max,
                        dtype=np.int64)
-    blk_rows_by_gid: list[list[int]] = [[] for _ in range(n_groups)]
-    for i in range(len(pdf)):
-        t = terms_arr[i]
-        w0 = (int(first[i]) - lo) // win
-        w1 = (int(last[i]) - lo) // win
-        ti = uterms[t]
-        seg = ub_term[ti, w0:w1 + 1]
-        np.maximum(seg, maxn[i], out=seg)
-        seg = mtf_term[ti, w0:w1 + 1]
-        np.maximum(seg, mtf_i[i], out=seg)
-        seg = mdl_term[ti, w0:w1 + 1]
-        np.minimum(seg, mdl_i[i], out=seg)
-        for gi in term_gid.get(t, ()):
-            blk_rows_by_gid[gi].append(i)
+    w0a = (first - lo) // win
+    w1a = (last - lo) // win
+    flat = codes * n_win + w0a
+    one = w0a == w1a                      # almost every block: one window
+    np.maximum.at(ub_term, flat[one], maxn[one])
+    np.maximum.at(mtf_term, flat[one], mtf_i[one])
+    np.minimum.at(mdl_term, flat[one], mdl_i[one])
+    for i in np.flatnonzero(~one):        # rare window-spanning blocks
+        s = slice(codes[i] * n_win + w0a[i], codes[i] * n_win + w1a[i] + 1)
+        np.maximum(ub_term[s], maxn[i], out=ub_term[s])
+        np.maximum(mtf_term[s], mtf_i[i], out=mtf_term[s])
+        np.minimum(mdl_term[s], mdl_i[i], out=mdl_term[s])
+    ub_term = ub_term.reshape(nT, n_win)
+    mtf_term = mtf_term.reshape(nT, n_win)
+    mdl_term = mdl_term.reshape(nT, n_win)
+
+    rows_by_ti = {ti: np.flatnonzero(codes == ti) for ti in range(nT)}
+    blk_rows_by_gid: list[np.ndarray] = [
+        np.sort(np.concatenate(
+            [rows_by_ti[uterms[t]] for t in g if t in uterms] or
+            [np.zeros(0, np.int64)]))
+        for g in plan.groups]
+
+    # quantized impacts (v8): decode EVERY block's pareto pairs with
+    # ONE vectorized varint pass over the concatenated buffers (per-row
+    # decode_impacts calls were ~8µs each — another batch ceiling), then
+    # per-(term, window) slices by binary search (a term's blocks are
+    # doc-disjoint, so first_doc and last_doc are both sorted). A block
+    # without impacts (pre-v8) poisons its (term, window)s -> fallback.
+    has_imp = "imp_bytes" in pdf.columns
+    imp_f: list = [None] * len(pdf)
+    imp_d: list = [None] * len(pdf)
+    if has_imp:
+        bufs = pdf["imp_bytes"].tolist()
+        present = [i for i, b in enumerate(bufs) if b is not None]
+        if present:
+            allv = varint_decode(
+                b"".join(bufs[i] for i in present)).astype(np.int64)
+            pos = 0
+            for i in present:
+                p = int(allv[pos])
+                imp_f[i] = allv[pos + 1:pos + 1 + p]
+                imp_d[i] = allv[pos + 1 + p:pos + 1 + 2 * p]
+                pos += 1 + 2 * p
+    ti_first: dict[int, tuple] = {}
+    for ti, rws in rows_by_ti.items():
+        o = np.argsort(first[rws], kind="stable")
+        rws = rws[o]
+        ti_first[ti] = (rws, first[rws], last[rws])
+
+    def _impact_bound(rows: list[int], w: int) -> float | None:
+        """max over breakpoint dls d of f(Σ_t F_t(d), d), where F_t(d)
+        = the largest pareto tf among term t's pairs with dl <= d — a
+        true upper bound (every posting is dominated by a pair; f is
+        monotone in tf, antitone in dl), attained whenever one doc
+        population supplies every term's F at its own dl. Expression
+        mirrors the scorer bit-exactly. None => no impact data for
+        some present term (pre-v8 block): caller keeps other bounds."""
+        d0, d1 = lo + w * win, lo + (w + 1) * win
+        fts = []
+        ds = []
+        for ti in rows:
+            rws, fs_, ls_ = ti_first[ti]
+            j0 = np.searchsorted(ls_, d0)
+            j1 = np.searchsorted(fs_, d1)
+            sel = rws[j0:j1]
+            if len(sel) == 0:
+                continue               # term absent in window: F_t = 0
+            fls = [imp_f[r] for r in sel]
+            if any(x is None for x in fls):
+                return None
+            f = np.concatenate(fls)
+            d = np.concatenate([imp_d[r] for r in sel])
+            o = np.lexsort((f, d))
+            d, f = d[o], f[o]
+            fc = np.maximum.accumulate(f)
+            fts.append((d, fc))
+            ds.append(d)
+        if not ds:
+            return 0.0
+        D = np.unique(np.concatenate(ds))
+        tsum = np.zeros(len(D), dtype=np.int64)
+        for d_arr, fc in fts:
+            idx = np.searchsorted(d_arr, D, side="right") - 1
+            tsum += np.where(idx >= 0, fc[np.maximum(idx, 0)], 0)
+        tf_f = tsum.astype(np.float64)
+        dl_f = D.astype(np.float64)
+        bd = tf_f / (tf_f + plan.k1 *
+                     (1 - plan.b + plan.b * dl_f / plan.avgdl))
+        return float(bd.max())
+
     ub = np.zeros((n_groups, n_win))
     for gi, g in enumerate(plan.groups):
         rows = [uterms[t] for t in g if t in uterms]
@@ -420,6 +516,14 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
             blended = ts / (ts + plan.k1 *
                             (1 - plan.b + plan.b * dl / plan.avgdl))
             np.minimum(bound, blended, out=bound)
+        if has_imp:
+            # impact bound: sharper than both on mixed-population
+            # windows (the (max_tf, min_dl) chimera never occurs in a
+            # real doc there); min of valid bounds is valid
+            for w in np.flatnonzero(bound > 0):
+                ibw = _impact_bound(rows, int(w))
+                if ibw is not None and ibw < bound[w]:
+                    bound[w] = ibw
         ub[gi] = plan.idfs[gi] * bound
 
     if mode == "and":
@@ -441,36 +545,66 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
 
     has_pl = "pl_bytes" in pdf.columns
 
+    ndocs_arr = pdf["n_docs"].to_numpy().astype(np.int64)
+    doc_bytes_l = pdf["doc_bytes"].tolist()
+    tf_bytes_l = pdf["tf_bytes"].tolist()
+    dl_bytes_l = pdf["dl_bytes"].tolist()
+
     def decode_group_window(gi: int, d0: int, d1: int, want_pos: bool):
         """decoded merged postings of group gi limited to [d0, d1);
         with ``want_pos`` also the flat (doc, position, pos_len)
         occurrence arrays (union over the group's alternative
-        terms)."""
-        docs_all, tfs_all, dls_all = [], [], []
-        pdocs_all, pvals_all, plens_all = [], [], []
-        for i in blk_rows_by_gid[gi]:
-            if first[i] >= d1 or last[i] < d0:
-                continue  # block skip
-            nd = int(pdf["n_docs"].iat[i])
-            docs, tfs = decode_block(int(first[i]), pdf["doc_bytes"].iat[i],
-                                     pdf["tf_bytes"].iat[i], nd)
-            dls = varint_decode(pdf["dl_bytes"].iat[i], nd).astype(np.int64)
-            m = (docs >= d0) & (docs < d1)
-            docs_all.append(docs[m]); tfs_all.append(tfs[m]); dls_all.append(dls[m])
-            if want_pos and m.any():
-                pos = decode_positions(pdf["pos_bytes"].iat[i], tfs)
-                pl = decode_plens(pdf["pl_bytes"].iat[i] if has_pl
-                                  else None, tfs)
-                mk = np.repeat(m, tfs)
-                pdocs_all.append(np.repeat(docs, tfs)[mk])
-                pvals_all.append(pos[mk])
-                plens_all.append(pl[mk])
-        if not docs_all:
+        terms).
+
+        All selected blocks decode in ONE varint pass per stream
+        (buffers concatenated, segmented cumsum re-anchors each block
+        at its first_doc): per-block decode calls were ~40µs of fixed
+        numpy overhead each — the batch-serving ceiling once pruning
+        removed the large decodes."""
+        rows = blk_rows_by_gid[gi]
+        sel = rows[(first[rows] < d1) & (last[rows] >= d0)]
+        if len(sel) == 0:
             z = np.zeros(0, np.int64)
             return z, z, z, z, z, z
-        docs = np.concatenate(docs_all)
-        tfs = np.concatenate(tfs_all)
-        dls = np.concatenate(dls_all)
+        counts = ndocs_arr[sel]
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        gaps = varint_decode(
+            b"".join(doc_bytes_l[i] for i in sel)).astype(np.int64)
+        # segmented cumsum: blocks encode gap 0 at their start, so the
+        # running sum minus its value at each block boundary, plus the
+        # block's first_doc, recovers absolute ids
+        acc = np.cumsum(gaps)
+        base = np.repeat(acc[starts] - gaps[starts], counts)
+        docs = acc - base + np.repeat(first[sel], counts)
+        tfs = varint_decode(
+            b"".join(tf_bytes_l[i] for i in sel)).astype(np.int64)
+        dls = varint_decode(
+            b"".join(dl_bytes_l[i] for i in sel)).astype(np.int64)
+        m = (docs >= d0) & (docs < d1)
+        pdocs_all, pvals_all, plens_all = [], [], []
+        if want_pos:
+            # positions stay per-block (phrase-only path; per-doc
+            # delta chains need per-block tf alignment)
+            for j, i in enumerate(sel):
+                mb = m[starts[j]:ends[j]]
+                if not mb.any():
+                    continue
+                tfb = tfs[starts[j]:ends[j]]
+                docb = docs[starts[j]:ends[j]]
+                pos = decode_positions(pdf["pos_bytes"].iat[i], tfb)
+                pl = decode_plens(pdf["pl_bytes"].iat[i] if has_pl
+                                  else None, tfb)
+                mk = np.repeat(mb, tfb)
+                pdocs_all.append(np.repeat(docb, tfb)[mk])
+                pvals_all.append(pos[mk])
+                plens_all.append(pl[mk])
+        docs = docs[m]
+        tfs = tfs[m]
+        dls = dls[m]
+        if len(docs) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z, z, z
         # merge alternatives: sum tf per doc
         udocs, inv = np.unique(docs, return_inverse=True)
         utf = np.zeros(len(udocs), np.int64)
@@ -635,11 +769,17 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
     """The shard-parallel WAND execution behind ``search``, taking a
     pre-built plan (so multi-field search can run it per field without
     re-analysis)."""
+    # column pruning matters here: pos_bytes is the FATTEST stream
+    # (every occurrence's delta-coded position) and a non-phrase query
+    # never touches it — reading it anyway made the parquet scan, not
+    # the decode, the multi-term query bottleneck at 10M docs
+    cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
+            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+            "imp_bytes"]
+    if phrase:
+        cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
-        .filter(F.col("term").isin(plan.terms)) \
-        .select("term", "shard", "first_doc", "last_doc", "n_docs",
-                "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
-                "pos_bytes", "pl_bytes")
+        .filter(F.col("term").isin(plan.terms)).select(*cols)
     dels = _deletes_by_shard(spark, store, meta)
 
     empty = {"doc_id": pd.Series([], dtype="int64"),
@@ -650,7 +790,7 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
                 return pd.DataFrame(empty)
             return _wand_shard(pdf, plan, k, mode, phrase, after=after)
 
-        topk = blocks.groupBy("shard").applyInPandas(
+        topk = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="doc_id long, score double")
     else:
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -659,8 +799,8 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
             return _wand_shard(left, plan, k, mode, phrase,
                                deleted=_del_array(right), after=after)
 
-        topk = (blocks.groupBy("shard")
-                .cogroup(dels.groupBy("shard"))
+        topk = (_fanout(blocks).groupBy("shard")
+                .cogroup(_fanout(dels).groupBy("shard"))
                 .applyInPandas(run2, schema="doc_id long, score double"))
     return topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -714,7 +854,8 @@ def search_batch(spark: SparkSession, store: IndexStore,
                                avgdl=meta.avgdl, k1=meta.k1, b=meta.b))
 
     cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
-            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes"]
+            "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
+            "imp_bytes"]
     if phrase:
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
@@ -746,14 +887,14 @@ def search_batch(spark: SparkSession, store: IndexStore,
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _run_all(pdf, None)
 
-        topk = blocks.groupBy("shard").applyInPandas(
+        topk = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="query_id int, doc_id long, score double")
     else:
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             return _run_all(left, _del_array(right))
 
-        topk = (blocks.groupBy("shard")
-                .cogroup(dels.groupBy("shard"))
+        topk = (_fanout(blocks).groupBy("shard")
+                .cogroup(_fanout(dels).groupBy("shard"))
                 .applyInPandas(
                     run2, schema="query_id int, doc_id long, score double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
@@ -1064,7 +1205,7 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
             n = _count_shard(pdf, plan, mode, phrase) if len(pdf) else 0
             return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
 
-        partials = blocks.groupBy("shard").applyInPandas(
+        partials = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="hits long")
     else:
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1072,8 +1213,8 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
                              deleted=_del_array(right)) if len(left) else 0
             return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
 
-        partials = (blocks.groupBy("shard")
-                    .cogroup(dels.groupBy("shard"))
+        partials = (_fanout(blocks).groupBy("shard")
+                    .cogroup(_fanout(dels).groupBy("shard"))
                     .applyInPandas(run2, schema="hits long"))
     return partials.agg(
         F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))
@@ -1116,7 +1257,7 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
             return _emit(_match_shard(pdf, plan, mode, phrase)
                          if len(pdf) else np.zeros(0, np.int64))
 
-        return blocks.groupBy("shard").applyInPandas(
+        return _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="doc_id long")
 
     def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1124,8 +1265,8 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
                                   deleted=_del_array(right))
                      if len(left) else np.zeros(0, np.int64))
 
-    return (blocks.groupBy("shard")
-            .cogroup(dels.groupBy("shard"))
+    return (_fanout(blocks).groupBy("shard")
+            .cogroup(_fanout(dels).groupBy("shard"))
             .applyInPandas(run2, schema="doc_id long"))
 
 

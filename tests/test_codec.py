@@ -111,3 +111,39 @@ def test_sorted_batch_equals_per_group_encode():
             assert enc["pos_bytes"][bi] == r["pos_bytes"]
             bi += 1
     assert bi == len(enc["first_doc"])
+
+
+def test_impacts_parity_and_domination():
+    """imp_bytes (v8 quantized impacts): the batch encoder's vectorized
+    segmented-pareto output is byte-identical to the per-block
+    reference path; decoded fronts are strictly ascending in both
+    coordinates, capped, and dominate every posting in the block."""
+    import numpy as np
+
+    from synspark.codec import (MAX_IMPACTS, decode_impacts,
+                                encode_blocks, encode_sorted_batch)
+
+    rng = np.random.RandomState(11)
+    for trial in range(30):
+        nd = rng.randint(1, 500)
+        docs = np.sort(rng.choice(np.arange(8000), size=nd,
+                                  replace=False))
+        tfs = rng.randint(1, 40, size=nd).astype(np.int64)
+        dls = rng.randint(1, 800, size=nd).astype(np.int64)
+        blocks = encode_blocks(docs, tfs, dls=dls, block_docs=64)
+        doc_tok = np.repeat(docs, tfs)
+        dl_tok = np.repeat(dls, tfs)
+        gc = np.zeros(len(doc_tok), dtype=bool)
+        gc[0] = True
+        enc = encode_sorted_batch(gc, doc_tok, None, dl_tok,
+                                  block_docs=64)
+        assert len(blocks) == len(enc["imp_bytes"])
+        for bi, (b, ib) in enumerate(zip(blocks, enc["imp_bytes"])):
+            assert b["imp_bytes"] == ib
+            f, d = decode_impacts(ib)
+            assert 1 <= len(f) <= MAX_IMPACTS
+            assert np.all(np.diff(f) > 0) and np.all(np.diff(d) > 0)
+            s, e = bi * 64, min((bi + 1) * 64, nd)
+            for t, l in zip(tfs[s:e], dls[s:e]):
+                assert any(t <= fi and l >= di
+                           for fi, di in zip(f, d)), (t, l, f, d)

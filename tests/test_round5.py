@@ -551,25 +551,27 @@ def test_synonym_flood_prunes_and_stays_exact(spark, tmp_path_factory,
               .filter(F.col("term").isin(plan.terms))
               .select("term", "shard", "first_doc", "last_doc",
                       "n_docs", "max_tf", "min_dl", "doc_bytes",
-                      "tf_bytes", "dl_bytes", "pos_bytes", "pl_bytes")
+                      "tf_bytes", "dl_bytes", "imp_bytes", "pos_bytes",
+                      "pl_bytes")
               .toPandas())
 
     calls = {"n": 0}
-    real = q.decode_block
+    real = q.varint_decode
 
     def counting(*a, **kw):
         calls["n"] += 1
         return real(*a, **kw)
 
-    monkeypatch.setattr(q, "decode_block", counting)
+    monkeypatch.setattr(q, "varint_decode", counting)
     out = q._wand_shard(blocks, plan, 10, "or")
-    monkeypatch.setattr(q, "decode_block", real)
+    monkeypatch.setattr(q, "varint_decode", real)
 
     # every doc ties; top-10 = smallest ids, decode stops after the
-    # first window (well under the ~16-window full sweep)
+    # first window — a decoded window-group is 3 varint passes plus
+    # one batched impacts pass at prep (~16 windows would be ~50)
     assert list(out["doc_id"]) == list(range(10))
     assert len(set(out["score"].round(9))) == 1
-    assert calls["n"] <= 4, calls["n"]
+    assert calls["n"] <= 10, calls["n"]
 
     # end-to-end exactness on the same flood (distributed path)
     a = [(r.doc_id, round(r.score, 9)) for r in
@@ -614,3 +616,71 @@ def test_blended_bound_rank_identity_mixed_corpus(spark,
                  score_naive(spark, store, "", k=k, mode=mode,
                              groups=[["da", "in"]]).collect()]
             assert a == b, (mode, k)
+
+
+def test_mixed_population_flood_prunes_via_impacts(spark,
+                                                   tmp_path_factory,
+                                                   monkeypatch):
+    """The 10M-corpus shape the blended bound could NOT fix: windows
+    interleave SEVERAL homogeneous doc populations (short/low-tf and
+    long/high-tf), so the window (max_tf, min_dl) chimera combines
+    values from different populations and over-bounds every real doc.
+    Quantized impacts (v8 imp_bytes — the pareto (tf, dl) pairs per
+    block) give each population its own attainable bound; the max over
+    breakpoints equals the best population's tied score, and the
+    tie-aware skip prunes the flood. Exactness pinned vs the naive
+    oracle."""
+    import synspark.query as q
+    from synspark.query import plan_query, score_naive, search
+
+    root = tmp_path_factory.mktemp("flood_mix")
+    n = 4000
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            text = "data info x"                     # short population
+        else:
+            text = "data info data info " + ("pad " * 10)  # long, hi-tf
+        rows.append((f"r{i:05d}", "f", "c", "t", text))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    store = build_index(spark, corpus, str(root / "idx"), cfg=CFG,
+                        n_shards=1, resume=False)
+
+    groups = [["da", "in"]]
+    plan = plan_query(spark, store, "", groups=groups)
+    plan.window = 256
+    blocks = (store.segments(spark)
+              .filter(F.col("term").isin(plan.terms))
+              .select("term", "shard", "first_doc", "last_doc",
+                      "n_docs", "max_tf", "min_dl", "doc_bytes",
+                      "tf_bytes", "dl_bytes", "imp_bytes", "pos_bytes",
+                      "pl_bytes")
+              .toPandas())
+
+    calls = {"n": 0}
+    real = q.varint_decode
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(q, "varint_decode", counting)
+    out = q._wand_shard(blocks, plan, 10, "or")
+    monkeypatch.setattr(q, "varint_decode", real)
+
+    naive = [(r.doc_id, round(r.score, 9)) for r in
+             score_naive(spark, store, "", k=10, mode="or",
+                         groups=groups).collect()]
+    assert [(d, round(s, 9)) for d, s in
+            zip(out["doc_id"], out["score"])] == naive
+    # without impacts every one of the ~16 windows decodes (3 varint
+    # passes each, ~50 calls); with them only the leading window(s) do
+    assert calls["n"] <= 10, calls["n"]
+
+    # distributed path agrees too
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         search(spark, store, "", k=10, mode="or",
+                groups=groups).collect()]
+    assert a == naive
