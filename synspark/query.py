@@ -312,6 +312,46 @@ def _del_array(right: pd.DataFrame) -> np.ndarray | None:
         if len(right) else None
 
 
+# Lucene keeps liveDocs RESIDENT per segment; the analogue here is a
+# broadcast of the (small) routed tombstone map instead of a per-query
+# cogroup exchange. Above this many tombstones (~4 MB of int64 ids)
+# queries fall back to the cogroup — bounded driver/executor memory,
+# and the measured cogroup cost at millions of tombstones is the
+# documented merge-policy trigger anyway.
+DELETES_BROADCAST_MAX = int(__import__("os").environ.get(
+    "SYNSPARK_DELETES_BROADCAST_MAX", "262144"))
+
+
+def _deletes_runtime(spark: SparkSession, store: IndexStore, meta=None):
+    """How this query applies tombstones:
+    - None: no committed deletes — plan identical to a delete-free
+      engine;
+    - ("map", Broadcast[{shard: sorted int64 ids}]): small tombstone
+      sets ride a Spark broadcast into the single-sided grouped map
+      (no cogroup, no second shuffle) — Lucene's resident liveDocs;
+      cached on the store per (build_id, delete commits), so serving
+      loops pay the one tiny collect once;
+    - ("df", DataFrame): large sets keep the routed-cogroup path.
+    """
+    meta = meta or store.meta()
+    if not meta.delete_batches:
+        return None
+    if meta.n_deleted <= DELETES_BROADCAST_MAX:
+        key = (meta.build_id, tuple(meta.delete_batches))
+        cached = getattr(store, "_dels_bcast", None)
+        if cached is not None and cached[0] == key:
+            return ("map", cached[1])
+        rows = _deletes_by_shard(spark, store, meta).collect()
+        m: dict[int, list] = {}
+        for r in rows:
+            m.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
+        bc = spark.sparkContext.broadcast(
+            {s: np.sort(np.asarray(v, np.int64)) for s, v in m.items()})
+        store._dels_bcast = (key, bc)
+        return ("map", bc)
+    return ("df", _deletes_by_shard(spark, store, meta))
+
+
 
 def _fanout(df: DataFrame, key: str = "shard") -> DataFrame:
     """Pin the grouped-map exchange to a real fan-out. AQE's
@@ -780,19 +820,26 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    dels = _deletes_by_shard(spark, store, meta)
+    rt = _deletes_runtime(spark, store, meta)
 
     empty = {"doc_id": pd.Series([], dtype="int64"),
              "score": pd.Series([], dtype="float64")}
-    if dels is None:
+    if rt is None or rt[0] == "map":
+        bc = rt[1] if rt is not None else None
+
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
             if len(pdf) == 0:
                 return pd.DataFrame(empty)
-            return _wand_shard(pdf, plan, k, mode, phrase, after=after)
+            deleted = bc.value.get(int(key[0])) if bc is not None \
+                else None
+            return _wand_shard(pdf, plan, k, mode, phrase,
+                               deleted=deleted, after=after)
 
         topk = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="doc_id long, score double")
     else:
+        dels = rt[1]
+
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
                 return pd.DataFrame(empty)
@@ -860,7 +907,7 @@ def search_batch(spark: SparkSession, store: IndexStore,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(all_terms)).select(*cols)
-    dels = _deletes_by_shard(spark, store, meta)
+    rt = _deletes_runtime(spark, store, meta)
 
     def _run_all(pdf: pd.DataFrame,
                  deleted: np.ndarray | None) -> pd.DataFrame:
@@ -883,13 +930,19 @@ def search_batch(spark: SparkSession, store: IndexStore,
                                  "score": pd.Series([], dtype="float64")})
         return pd.concat(outs, ignore_index=True)
 
-    if dels is None:
+    if rt is None or rt[0] == "map":
+        bc = rt[1] if rt is not None else None
+
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _run_all(pdf, None)
+            deleted = bc.value.get(int(key[0])) if bc is not None \
+                else None
+            return _run_all(pdf, deleted)
 
         topk = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="query_id int, doc_id long, score double")
     else:
+        dels = rt[1]
+
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             return _run_all(left, _del_array(right))
 
@@ -1198,16 +1251,22 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    dels = _deletes_by_shard(spark, store, meta)
+    rt = _deletes_runtime(spark, store, meta)
 
-    if dels is None:
+    if rt is None or rt[0] == "map":
+        bc = rt[1] if rt is not None else None
+
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            n = _count_shard(pdf, plan, mode, phrase) if len(pdf) else 0
+            deleted = bc.value.get(int(key[0])) if bc is not None \
+                else None
+            n = _count_shard(pdf, plan, mode, phrase,
+                             deleted=deleted) if len(pdf) else 0
             return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
 
         partials = _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="hits long")
     else:
+        dels = rt[1]
         def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             n = _count_shard(left, plan, mode, phrase,
                              deleted=_del_array(right)) if len(left) else 0
@@ -1247,18 +1306,24 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    dels = _deletes_by_shard(spark, store, meta)
+    rt = _deletes_runtime(spark, store, meta)
 
     def _emit(docs: np.ndarray) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
 
-    if dels is None:
+    if rt is None or rt[0] == "map":
+        bc = rt[1] if rt is not None else None
+
         def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _emit(_match_shard(pdf, plan, mode, phrase)
+            deleted = bc.value.get(int(key[0])) if bc is not None \
+                else None
+            return _emit(_match_shard(pdf, plan, mode, phrase,
+                                      deleted=deleted)
                          if len(pdf) else np.zeros(0, np.int64))
 
         return _fanout(blocks).groupBy("shard").applyInPandas(
             run, schema="doc_id long")
+    dels = rt[1]
 
     def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         return _emit(_match_shard(left, plan, mode, phrase,
