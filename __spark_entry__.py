@@ -697,6 +697,43 @@ def q_fts_page2_topk(spark, sf_dir):
                after=cursor), 10)
 
 
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = "data", "sort merge", "key"
+MSM_M = 5
+
+
+def q_fts_bool_topk(spark, sf_dir):
+    """ES ``bool`` query ranked top-10 on the WAND path (Lucene
+    BooleanClause.Occur): 'data' required and scoring, 'sort merge'
+    optional and scoring when matched, docs containing 'key'
+    excluded (ReqExclScorer — never scores)."""
+    from synspark.query import search_bool
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search_bool(spark, store, must=BOOL_MUST, should=BOOL_SHOULD,
+                    must_not=BOOL_NOT, k=200), 10)
+
+
+def q_fts_msm_topk(spark, sf_dir):
+    """ES match minimum_should_match=5 over the benchmark query's 10
+    bigram groups (BooleanQuery.setMinimumNumberShouldMatch) — WAND
+    runs natively as the m-of-n operator, window-pruning on the
+    should-group presence count."""
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="or",
+               min_should_match=MSM_M), 10)
+
+
+def q_fts_msm_count(spark, sf_dir):
+    """Distributed m-of-n hit count: per-shard vectorized group-match
+    counting, one tiny sum — the bool twin of fts_count_and/or."""
+    from synspark.query import count_matches
+    store = _index(spark, sf_dir)
+    return count_matches(spark, store, BM25_QUERY, mode="or",
+                         min_should_match=MSM_M)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -934,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_upsert_count": q_fts_upsert_count,
         "fts_match_ids": q_fts_match_ids,
         "fts_page2_topk": q_fts_page2_topk,
+        "fts_bool_topk": q_fts_bool_topk,
+        "fts_msm_topk": q_fts_msm_topk,
+        "fts_msm_count": q_fts_msm_count,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_index_stats": q_fts_index_stats,
@@ -1085,6 +1125,53 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
 
+def _bool_oracle() -> str:
+    """must='data' ∧ should='sort merge' ∧ must_not='key' over the
+    bigram index: score = Σ BM25 over matched must+should terms;
+    gates are all-must-present, no must_not term present (the three
+    texts' bigram sets are disjoint, so per-term scoring == per-group
+    scoring)."""
+    m = sorted(set(_query_bigrams(BOOL_MUST)))
+    s = sorted(set(_query_bigrams(BOOL_SHOULD)) - set(m))
+    x = sorted(set(_query_bigrams(BOOL_NOT)))
+    mv = ", ".join(f"('{t}')" for t in m)
+    sv = ", ".join(f"('{t}')" for t in s)
+    xl = ", ".join(f"'{t}'" for t in x)
+    return _grams_cte() + f"""
+, qterms AS (SELECT * FROM (VALUES {mv}, {sv}) AS q(term))
+, mterms AS (SELECT * FROM (VALUES {mv}) AS q(term))
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) FILTER (WHERE t.term IN (SELECT term FROM mterms))
+           AS nm
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id
+), excl AS (
+  SELECT DISTINCT doc_id FROM grams WHERE term IN ({xl})
+)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE nm = {len(m)} AND doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def _fetch_sources_oracle() -> str:
     return _bm25_prefix() + f"""
 , top AS (
@@ -1228,6 +1315,15 @@ WHERE regexp_matches(text, '{phrase_re}')
 )
 SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
+""",
+        "fts_bool_topk": _bool_oracle(),
+        "fts_msm_topk": _bm25_prefix() + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng >= {MSM_M}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_msm_count": _bm25_prefix() + f"""
+SELECT count(*)::BIGINT AS hits FROM scored WHERE ng >= {MSM_M}
 """,
         "fts_count_or": _GRAMS_CTE + f"""
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))

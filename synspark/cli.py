@@ -49,10 +49,22 @@ def main(argv=None):
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)
-    q.add_argument("--text", required=True)
+    q.add_argument("--text", help="plain match query (omit when "
+                   "using the bool clauses below)")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["and", "or"], default="and")
     q.add_argument("--phrase", action="store_true")
+    q.add_argument("--must", action="append", default=None,
+                   help="ES bool must clause (repeatable)")
+    q.add_argument("--should", action="append", default=None,
+                   help="ES bool should clause (repeatable)")
+    q.add_argument("--must-not", action="append", default=None,
+                   dest="must_not",
+                   help="ES bool must_not clause (repeatable)")
+    q.add_argument("--min-should-match", type=int, default=None,
+                   dest="msm", help="minimum_should_match (match "
+                   "m-of-n with --text --mode or, or the bool "
+                   "should-clause minimum)")
     _add_common(q)
 
     a = sub.add_parser("analyze", help="_analyze-style token debug")
@@ -69,6 +81,9 @@ def main(argv=None):
     c.add_argument("--text", required=True)
     c.add_argument("--mode", choices=["and", "or"], default="and")
     c.add_argument("--phrase", action="store_true")
+    c.add_argument("--min-should-match", type=int, default=None,
+                   dest="msm", help="minimum_should_match for "
+                   "--mode or (match m-of-n count)")
     _add_common(c)
 
     ap_add = sub.add_parser("append", help="append new docs to an index")
@@ -190,15 +205,28 @@ def main(argv=None):
                               "shards_done": sorted(store.completed_shards())}))
         elif args.cmd == "query":
             from .index_store import IndexStore
-            from .query import search
+            from .query import search, search_bool
             store = IndexStore(args.index)
             if not (store.path / "meta.json").exists():
                 print(f"error: no index at {args.index} "
                       f"(missing meta.json)", file=sys.stderr)
                 return 2
-            rows = search(spark, store, args.text,
-                          k=args.k, mode=args.mode, phrase=args.phrase,
-                          syn=_load_syn(args)).collect()
+            if args.must or args.should or args.must_not:
+                rows = search_bool(
+                    spark, store, must=args.must, should=args.should,
+                    must_not=args.must_not, k=args.k,
+                    min_should_match=args.msm,
+                    syn=_load_syn(args)).collect()
+            elif args.text is None:
+                print("error: --text or a bool clause is required",
+                      file=sys.stderr)
+                return 2
+            else:
+                rows = search(spark, store, args.text,
+                              k=args.k, mode=args.mode,
+                              phrase=args.phrase,
+                              min_should_match=args.msm,
+                              syn=_load_syn(args)).collect()
             for r in rows:
                 print(f"{r['doc_id']}\t{r['score']:.6f}")
         elif args.cmd == "verify":
@@ -212,6 +240,7 @@ def main(argv=None):
             from .query import count_matches
             n = count_matches(spark, IndexStore(args.index), args.text,
                               mode=args.mode, phrase=args.phrase,
+                              min_should_match=args.msm,
                               syn=_load_syn(args)).collect()[0]["hits"]
             print(n)
         elif args.cmd == "append":

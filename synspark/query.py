@@ -107,10 +107,31 @@ class QueryPlan:
     # pruning-window size, resolved on the DRIVER (env knob) so it
     # reaches executors via plan serialization, not via os.environ
     window: int = WAND_WINDOW
+    # boolean-query shape (ES bool / minimum_should_match):
+    # kinds[i] ∈ {'m','s','n'} tags groups[i] as must / should /
+    # must_not (Lucene BooleanClause.Occur); None keeps the legacy
+    # mode-driven semantics (mode="and" ≡ all-must, "or" ≡ all-should
+    # msm=1). msm = minimum number of 's' groups a doc must match
+    # (BooleanQuery.setMinimumNumberShouldMatch).
+    kinds: list[str] | None = None
+    msm: int = 0
 
     @property
     def terms(self) -> list[str]:
         return sorted({t for g in self.groups for t in g})
+
+    def occur(self, mode: str) -> tuple[list[int], list[int], list[int], int]:
+        """(must, should, must_not group indices, msm) under either
+        the explicit ``kinds`` tagging or the legacy ``mode``."""
+        n = len(self.groups)
+        if self.kinds is None:
+            if mode == "and":
+                return list(range(n)), [], [], 0
+            return [], list(range(n)), [], max(1, self.msm)
+        m = [i for i, k in enumerate(self.kinds) if k == "m"]
+        s = [i for i, k in enumerate(self.kinds) if k == "s"]
+        x = [i for i, k in enumerate(self.kinds) if k == "n"]
+        return m, s, x, self.msm
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -140,6 +161,70 @@ def plan_query(spark: SparkSession, store: IndexStore, text: str,
             for g in groups]
     return QueryPlan(groups=groups, idfs=idfs, n_docs=n_eff,
                      avgdl=meta.avgdl, k1=meta.k1, b=meta.b)
+
+
+def plan_bool(spark: SparkSession, store: IndexStore,
+              must=None, should=None, must_not=None,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              min_should_match: int | None = None) -> QueryPlan:
+    """ES ``bool`` query plan (Lucene BooleanQuery over per-position
+    SynonymQuery clauses). ``must`` / ``should`` / ``must_not`` each
+    accept a query text, a list of texts, or pre-built groups
+    (list[list[str]]); every analyzed PER-POSITION GROUP becomes one
+    clause of that kind — exactly what an ES ``match`` clause compiles
+    to (a BooleanQuery of per-term subqueries), so
+    ``{match: {f: {query: "a b", minimum_should_match: 2}}}`` is
+    ``plan_bool(should="a b", min_should_match=2)``.
+
+    Semantics (Lucene BooleanClause.Occur):
+    - every must group is required and scores;
+    - should groups are optional and score when matched; at least
+      ``min_should_match`` of them must match (default: 0 when must
+      clauses exist, else 1 — the ES default);
+    - a doc matching ANY must_not group is excluded (match clause
+      operator=or, the ES default); must_not never scores (idf 0).
+
+    Scoring: sum of matched must+should group scores in ascending
+    group order — Lucene DisjunctionSumScorer, bit-stable against the
+    naive oracle's ordered fold."""
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+
+    def gs(x) -> list[list[str]]:
+        if x is None:
+            return []
+        if isinstance(x, str):
+            x = [x]
+        out: list[list[str]] = []
+        for clause in x:
+            if isinstance(clause, str):
+                out.extend(analyze_query(clause, cfg, syn))
+            else:                      # pre-built group (list[str])
+                out.append(list(clause))
+        return out
+
+    mg, sg, xg = gs(must), gs(should), gs(must_not)
+    if not (mg or sg):
+        raise ValueError("bool query needs at least one must or "
+                         "should clause (pure must_not matches "
+                         "everything-but — unbounded)")
+    groups = mg + sg + xg
+    kinds = ["m"] * len(mg) + ["s"] * len(sg) + ["n"] * len(xg)
+    terms = sorted({t for g in groups for t in g})
+    dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
+    n_eff = meta.n_docs - meta.n_purged
+    idfs = [0.0 if k == "n" else
+            idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
+            for g, k in zip(groups, kinds)]
+    msm = (min_should_match if min_should_match is not None
+           else (0 if mg else 1))
+    if msm > len(sg):
+        raise ValueError(f"min_should_match={msm} exceeds the "
+                         f"{len(sg)} should clauses")
+    return QueryPlan(groups=groups, idfs=idfs, n_docs=n_eff,
+                     avgdl=meta.avgdl, k1=meta.k1, b=meta.b,
+                     kinds=kinds, msm=msm)
 
 
 # --------------------------------------------------------------------
@@ -219,7 +304,8 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
                 syn: SynonymDict | None = None,
                 cfg: TokenizerConfig | None = None,
                 postings: DataFrame | None = None,
-                groups: list[list[str]] | None = None) -> DataFrame:
+                groups: list[list[str]] | None = None,
+                plan: QueryPlan | None = None) -> DataFrame:
     """Pure declarative BM25 top-k: decode -> join group map (broadcast)
     -> two hash aggregations -> orderBy/limit. Catalyst handles partial
     aggregation and the top-k sort; this is the cross-check for WAND.
@@ -227,8 +313,13 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
     ``postings`` may inject an alternative (term, doc_id, tf, dl) source
     (e.g. pre-encoding postings in tests, proving codec round-trip).
     ``groups`` overrides analysis, same as ``search(groups=...)``.
+    ``plan`` overrides analysis entirely (the bool-query oracle hook:
+    a kinds-tagged plan from ``plan_bool``/``_apply_msm`` gets the
+    declarative must/should/must_not + minimum_should_match gates —
+    the in-repo cross-check for ``search_bool``).
     """
-    plan = plan_query(spark, store, text, syn, cfg, groups)
+    if plan is None:
+        plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
     p = postings if postings is not None else \
@@ -266,9 +357,27 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
             F.lit(0.0),
             lambda acc, x: acc + x["gscore"],
         ).alias("score"),
-        F.count("*").alias("ngroups"))
-    if mode == "and":
-        agg = agg.filter(F.col("ngroups") == len(plan.groups))
+        F.collect_set("gid").alias("gids"))
+    if plan.kinds is not None:
+        # ES bool gates, fully declarative (Catalyst folds the tiny
+        # literal arrays): must ⊆ matched, |matched ∩ should| ≥ msm,
+        # matched ∩ must_not = ∅. Not-group gscores are 0.0 (idf 0) so
+        # the ordered fold above is bit-identical to the WAND worker's
+        # musts+shoulds accumulation (x + 0.0 == x for finite x).
+        musts, shoulds, nots, msm = plan.occur(mode)
+
+        def _cnt(ids: list[int]):
+            return F.size(F.array_intersect(
+                F.col("gids"), F.array(*[F.lit(i) for i in ids])))
+
+        if musts:
+            agg = agg.filter(_cnt(musts) == len(musts))
+        if shoulds and msm >= 1:
+            agg = agg.filter(_cnt(shoulds) >= msm)
+        if nots:
+            agg = agg.filter(_cnt(nots) == 0)
+    elif mode == "and":
+        agg = agg.filter(F.size("gids") == len(plan.groups))
     if store.meta().delete_batches:
         # liveDocs anti-join before the top-k cut (stats above already
         # include deleted docs — Lucene pre-merge semantics)
@@ -383,6 +492,11 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     ranking is among phrase-matching docs only (Lucene semantics), all
     shard-local — no candidate set ever leaves the executor."""
     n_groups = len(plan.groups)
+    # ES bool / minimum_should_match occur tags (plan.kinds=None keeps
+    # the legacy mode-driven all-must / all-should shapes bit-for-bit)
+    musts, shoulds, nots = plan.occur(mode)[:3]
+    msm = plan.occur(mode)[3]
+    must_set, not_set = set(musts), set(nots)
 
     # organize blocks per group; block upper bound from (max_tf, min_dl)
     first = pdf["first_doc"].to_numpy()
@@ -538,6 +652,8 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
 
     ub = np.zeros((n_groups, n_win))
     for gi, g in enumerate(plan.groups):
+        if gi in not_set:
+            continue    # must_not never scores: ub row stays 0
         rows = [uterms[t] for t in g if t in uterms]
         if not rows:
             continue
@@ -566,12 +682,18 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                     bound[w] = ibw
         ub[gi] = plan.idfs[gi] * bound
 
-    if mode == "and":
-        # a window missing any group can't match
-        alive = (ub > 0).all(axis=0)
-        win_ub = ub.sum(axis=0) * alive
+    if musts:
+        # a window missing any must group can't match
+        alive = (ub[musts] > 0).all(axis=0)
     else:
-        win_ub = ub.sum(axis=0)
+        alive = np.ones(n_win, dtype=bool)
+    if shoulds and msm >= 1 and (musts or msm > 1):
+        # m-of-n: a window where fewer than msm should groups have any
+        # posting can't produce a match (group absent in window ⇒
+        # absent in every doc of the window). Skipped for the trivial
+        # pure-should msm=1 case (win_ub > 0 already implies it).
+        alive &= (ub[shoulds] > 0).sum(axis=0) >= msm
+    win_ub = ub.sum(axis=0) * alive
 
     order = np.argsort(-win_ub, kind="stable")
     # bounded top-k state: min-heap of (score, -doc_id) — root is the
@@ -690,18 +812,27 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         # span-1 indexes (pl_bytes absent) this chain is exactly the
         # old start-key intersection.
         frontier: np.ndarray | None = None
+        not_docs: list[np.ndarray] = []
+        gkinds: list[bool] = []        # True = must, aligned w/ gdocs
         dead = False
         for gi in range(n_groups):
+            if gi in not_set:
+                # must_not: docs only — no scoring, no phrase walk
+                nd_, *_rest = decode_group_window(gi, d0, d1, False)
+                if len(nd_):
+                    not_docs.append(nd_)
+                continue
             udocs, utf, udl, pdocs, pvals, plens = \
                 decode_group_window(gi, d0, d1, phrase)
             if len(udocs) == 0:
                 # a phrase needs every group regardless of boolean mode
-                if mode == "and" or phrase:
+                if gi in must_set or phrase:
                     dead = True
                     break
                 continue
             tfn = utf / (utf + k1 * (1 - b + b * udl / avgdl))
             gdocs.append(udocs)
+            gkinds.append(gi in must_set)
             gscores.append(plan.idfs[gi] * tfn)
             if phrase:
                 dk = (pdocs - d0) << np.int64(32)
@@ -725,8 +856,32 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         sc = np.zeros(len(u), np.float64)
         np.add.at(sc, inv, allsc)
         keep = np.ones(len(u), dtype=bool)
-        if mode == "and":
-            keep &= np.bincount(inv, minlength=len(u)) == n_groups
+        if musts and len(musts) == len(gdocs):
+            # every decoded scoring group is a must (legacy mode="and"
+            # is always here): per-doc occurrence count over the merged
+            # concat IS the must-match count
+            keep &= np.bincount(inv, minlength=len(u)) == len(gdocs)
+        elif musts:
+            dm = np.concatenate([d for d, m_ in zip(gdocs, gkinds)
+                                 if m_])
+            # dm ⊆ u by construction, so searchsorted is an exact
+            # index map — per-doc must-group match count
+            keep &= np.bincount(np.searchsorted(u, dm),
+                                minlength=len(u)) == len(musts)
+        if shoulds and msm >= 1 and (musts or msm > 1):
+            # minimum_should_match: ≥ msm should groups per doc (when
+            # no must exists and msm == 1 every merged doc trivially
+            # qualifies — skip the count)
+            ds = [d for d, m_ in zip(gdocs, gkinds) if not m_]
+            cnt = np.zeros(len(u), np.int64)
+            if ds:
+                cnt = np.bincount(np.searchsorted(u, np.concatenate(ds)),
+                                  minlength=len(u))
+            keep &= cnt >= msm
+        if not_docs:
+            # must_not exclusion (Lucene ReqExclScorer): removing docs
+            # only lowers attainable window scores, bounds stay valid
+            keep &= ~np.isin(u, np.concatenate(not_docs))
         if phrase:
             verified = np.unique(frontier >> np.int64(32)) + d0
             keep &= np.isin(u, verified)
@@ -780,7 +935,8 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            syn: SynonymDict | None = None,
            cfg: TokenizerConfig | None = None,
            groups: list[list[str]] | None = None,
-           after: tuple | None = None) -> DataFrame:
+           after: tuple | None = None,
+           min_should_match: int | None = None) -> DataFrame:
     """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
@@ -791,7 +947,13 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     doc_id ASC) order — deep pagination without deep heaps (each page
     keeps a k-sized heap; cursor filtering happens before admission,
     so page N+1 costs the same as page 1). Sound because ranks are
-    deterministic and scores bit-stable across runs."""
+    deterministic and scores bit-stable across runs.
+
+    ``min_should_match=m`` (mode="or" only) is the ES match-query
+    parameter: a doc must match at least m of the query's position
+    groups (Lucene BooleanQuery.setMinimumNumberShouldMatch — WAND is
+    natively this m-of-n operator). mode="and" is m = n_groups;
+    mode="or" default is m = 1."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -799,7 +961,43 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
+    plan = _apply_msm(plan, mode, min_should_match)
     return _wand_topk(spark, store, meta, plan, k, mode, phrase, after)
+
+
+def _apply_msm(plan: QueryPlan, mode: str,
+               min_should_match: int | None) -> QueryPlan:
+    """Tag the plan's groups all-should with the given m (ES match
+    minimum_should_match). No-op when m is None."""
+    if min_should_match is None:
+        return plan
+    if mode != "or":
+        raise ValueError("min_should_match applies to mode='or' "
+                         "(mode='and' already requires every group)")
+    if not 1 <= min_should_match <= len(plan.groups):
+        raise ValueError(f"min_should_match={min_should_match} out of "
+                         f"range for {len(plan.groups)} groups")
+    plan.kinds = ["s"] * len(plan.groups)
+    plan.msm = min_should_match
+    return plan
+
+
+def search_bool(spark: SparkSession, store: IndexStore,
+                must=None, should=None, must_not=None, k: int = 10,
+                min_should_match: int | None = None,
+                syn: SynonymDict | None = None,
+                cfg: TokenizerConfig | None = None,
+                after: tuple | None = None) -> DataFrame:
+    """ES ``bool`` query: BM25 top-k over must/should/must_not clauses
+    (see plan_bool for the exact Lucene BooleanQuery semantics). Runs
+    on the same shard-parallel block-max WAND as ``search`` — must_not
+    groups decode docs-only inside each worker (Lucene ReqExclScorer)
+    and never contribute to bounds or scores; window pruning stays
+    exact because exclusion only lowers attainable scores."""
+    plan = plan_bool(spark, store, must, should, must_not, syn, cfg,
+                     min_should_match)
+    meta = store.meta()
+    return _wand_topk(spark, store, meta, plan, k, "or", False, after)
 
 
 def _wand_topk(spark: SparkSession, store: IndexStore, meta,
@@ -1226,6 +1424,61 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
             cand = np.unique(starts >> np.int64(32)) + lo
         return done(live(np.unique(starts >> np.int64(32)) + lo))
 
+    if plan.kinds is not None:
+        # ES bool matching (must/should/must_not + msm), same
+        # vectorized set algebra: musts intersect rarest-first with
+        # candidate-gated block decodes; shoulds decode ONLY when msm
+        # requires them (gated by the must survivors — a gated block
+        # may contribute non-candidate docs to the m-of-n count, which
+        # the final intersect discards); must_not decodes are gated by
+        # the surviving candidates and subtract last.
+        musts, shoulds, nots, msm = plan.occur(mode)
+        vol = [sum(int(nds[i]) for i in block_rows(g))
+               for g in plan.groups]
+        acc_b: np.ndarray | None = None
+        for gi in sorted(musts, key=lambda g: vol[g]):
+            docs, _pd, _pv, _pl = group_arrays(plan.groups[gi], False,
+                                               acc_b)
+            if len(docs) == 0:
+                return done(0)
+            acc_b = docs if acc_b is None else \
+                np.intersect1d(acc_b, docs, assume_unique=True)
+            if len(acc_b) == 0:
+                return done(0)
+        need_cnt = bool(shoulds) and msm >= 1 and (bool(musts) or msm > 1)
+        if need_cnt:
+            per_g = []
+            for gi in shoulds:
+                docs, _pd, _pv, _pl = group_arrays(plan.groups[gi],
+                                                   False, acc_b)
+                if len(docs):
+                    per_g.append(docs)
+            if per_g:
+                u, c = np.unique(np.concatenate(per_g),
+                                 return_counts=True)
+                qual = u[c >= msm]    # per-group docs unique ⇒ c =
+            else:                     # number of matching should groups
+                qual = znil
+            acc_b = qual if acc_b is None else \
+                np.intersect1d(acc_b, qual, assume_unique=True)
+        elif not musts:
+            # pure-should msm ≤ 1: plain union
+            for gi in shoulds:
+                docs, _pd, _pv, _pl = group_arrays(plan.groups[gi],
+                                                   False, None)
+                acc_b = docs if acc_b is None else \
+                    np.union1d(acc_b, docs)
+        if acc_b is None:
+            acc_b = znil
+        for gi in nots:
+            if len(acc_b) == 0:
+                break
+            nd_, _pd, _pv, _pl = group_arrays(plan.groups[gi], False,
+                                              acc_b)
+            if len(nd_):
+                acc_b = acc_b[~np.isin(acc_b, nd_)]
+        return done(live(acc_b))
+
     acc: np.ndarray | None = None
     for gi in order:
         docs, _pd, _pv, _pl = group_arrays(
@@ -1243,23 +1496,33 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
     return done(live(acc) if acc is not None else znil)
 
 
-def count_matches(spark: SparkSession, store: IndexStore, text: str,
-                  mode: str = "and", phrase: bool = False,
+def count_matches(spark: SparkSession, store: IndexStore,
+                  text: str = "", mode: str = "and",
+                  phrase: bool = False,
                   syn: SynonymDict | None = None,
                   cfg: TokenizerConfig | None = None,
-                  groups: list[list[str]] | None = None) -> DataFrame:
+                  groups: list[list[str]] | None = None,
+                  min_should_match: int | None = None,
+                  plan: QueryPlan | None = None) -> DataFrame:
     """Total hit count (the reference's query-then-read-total idiom,
     SynonymPluginTest.java:149-169) as a DISTRIBUTED aggregate: each
     shard worker counts its matches (applyInPandas), partials sum in a
     single tiny reduction. Never materializes candidate doc ids — the
     scale-safe replacement for ``search(k=huge).count()``.
 
-    Returns a one-row DataFrame ``hits long``."""
+    Returns a one-row DataFrame ``hits long``.
+
+    ``min_should_match`` mirrors search(); ``plan`` overrides text
+    analysis with a pre-built QueryPlan (the bool-query hook:
+    ``count_matches(..., plan=plan_bool(...))`` is the ES bool count
+    surface — must/should/must_not with exact distributed totals)."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
-    plan = plan_query(spark, store, text, syn, cfg, groups)
+    if plan is None:
+        plan = plan_query(spark, store, text, syn, cfg, groups)
+        plan = _apply_msm(plan, mode, min_should_match)
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")
 
@@ -1297,11 +1560,13 @@ def count_matches(spark: SparkSession, store: IndexStore, text: str,
         F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))
 
 
-def match_ids(spark: SparkSession, store: IndexStore, text: str,
+def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
               mode: str = "and", phrase: bool = False,
               syn: SynonymDict | None = None,
               cfg: TokenizerConfig | None = None,
-              groups: list[list[str]] | None = None) -> DataFrame:
+              groups: list[list[str]] | None = None,
+              min_should_match: int | None = None,
+              plan: QueryPlan | None = None) -> DataFrame:
     """ALL matching (live) doc ids as a DataFrame ``doc_id long`` —
     the scale-safe scroll-all-hits surface feeding
     ``deletes.delete_by_query`` (ES ``_delete_by_query`` resolves its
@@ -1314,7 +1579,9 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str,
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
                          "store_positions=True (this one has none)")
-    plan = plan_query(spark, store, text, syn, cfg, groups)
+    if plan is None:
+        plan = plan_query(spark, store, text, syn, cfg, groups)
+        plan = _apply_msm(plan, mode, min_should_match)
     if not plan.groups:
         return spark.range(0).select(F.col("id").alias("doc_id"))
 
