@@ -734,6 +734,16 @@ def q_fts_msm_count(spark, sf_dir):
                          min_should_match=MSM_M)
 
 
+def q_fts_terms_agg(spark, sf_dir):
+    """ES ``terms`` aggregation: lang bucket counts over the benchmark
+    query's AND match set, ES bucket order (doc_count DESC, key ASC).
+    Distributed end-to-end — match set and docmap join and aggregate
+    executor-side; only the ≤size buckets reach the driver."""
+    from synspark.query import terms_agg
+    store = _index(spark, sf_dir)
+    return terms_agg(spark, store, "lang", BM25_QUERY, mode="and")
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -974,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bool_topk": q_fts_bool_topk,
         "fts_msm_topk": q_fts_msm_topk,
         "fts_msm_count": q_fts_msm_count,
+        "fts_terms_agg": q_fts_terms_agg,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_index_stats": q_fts_index_stats,
@@ -1324,6 +1335,19 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """,
         "fts_msm_count": _bm25_prefix() + f"""
 SELECT count(*)::BIGINT AS hits FROM scored WHERE ng >= {MSM_M}
+""",
+        "fts_terms_agg": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+), m AS (
+  SELECT doc_id FROM per_doc WHERE c = (SELECT count(*) FROM qt)
+)
+SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, lang LIMIT 10
 """,
         "fts_count_or": _GRAMS_CTE + f"""
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))

@@ -1620,6 +1620,37 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
             .applyInPandas(run2, schema="doc_id long"))
 
 
+def terms_agg(spark: SparkSession, store: IndexStore, field: str,
+              text: str = "", mode: str = "and", phrase: bool = False,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              groups: list[list[str]] | None = None,
+              min_should_match: int | None = None,
+              plan: QueryPlan | None = None,
+              size: int = 10) -> DataFrame:
+    """ES ``terms`` aggregation over the query's matching doc set: the
+    docmap field's bucket counts, ordered ES-style (doc_count DESC,
+    key ASC), as ``(<field>, doc_count)``. Accepts every query shape
+    ``match_ids`` does — match text, phrase, or a kinds-tagged bool
+    plan — so ``search`` + ``aggs`` request bodies map 1:1.
+
+    Scale shape: the match set stays a distributed frame (the
+    match_ids contract), the docmap scan prunes to (doc_id, field),
+    the join shuffles on doc_id, and the bucket agg is a map-side
+    partial count over at most |buckets| keys — nothing per-doc ever
+    reaches the driver; ``size`` bounds the final TakeOrdered. Matches
+    are live docs only, so buckets follow deletes/merges like ES
+    aggregations follow liveDocs."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan)
+    dm = store.docmap(spark).select("doc_id", field)
+    return (ids.join(dm, "doc_id")
+            .groupBy(field)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(field))
+            .limit(size))
+
+
 def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
                         plan: QueryPlan, mode: str,
                         cand_ids: list[int] | None = None) -> DataFrame:

@@ -20,6 +20,8 @@ to the WAND workers.
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from synspark.deletes import delete_docs, merge_shards
 from synspark.index_store import build_index
 from synspark.query import (count_matches, match_ids, plan_bool,
@@ -186,3 +188,42 @@ def test_bool_window_pruning_still_fires(spark, booled):
                      must_not="key")
     out = _wand_shard(one, plan, 5, "or")
     assert len(out) <= 5 and (np.diff(-out["score"].to_numpy()) >= 0).all()
+
+
+def test_terms_agg_buckets(spark, booled):
+    """ES terms aggregation over a bool match set: bucket counts equal
+    a brute-force docmap join on the oracle's matching ids, in ES
+    bucket order (doc_count DESC, key ASC)."""
+    from synspark.query import terms_agg
+    plan = plan_bool(spark, booled, must="data", must_not="key")
+    got = [(r.repo, r.doc_count) for r in
+           terms_agg(spark, booled, "repo", plan=plan, size=5).collect()]
+    ids = {r.doc_id for r in score_naive(
+        spark, booled, "", k=10**6, mode="or", plan=plan).collect()}
+    dm = {r.doc_id: r.repo
+          for r in booled.docmap(spark).select("doc_id", "repo").collect()}
+    from collections import Counter
+    cnt = Counter(dm[i] for i in ids)
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(k, v) for k, v in exp] and got
+
+
+def test_terms_agg_follows_deletes(spark, tmp_path_factory):
+    """Aggregation buckets shrink with tombstones (ES aggs count live
+    docs only)."""
+    from synspark.query import terms_agg
+    root = tmp_path_factory.mktemp("agg")
+    store = build_index(spark, _corpus(spark, 120), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    before = {r.repo: r.doc_count for r in
+              terms_agg(spark, store, "repo", "data", mode="and",
+                        size=200).collect()}
+    victim = next(iter(before))
+    vid = [r.doc_id for r in store.docmap(spark)
+           .filter(F.col("repo") == victim).collect()]
+    delete_docs(spark, store, doc_ids=vid)
+    after = {r.repo: r.doc_count for r in
+             terms_agg(spark, store, "repo", "data", mode="and",
+                       size=200).collect()}
+    assert victim not in after
+    assert all(after[k] == v for k, v in before.items() if k != victim)
