@@ -129,6 +129,15 @@ def main() -> None:
         phrase=True).collect())
     lat("q_synonym_wand", lambda: search(
         spark, store, "かきいうえお", k=10, mode="and", syn=syn).collect())
+    # ES bool + aggs surfaces (round 5): must/should/must_not on the
+    # WAND workers; terms buckets over the distributed match set
+    from synspark.query import search_bool, terms_agg
+    lat("q_bool_topk", lambda: search_bool(
+        spark, store_docs, must="data", should="sort merge",
+        must_not="key", k=10).collect())
+    lat("q_terms_agg", lambda: terms_agg(
+        spark, store_docs, "lang", "data sort merge",
+        mode="and").collect())
 
     # batched serving shape: 16 queries in ONE Spark job (one planning
     # pass + one blocks scan) — the realistic offline-serving pattern
