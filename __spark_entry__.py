@@ -609,16 +609,12 @@ def q_fts_index_stats(spark, sf_dir):
         "n_docs long, n_live long, total_dl long, avgdl_r double")
 
 
-def q_fts_multifield_topk(spark, sf_dir):
-    """ES multi_match (most_fields): two per-field indexes over the
-    same corpus — content = full text (boost 1.0), title = first 60
-    chars (boost 2.0) — each field scoring with its OWN df/N/avgdl
-    (per-field norms); a doc matches if at least one field's AND query
-    matches and scores the boost-weighted sum over matching fields.
-    Field indexes share doc ids by construction (same corpus, same
-    deterministic assignment)."""
+def _mf_fields(spark, sf_dir):
+    """The two per-field indexes shared by the multi_match rows:
+    content = full text (boost 1.0), title = first 60 chars (boost
+    2.0), cached per sf_dir. Field indexes share doc ids by
+    construction (same corpus, same deterministic assignment)."""
     from synspark.index_store import FORMAT_VERSION, build_index
-    from synspark.query import search_fields
     from synspark.tokenizer import TokenizerConfig
     _ensure_shipped(spark)
     key = hashlib.md5(
@@ -634,10 +630,30 @@ def q_fts_multifield_topk(spark, sf_dir):
     s_t = build_index(spark, corpus, str(out / "title"), cfg=cfg,
                       syn=None, n_shards=4, text_col="title",
                       source=f"{sf_dir}:mf-title", resume=True)
+    return {"content": (s_c, 1.0), "title": (s_t, 2.0)}
+
+
+def q_fts_multifield_topk(spark, sf_dir):
+    """ES multi_match (most_fields): each field scores with its OWN
+    df/N/avgdl (per-field norms); a doc matches if at least one
+    field's AND query matches and scores the boost-weighted sum over
+    matching fields."""
+    from synspark.query import search_fields
     return _rounded_topk(
-        search_fields(spark,
-                      {"content": (s_c, 1.0), "title": (s_t, 2.0)},
+        search_fields(spark, _mf_fields(spark, sf_dir),
                       BM25_QUERY, k=200, mode="and"), 10)
+
+
+def q_fts_dismax_topk(spark, sf_dir):
+    """ES multi_match best_fields / dis_max (Lucene
+    DisjunctionMaxQuery): per-doc max over the boosted field scores
+    plus tie_breaker=0.3 × the rest, same per-field norms and the
+    same threshold-algorithm pruning as most_fields."""
+    from synspark.query import search_fields
+    return _rounded_topk(
+        search_fields(spark, _mf_fields(spark, sf_dir),
+                      BM25_QUERY, k=200, mode="and",
+                      type="best_fields", tie_breaker=0.3), 10)
 
 
 def q_fts_merge_topk(spark, sf_dir):
@@ -987,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_terms_agg": q_fts_terms_agg,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
+        "fts_dismax_topk": q_fts_dismax_topk,
         "fts_index_stats": q_fts_index_stats,
         "dp_exact_dups": q_dp_exact_dups,
         "dp_token_counts": q_dp_token_counts,
@@ -1425,6 +1442,27 @@ FROM (SELECT doc_id, score FROM scored_c WHERE ng = {_n_groups()}) c
 FULL OUTER JOIN
      (SELECT doc_id, score FROM scored_t WHERE ng = {_n_groups()}) t
   ON c.doc_id = t.doc_id
+ORDER BY score_r DESC, doc_id LIMIT 10
+""",
+        # multi_match best_fields (dis_max): max of the boosted field
+        # scores + 0.3 × the rest, same per-field stats as above
+        "fts_dismax_topk": _bm25_prefix(sfx="_c")
+        + _bm25_prefix(table="""
+(SELECT doc_id, substr(text, 1, 60) AS text FROM documents)""",
+                       sfx="_t", lead=",") + f"""
+, mf AS (
+  SELECT coalesce(c.doc_id, t.doc_id) AS doc_id,
+         coalesce(c.score, 0) * 1.0 AS sc,
+         coalesce(t.score, 0) * 2.0 AS st
+  FROM (SELECT doc_id, score FROM scored_c WHERE ng = {_n_groups()}) c
+  FULL OUTER JOIN
+       (SELECT doc_id, score FROM scored_t WHERE ng = {_n_groups()}) t
+    ON c.doc_id = t.doc_id
+)
+SELECT doc_id,
+       round(greatest(sc, st)
+             + 0.3 * (sc + st - greatest(sc, st)), 6) AS score_r
+FROM mf
 ORDER BY score_r DESC, doc_id LIMIT 10
 """,
         # incremental merge with every tombstone applied == a live-

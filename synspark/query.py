@@ -1699,10 +1699,18 @@ def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
 
 
 def _fields_total(spark: SparkSession, planned: list, mode: str,
-                  cand_ids: list[int] | None) -> DataFrame:
-    """Boost-weighted most_fields total (doc_id, score) over the
-    planned fields, ordered per-field fold so the cross-field sum is
-    bit-stable (same association as the scan oracle)."""
+                  cand_ids: list[int] | None,
+                  combine: str = "sum",
+                  tie_breaker: float = 0.0) -> DataFrame:
+    """Cross-field combine (doc_id, score) over the planned fields,
+    from each field's boost-weighted exact BM25:
+
+    - ``combine="sum"`` — most_fields: Σ_f boost_f × BM25_f, ordered
+      per-field fold so the sum is bit-stable (same association as
+      the scan oracle);
+    - ``combine="dismax"`` — best_fields / Lucene
+      DisjunctionMaxQuery: max_f + tie_breaker × Σ(others), the ES
+      ``dis_max`` scorer. tie_breaker=0 is pure best-field."""
     per_field = []
     for fi, (fstore, boost, plan, meta) in enumerate(planned):
         agg = _field_group_scores(spark, fstore, meta, plan, mode,
@@ -1714,11 +1722,14 @@ def _fields_total(spark: SparkSession, planned: list, mode: str,
     un = per_field[0]
     for f in per_field[1:]:
         un = un.unionByName(f)
+    arr = F.array_sort(F.collect_list(F.struct("_f", "fscore")))
+    ssum = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["fscore"])
+    if combine == "sum":
+        return un.groupBy("doc_id").agg(ssum.alias("score"))
+    smax = F.array_max(F.transform(arr, lambda x: x["fscore"]))
     return un.groupBy("doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("_f", "fscore"))),
-            F.lit(0.0), lambda acc, x: acc + x["fscore"],
-        ).alias("score"))
+        (smax + F.lit(float(tie_breaker)) * (ssum - smax))
+        .alias("score"))
 
 
 def _plan_fields(spark, fields, text, syn, cfg) -> list:
@@ -1736,7 +1747,9 @@ def search_fields_scan(spark: SparkSession, fields: dict, text: str,
                        k: int = 10,
                        mode: str = "and",
                        syn: SynonymDict | None = None,
-                       cfg: TokenizerConfig | None = None) -> DataFrame:
+                       cfg: TokenizerConfig | None = None,
+                       type: str = "most_fields",
+                       tie_breaker: float = 0.0) -> DataFrame:
     """The declarative full-decode multi_match scorer — every posting
     of every query term in every field is decoded (df-linear). Kept as
     the in-repo oracle for ``search_fields``; use that WAND-pruned
@@ -1744,7 +1757,9 @@ def search_fields_scan(spark: SparkSession, fields: dict, text: str,
     planned = _plan_fields(spark, fields, text, syn, cfg)
     if not planned:
         return spark.createDataFrame([], "doc_id long, score double")
-    out = _fields_total(spark, planned, mode, None)
+    out = _fields_total(spark, planned, mode, None,
+                        combine="dismax" if type == "best_fields"
+                        else "sum", tie_breaker=tie_breaker)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -1752,9 +1767,14 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
                   k: int = 10,
                   mode: str = "and",
                   syn: SynonymDict | None = None,
-                  cfg: TokenizerConfig | None = None) -> DataFrame:
-    """ES ``multi_match`` (most_fields) over per-field indexes:
-    ``fields`` maps field name -> (IndexStore, boost). The reference's
+                  cfg: TokenizerConfig | None = None,
+                  type: str = "most_fields",
+                  tie_breaker: float = 0.0) -> DataFrame:
+    """ES ``multi_match`` (most_fields / best_fields) over per-field
+    indexes: ``fields`` maps field name -> (IndexStore, boost).
+    ``type="best_fields"`` scores Lucene's DisjunctionMaxQuery —
+    max over fields plus ``tie_breaker`` × the rest (the ES
+    ``dis_max`` query; 0 ≤ tie_breaker ≤ 1). The reference's
     msg1/msg2 deployment indexes each field separately (one analyzer
     chain per field — our ``build_index(text_col=...)`` shape,
     SynonymPluginTest.java:106-131); ES then scores a bool-should of
@@ -1786,7 +1806,17 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
        count and all fields exhaust).
 
     A common term no longer costs a df-linear decode per field — the
-    round-4 scale hole; ``search_fields_scan`` remains the oracle."""
+    round-4 scale hole; ``search_fields_scan`` remains the oracle.
+
+    The threshold gate adapts to the combine: a doc outside C scores
+    at most boost_f × s_f in each field, so its most_fields total is
+    ≤ τ_sum = Σ_f boost_f s_f, and its best_fields total is
+    ≤ τ_max = M + tie_breaker × (τ_sum − M) with M = max_f boost_f s_f
+    (b + tb(S − b) is increasing in b for tb ≤ 1 — the max-field
+    choice dominates)."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError("tie_breaker must be in [0, 1]")
+    combine = "dismax" if type == "best_fields" else "sum"
     planned = _plan_fields(spark, fields, text, syn, cfg)
     if not planned:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -1794,7 +1824,7 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
     kk = max(k, 1)
     while True:
         cand: set[int] = set()
-        tau = 0.0
+        fbounds: list[float] = []
         exhausted = True
         for fstore, boost, plan, meta in planned:
             hits = _wand_topk(spark, fstore, meta, plan, kk,
@@ -1802,13 +1832,21 @@ def search_fields(spark: SparkSession, fields: dict, text: str,
             cand.update(int(r.doc_id) for r in hits)
             if len(hits) >= kk:
                 exhausted = False
-                tau += float(boost) * hits[-1].score
+                fbounds.append(float(boost) * hits[-1].score)
             # else: every matching doc of this field is in C; docs
             # outside C score 0 here — contributes nothing to τ
         if not cand:
             return spark.createDataFrame([],
                                          "doc_id long, score double")
-        totals = _fields_total(spark, planned, mode, sorted(cand))
+        s_all = sum(fbounds)
+        if combine == "sum" or not fbounds:
+            tau = s_all
+        else:
+            m = max(fbounds)
+            tau = m + tie_breaker * (s_all - m)
+        totals = _fields_total(spark, planned, mode, sorted(cand),
+                               combine=combine,
+                               tie_breaker=tie_breaker)
         top = totals.orderBy(F.desc("score"),
                              F.asc("doc_id")).limit(k).collect()
         if exhausted or (len(top) == k and top[-1].score > tau):

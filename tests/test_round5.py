@@ -684,3 +684,45 @@ def test_mixed_population_flood_prunes_via_impacts(spark,
          search(spark, store, "", k=10, mode="or",
                 groups=groups).collect()]
     assert a == naive
+
+
+def test_best_fields_wand_equals_scan(spark, mf):
+    """dis_max / best_fields threshold path is EXACT vs the
+    full-decode scan oracle at several tie_breakers, modes and k
+    (small k exercises the dismax τ gate: M + tb(S − M))."""
+    from synspark.query import search_fields, search_fields_scan
+    for tb in (0.0, 0.3):
+        for mode in ("and", "or"):
+            for k in (3, 15, 400):
+                a = [(r.doc_id, r.score) for r in
+                     search_fields(spark, mf, "data sort", k=k,
+                                   mode=mode, type="best_fields",
+                                   tie_breaker=tb).collect()]
+                b = [(r.doc_id, r.score) for r in
+                     search_fields_scan(spark, mf, "data sort", k=k,
+                                        mode=mode, type="best_fields",
+                                        tie_breaker=tb).collect()]
+                assert a == b, (tb, mode, k)
+
+
+def test_best_fields_tb1_approximates_most_fields(spark, mf):
+    """ES identity: tie_breaker=1 makes dis_max score the plain sum
+    (max + 1·rest). Checked to float tolerance — the dismax
+    expression associates differently than the ordered sum fold."""
+    from synspark.query import search_fields_scan
+    a = {r.doc_id: r.score for r in
+         search_fields_scan(spark, mf, "data sort", k=400,
+                            type="best_fields",
+                            tie_breaker=1.0).collect()}
+    b = {r.doc_id: r.score for r in
+         search_fields_scan(spark, mf, "data sort",
+                            k=400).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[d] - b[d]) < 1e-9 for d in a)
+
+
+def test_best_fields_tie_breaker_validation(spark, mf):
+    from synspark.query import search_fields
+    with pytest.raises(ValueError, match="tie_breaker"):
+        search_fields(spark, mf, "data sort", type="best_fields",
+                      tie_breaker=1.5)
