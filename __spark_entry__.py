@@ -741,6 +741,17 @@ def q_fts_msm_topk(spark, sf_dir):
                min_should_match=MSM_M), 10)
 
 
+def q_fts_filter_topk(spark, sf_dir):
+    """ES bool filter context (Lucene FILTER occur): 'data' scores,
+    'sort' is required but NEVER scores — surviving docs keep the
+    filter-free query's exact scores, ranked among filter survivors."""
+    from synspark.query import search_bool
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search_bool(spark, store, must=BOOL_MUST, filter="sort",
+                    k=200), 10)
+
+
 def q_fts_msm_count(spark, sf_dir):
     """Distributed m-of-n hit count: per-shard vectorized group-match
     counting, one tiny sum — the bool twin of fts_count_and/or."""
@@ -1000,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bool_topk": q_fts_bool_topk,
         "fts_msm_topk": q_fts_msm_topk,
         "fts_msm_count": q_fts_msm_count,
+        "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
@@ -1200,6 +1212,48 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
 
+def _filter_oracle() -> str:
+    """must='data' scores; filter='sort' gates without scoring: the
+    BM25 sum runs over the must bigrams only, restricted to docs
+    containing every filter bigram."""
+    m = sorted(set(_query_bigrams(BOOL_MUST)))
+    f = sorted(set(_query_bigrams("sort")))
+    mv = ", ".join(f"('{t}')" for t in m)
+    fl = ", ".join(f"'{t}'" for t in f)
+    return _grams_cte() + f"""
+, qterms AS (SELECT * FROM (VALUES {mv}) AS q(term))
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) AS nm
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY t.doc_id
+), fdocs AS (
+  SELECT doc_id FROM grams WHERE term IN ({fl})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(f)}
+)
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE nm = {len(m)} AND doc_id IN (SELECT doc_id FROM fdocs)
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def _fetch_sources_oracle() -> str:
     return _bm25_prefix() + f"""
 , top AS (
@@ -1345,6 +1399,7 @@ SELECT count(*)::BIGINT AS hits FROM per_doc
 WHERE c = (SELECT count(*) FROM qt)
 """,
         "fts_bool_topk": _bool_oracle(),
+        "fts_filter_topk": _filter_oracle(),
         "fts_msm_topk": _bm25_prefix() + f"""
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 WHERE ng >= {MSM_M}

@@ -108,10 +108,12 @@ class QueryPlan:
     # reaches executors via plan serialization, not via os.environ
     window: int = WAND_WINDOW
     # boolean-query shape (ES bool / minimum_should_match):
-    # kinds[i] ∈ {'m','s','n'} tags groups[i] as must / should /
-    # must_not (Lucene BooleanClause.Occur); None keeps the legacy
-    # mode-driven semantics (mode="and" ≡ all-must, "or" ≡ all-should
-    # msm=1). msm = minimum number of 's' groups a doc must match
+    # kinds[i] ∈ {'m','s','n','f'} tags groups[i] as must / should /
+    # must_not / filter (Lucene BooleanClause.Occur; 'f' is the ES
+    # filter context — required like must, never scores like
+    # must_not). None keeps the legacy mode-driven semantics
+    # (mode="and" ≡ all-must, "or" ≡ all-should msm=1). msm = minimum
+    # number of 's' groups a doc must match
     # (BooleanQuery.setMinimumNumberShouldMatch).
     kinds: list[str] | None = None
     msm: int = 0
@@ -120,18 +122,21 @@ class QueryPlan:
     def terms(self) -> list[str]:
         return sorted({t for g in self.groups for t in g})
 
-    def occur(self, mode: str) -> tuple[list[int], list[int], list[int], int]:
-        """(must, should, must_not group indices, msm) under either
-        the explicit ``kinds`` tagging or the legacy ``mode``."""
+    def occur(self, mode: str) -> tuple[list[int], list[int],
+                                        list[int], list[int], int]:
+        """(must, should, must_not, filter group indices, msm) under
+        either the explicit ``kinds`` tagging or the legacy
+        ``mode``."""
         n = len(self.groups)
         if self.kinds is None:
             if mode == "and":
-                return list(range(n)), [], [], 0
-            return [], list(range(n)), [], max(1, self.msm)
+                return list(range(n)), [], [], [], 0
+            return [], list(range(n)), [], [], max(1, self.msm)
         m = [i for i, k in enumerate(self.kinds) if k == "m"]
         s = [i for i, k in enumerate(self.kinds) if k == "s"]
         x = [i for i, k in enumerate(self.kinds) if k == "n"]
-        return m, s, x, self.msm
+        f = [i for i, k in enumerate(self.kinds) if k == "f"]
+        return m, s, x, f, self.msm
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -164,7 +169,7 @@ def plan_query(spark: SparkSession, store: IndexStore, text: str,
 
 
 def plan_bool(spark: SparkSession, store: IndexStore,
-              must=None, should=None, must_not=None,
+              must=None, should=None, must_not=None, filter=None,
               syn: SynonymDict | None = None,
               cfg: TokenizerConfig | None = None,
               min_should_match: int | None = None) -> QueryPlan:
@@ -183,42 +188,70 @@ def plan_bool(spark: SparkSession, store: IndexStore,
       ``min_should_match`` of them must match (default: 0 when must
       clauses exist, else 1 — the ES default);
     - a doc matching ANY must_not group is excluded (match clause
-      operator=or, the ES default); must_not never scores (idf 0).
+      operator=or, the ES default); must_not never scores (idf 0);
+    - every filter group is required but NEVER scores (the ES filter
+      context / Lucene FILTER occur — idf 0, pure doc-set gate).
+      min_should_match defaults follow ES exactly: 1 when should
+      clauses exist with no must/filter, else 0.
 
     Scoring: sum of matched must+should group scores in ascending
     group order — Lucene DisjunctionSumScorer, bit-stable against the
-    naive oracle's ordered fold."""
+    naive oracle's ordered fold.
+
+    Per-clause boost (ES ``{match: {f: {query: ..., boost: 2.0}}}``,
+    Lucene BoostQuery): pass a ``(clause, boost)`` tuple anywhere a
+    clause is accepted — every group the clause analyzes to scores
+    ×boost (folded into the group idf, so WAND bounds, the oracle and
+    explain all inherit it). Boost on a must_not clause is ignored
+    (it never scores, same as ES)."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
 
-    def gs(x) -> list[list[str]]:
+    def gs(x) -> list[tuple[list[str], float]]:
+        """[(group, boost)] for one occur kind."""
         if x is None:
             return []
-        if isinstance(x, str):
+        if isinstance(x, str) or (isinstance(x, tuple) and len(x) == 2
+                                  and isinstance(x[1], (int, float))):
             x = [x]
-        out: list[list[str]] = []
+        out: list[tuple[list[str], float]] = []
         for clause in x:
+            boost = 1.0
+            if isinstance(clause, tuple) and len(clause) == 2 \
+                    and isinstance(clause[1], (int, float)):
+                clause, boost = clause[0], float(clause[1])
+            if boost <= 0:
+                # boost 0 would zero the group's WAND bound while the
+                # group still matches docs — the must/msm window gates
+                # key off bound > 0, so exactness requires positive
+                # boosts (ES's boost:0 relevance-kill is served by
+                # must_not-free filter contexts instead)
+                raise ValueError("clause boost must be > 0")
             if isinstance(clause, str):
-                out.extend(analyze_query(clause, cfg, syn))
+                out.extend((g, boost)
+                           for g in analyze_query(clause, cfg, syn))
             else:                      # pre-built group (list[str])
-                out.append(list(clause))
+                out.append((list(clause), boost))
         return out
 
-    mg, sg, xg = gs(must), gs(should), gs(must_not)
-    if not (mg or sg):
-        raise ValueError("bool query needs at least one must or "
-                         "should clause (pure must_not matches "
+    mg, sg, xg, fg = gs(must), gs(should), gs(must_not), gs(filter)
+    if not (mg or sg or fg):
+        raise ValueError("bool query needs at least one must, should "
+                         "or filter clause (pure must_not matches "
                          "everything-but — unbounded)")
-    groups = mg + sg + xg
-    kinds = ["m"] * len(mg) + ["s"] * len(sg) + ["n"] * len(xg)
+    tagged = mg + sg + xg + fg
+    groups = [g for g, _b in tagged]
+    boosts = [b for _g, b in tagged]
+    kinds = ["m"] * len(mg) + ["s"] * len(sg) + ["n"] * len(xg) \
+        + ["f"] * len(fg)
     terms = sorted({t for g in groups for t in g})
     dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
     n_eff = meta.n_docs - meta.n_purged
-    idfs = [0.0 if k == "n" else
-            idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
-            for g, k in zip(groups, kinds)]
+    idfs = [0.0 if k in "nf" else
+            bo * idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
+            for g, k, bo in zip(groups, kinds, boosts)]
     msm = (min_should_match if min_should_match is not None
-           else (0 if mg else 1))
+           else (1 if (sg and not mg and not fg) else 0))
     if msm > len(sg):
         raise ValueError(f"min_should_match={msm} exceeds the "
                          f"{len(sg)} should clauses")
@@ -364,7 +397,7 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
         # matched ∩ must_not = ∅. Not-group gscores are 0.0 (idf 0) so
         # the ordered fold above is bit-identical to the WAND worker's
         # musts+shoulds accumulation (x + 0.0 == x for finite x).
-        musts, shoulds, nots, msm = plan.occur(mode)
+        musts, shoulds, nots, filts, msm = plan.occur(mode)
 
         def _cnt(ids: list[int]):
             return F.size(F.array_intersect(
@@ -372,6 +405,8 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
 
         if musts:
             agg = agg.filter(_cnt(musts) == len(musts))
+        if filts:
+            agg = agg.filter(_cnt(filts) == len(filts))
         if shoulds and msm >= 1:
             agg = agg.filter(_cnt(shoulds) >= msm)
         if nots:
@@ -494,9 +529,9 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     n_groups = len(plan.groups)
     # ES bool / minimum_should_match occur tags (plan.kinds=None keeps
     # the legacy mode-driven all-must / all-should shapes bit-for-bit)
-    musts, shoulds, nots = plan.occur(mode)[:3]
-    msm = plan.occur(mode)[3]
+    musts, shoulds, nots, filts, msm = plan.occur(mode)
     must_set, not_set = set(musts), set(nots)
+    filt_set = set(filts)
 
     # organize blocks per group; block upper bound from (max_tf, min_dl)
     first = pdf["first_doc"].to_numpy()
@@ -651,12 +686,20 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         return float(bd.max())
 
     ub = np.zeros((n_groups, n_win))
+    # per-(group, window) PRESENCE — required-group (must/filter)
+    # window gates and the m-of-n gate key off this, independent of
+    # scoring (a filter group scores 0 but still gates windows)
+    pres = np.zeros((n_groups, n_win), dtype=bool)
     for gi, g in enumerate(plan.groups):
-        if gi in not_set:
-            continue    # must_not never scores: ub row stays 0
         rows = [uterms[t] for t in g if t in uterms]
         if not rows:
             continue
+        if gi in not_set or gi in filt_set:
+            # never scores: ub row stays 0; filters keep presence
+            if gi in filt_set:
+                pres[gi] = ub_term[rows].sum(axis=0) > 0
+            continue
+        pres[gi] = ub_term[rows].sum(axis=0) > 0
         bound = np.minimum(ub_term[rows].sum(axis=0), 1.0)
         if len(rows) > 1:
             # blended bound, expression mirroring the scorer below
@@ -682,17 +725,18 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                     bound[w] = ibw
         ub[gi] = plan.idfs[gi] * bound
 
-    if musts:
-        # a window missing any must group can't match
-        alive = (ub[musts] > 0).all(axis=0)
+    req = musts + filts
+    if req:
+        # a window missing any required (must/filter) group can't match
+        alive = pres[req].all(axis=0)
     else:
         alive = np.ones(n_win, dtype=bool)
-    if shoulds and msm >= 1 and (musts or msm > 1):
+    if shoulds and msm >= 1 and (req or msm > 1):
         # m-of-n: a window where fewer than msm should groups have any
         # posting can't produce a match (group absent in window ⇒
         # absent in every doc of the window). Skipped for the trivial
         # pure-should msm=1 case (win_ub > 0 already implies it).
-        alive &= (ub[shoulds] > 0).sum(axis=0) >= msm
+        alive &= pres[shoulds].sum(axis=0) >= msm
     win_ub = ub.sum(axis=0) * alive
 
     order = np.argsort(-win_ub, kind="stable")
@@ -813,13 +857,19 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         # old start-key intersection.
         frontier: np.ndarray | None = None
         not_docs: list[np.ndarray] = []
+        filt_docs: list[np.ndarray] = []
         gkinds: list[bool] = []        # True = must, aligned w/ gdocs
         dead = False
         for gi in range(n_groups):
-            if gi in not_set:
-                # must_not: docs only — no scoring, no phrase walk
+            if gi in not_set or gi in filt_set:
+                # never scores: docs only — no tf/dl, no phrase walk
                 nd_, *_rest = decode_group_window(gi, d0, d1, False)
-                if len(nd_):
+                if gi in filt_set:
+                    if len(nd_) == 0:  # required: window dead
+                        dead = True
+                        break
+                    filt_docs.append(nd_)
+                elif len(nd_):
                     not_docs.append(nd_)
                 continue
             udocs, utf, udl, pdocs, pvals, plens = \
@@ -878,6 +928,11 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                 cnt = np.bincount(np.searchsorted(u, np.concatenate(ds)),
                                   minlength=len(u))
             keep &= cnt >= msm
+        for fd in filt_docs:
+            # filter context: required, never scores (ES bool filter /
+            # Lucene FILTER occur) — pure doc-set intersection; bounds
+            # stay valid (intersection only removes candidates)
+            keep &= np.isin(u, fd)
         if not_docs:
             # must_not exclusion (Lucene ReqExclScorer): removing docs
             # only lowers attainable window scores, bounds stay valid
@@ -961,16 +1016,21 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
-    plan = _apply_msm(plan, mode, min_should_match)
+    plan = _apply_msm(plan, mode, min_should_match, phrase)
     return _wand_topk(spark, store, meta, plan, k, mode, phrase, after)
 
 
 def _apply_msm(plan: QueryPlan, mode: str,
-               min_should_match: int | None) -> QueryPlan:
+               min_should_match: int | None,
+               phrase: bool = False) -> QueryPlan:
     """Tag the plan's groups all-should with the given m (ES match
     minimum_should_match). No-op when m is None."""
     if min_should_match is None:
         return plan
+    if phrase:
+        raise ValueError("min_should_match does not apply to phrase "
+                         "queries (adjacency already requires every "
+                         "position)")
     if mode != "or":
         raise ValueError("min_should_match applies to mode='or' "
                          "(mode='and' already requires every group)")
@@ -983,19 +1043,33 @@ def _apply_msm(plan: QueryPlan, mode: str,
 
 
 def search_bool(spark: SparkSession, store: IndexStore,
-                must=None, should=None, must_not=None, k: int = 10,
+                must=None, should=None, must_not=None, filter=None,
+                k: int = 10,
                 min_should_match: int | None = None,
                 syn: SynonymDict | None = None,
                 cfg: TokenizerConfig | None = None,
                 after: tuple | None = None) -> DataFrame:
-    """ES ``bool`` query: BM25 top-k over must/should/must_not clauses
-    (see plan_bool for the exact Lucene BooleanQuery semantics). Runs
-    on the same shard-parallel block-max WAND as ``search`` — must_not
-    groups decode docs-only inside each worker (Lucene ReqExclScorer)
-    and never contribute to bounds or scores; window pruning stays
-    exact because exclusion only lowers attainable scores."""
-    plan = plan_bool(spark, store, must, should, must_not, syn, cfg,
-                     min_should_match)
+    """ES ``bool`` query: BM25 top-k over must/should/must_not/filter
+    clauses (see plan_bool for the exact Lucene BooleanQuery
+    semantics). Runs on the same shard-parallel block-max WAND as
+    ``search`` — must_not and filter groups decode docs-only inside
+    each worker (Lucene ReqExclScorer / FILTER occur) and never
+    contribute to bounds or scores; window pruning stays exact because
+    exclusion/intersection only lowers attainable scores.
+
+    Needs at least one scoring (must/should) clause — a filter-only
+    bool has no ranking signal (every ES score is 0); resolve those
+    with ``match_ids(plan=plan_bool(filter=...))`` or
+    ``count_matches``. With ``{should, filter}`` and the ES-default
+    min_should_match=0, ranked results are the positive-score matches
+    (docs matching the filter but no should clause score 0 and can
+    only appear below them; use match_ids for the exhaustive set)."""
+    plan = plan_bool(spark, store, must, should, must_not, filter,
+                     syn, cfg, min_should_match)
+    if not any(kk in "ms" for kk in plan.kinds):
+        raise ValueError("search_bool needs a scoring (must/should) "
+                         "clause; filter-only matching is served by "
+                         "match_ids/count_matches")
     meta = store.meta()
     return _wand_topk(spark, store, meta, plan, k, "or", False, after)
 
@@ -1432,11 +1506,12 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
         # may contribute non-candidate docs to the m-of-n count, which
         # the final intersect discards); must_not decodes are gated by
         # the surviving candidates and subtract last.
-        musts, shoulds, nots, msm = plan.occur(mode)
+        musts, shoulds, nots, filts, msm = plan.occur(mode)
+        req = musts + filts       # matching treats filter ≡ must
         vol = [sum(int(nds[i]) for i in block_rows(g))
                for g in plan.groups]
         acc_b: np.ndarray | None = None
-        for gi in sorted(musts, key=lambda g: vol[g]):
+        for gi in sorted(req, key=lambda g: vol[g]):
             docs, _pd, _pv, _pl = group_arrays(plan.groups[gi], False,
                                                acc_b)
             if len(docs) == 0:
@@ -1445,7 +1520,7 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                 np.intersect1d(acc_b, docs, assume_unique=True)
             if len(acc_b) == 0:
                 return done(0)
-        need_cnt = bool(shoulds) and msm >= 1 and (bool(musts) or msm > 1)
+        need_cnt = bool(shoulds) and msm >= 1 and (bool(req) or msm > 1)
         if need_cnt:
             per_g = []
             for gi in shoulds:
@@ -1461,7 +1536,7 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                 qual = znil
             acc_b = qual if acc_b is None else \
                 np.intersect1d(acc_b, qual, assume_unique=True)
-        elif not musts:
+        elif not req:
             # pure-should msm ≤ 1: plain union
             for gi in shoulds:
                 docs, _pd, _pv, _pl = group_arrays(plan.groups[gi],
@@ -1522,7 +1597,11 @@ def count_matches(spark: SparkSession, store: IndexStore,
                          "store_positions=True (this one has none)")
     if plan is None:
         plan = plan_query(spark, store, text, syn, cfg, groups)
-        plan = _apply_msm(plan, mode, min_should_match)
+        plan = _apply_msm(plan, mode, min_should_match, phrase)
+    elif plan.kinds is not None and phrase:
+        raise ValueError("phrase=True is not supported with a "
+                         "kinds-tagged bool plan (phrase adjacency "
+                         "is defined over required positions only)")
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")
 
@@ -1581,7 +1660,11 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
                          "store_positions=True (this one has none)")
     if plan is None:
         plan = plan_query(spark, store, text, syn, cfg, groups)
-        plan = _apply_msm(plan, mode, min_should_match)
+        plan = _apply_msm(plan, mode, min_should_match, phrase)
+    elif plan.kinds is not None and phrase:
+        raise ValueError("phrase=True is not supported with a "
+                         "kinds-tagged bool plan (phrase adjacency "
+                         "is defined over required positions only)")
     if not plan.groups:
         return spark.range(0).select(F.col("id").alias("doc_id"))
 

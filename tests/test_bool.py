@@ -129,7 +129,7 @@ def test_msm_count_matches(spark, booled):
 
 
 def test_bool_errors(spark, booled):
-    with pytest.raises(ValueError, match="must or"):
+    with pytest.raises(ValueError, match="must, should"):
         plan_bool(spark, booled, must_not="data")
     with pytest.raises(ValueError, match="exceeds"):
         plan_bool(spark, booled, should="data", min_should_match=99)
@@ -227,3 +227,85 @@ def test_terms_agg_follows_deletes(spark, tmp_path_factory):
                        size=200).collect()}
     assert victim not in after
     assert all(after[k] == v for k, v in before.items() if k != victim)
+
+
+def test_phrase_guards(spark, booled):
+    from synspark.query import count_matches, plan_bool
+    with pytest.raises(ValueError, match="phrase"):
+        search(spark, booled, "data sort", mode="or", phrase=True,
+               min_should_match=2)
+    with pytest.raises(ValueError, match="phrase"):
+        count_matches(spark, booled, phrase=True,
+                      plan=plan_bool(spark, booled, must="data"))
+
+
+def test_bool_clause_boosts(spark, booled):
+    """(clause, boost) tuples multiply the clause's group scores
+    (Lucene BoostQuery folded into group idf): WAND ≡ oracle with
+    boosts, boost=1 ≡ unboosted, and a dominant boost reorders ranks
+    toward its clause."""
+    kw = dict(must=("data", 2.0), should=[("merge", 3.0), "order"],
+              must_not="key")
+    plan = plan_bool(spark, booled, kw["must"], kw["should"],
+                     kw["must_not"])
+    got = _pairs(search_bool(spark, booled, kw["must"], kw["should"],
+                             kw["must_not"], k=40))
+    exp = _pairs(score_naive(spark, booled, "", k=40, mode="or",
+                             plan=plan))
+    assert got == exp
+    base = _pairs(search_bool(spark, booled, must=("data", 1.0), k=40))
+    unb = _pairs(search_bool(spark, booled, must="data", k=40))
+    assert base == unb
+    with pytest.raises(ValueError, match="boost"):
+        plan_bool(spark, booled, must=("data", 0.0))
+    # dominant should-boost pulls a merge-matching doc above a pure
+    # data-heavy doc relative to the unboosted ordering
+    heavy = _pairs(search_bool(spark, booled, must="data",
+                               should=("merge", 50.0), k=40))
+    plain = _pairs(search_bool(spark, booled, must="data",
+                               should="merge", k=40))
+    assert [d for d, _ in heavy] != [d for d, _ in plain]
+
+
+def test_filter_context(spark, booled):
+    """ES filter context: required like must, never scores (Lucene
+    FILTER occur). WAND ≡ oracle; filter tightens the match set
+    without changing surviving docs' scores; filter-only matching
+    goes through match_ids/count."""
+    from synspark.query import count_matches, match_ids
+    plan = plan_bool(spark, booled, must="data", filter="sort",
+                     must_not="key")
+    got = _pairs(search_bool(spark, booled, must="data",
+                             filter="sort", must_not="key", k=40))
+    exp = _pairs(score_naive(spark, booled, "", k=40, mode="or",
+                             plan=plan))
+    assert got == exp and got
+    # scores of surviving docs equal the filter-free query's scores
+    free = dict(_pairs(search_bool(spark, booled, must="data",
+                                   must_not="key", k=400)))
+    assert all(free[d] == s for d, s in got)
+    assert set(d for d, _ in got) < set(free)
+    # filter-only: counts + ids work, ranked search refuses
+    fplan = plan_bool(spark, booled, filter="sort merge")
+    hits = count_matches(spark, booled, plan=fplan).collect()[0].hits
+    ids = sorted(r.doc_id for r in
+                 match_ids(spark, booled, plan=fplan).collect())
+    exp_ids = sorted(r.doc_id for r in score_naive(
+        spark, booled, "", k=10**6, mode="or", plan=fplan).collect())
+    assert hits == len(exp_ids) and ids == exp_ids and hits > 0
+    with pytest.raises(ValueError, match="scoring"):
+        search_bool(spark, booled, filter="sort")
+
+
+def test_filter_msm_default_follows_es(spark, booled):
+    """ES default: msm=1 only when should exists with no must/filter;
+    {should, filter} defaults to msm=0 — the filter alone qualifies a
+    doc (score 0), and count_matches reflects the full ES match set."""
+    from synspark.query import count_matches
+    fs = plan_bool(spark, booled, should="merge", filter="data")
+    assert fs.msm == 0
+    f_only = plan_bool(spark, booled, filter="data")
+    hits_fs = count_matches(spark, booled, plan=fs).collect()[0].hits
+    hits_f = count_matches(spark, booled,
+                           plan=f_only).collect()[0].hits
+    assert hits_fs == hits_f  # should is optional: same match set
