@@ -1130,7 +1130,8 @@ def search_batch(spark: SparkSession, store: IndexStore,
                  syn: SynonymDict | None = None,
                  cfg: TokenizerConfig | None = None,
                  groups_list: list[list[list[str]]] | None = None,
-                 after_list: list[tuple | None] | None = None
+                 after_list: list[tuple | None] | None = None,
+                 plans: list[QueryPlan] | None = None
                  ) -> DataFrame:
     """Answer MANY queries in one Spark job: one planning pass, one
     blocks scan for the union of all query terms, per-shard workers run
@@ -1146,32 +1147,55 @@ def search_batch(spark: SparkSession, store: IndexStore,
     ``after_list`` (one ``(score, doc_id)`` cursor or None per query)
     is per-query search_after pagination, same semantics as
     ``search(after=...)`` — page N+1 of a batch costs the same one
-    job as page 1."""
+    job as page 1.
+
+    ``plans`` (mutually exclusive with texts/groups_list) serves
+    PRE-BUILT QueryPlans — notably kinds-tagged bool plans from
+    ``plan_bool``: a mixed batch of bool/msm/plain queries runs in the
+    same single job (each worker applies each plan's occur tags; the
+    batch mode arg is ignored for kinds-tagged plans)."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
-    if groups_list is not None and len(groups_list) != len(texts):
+    if plans is not None:
+        if texts:
+            raise ValueError("pass either texts or plans, not both")
+        n_q = len(plans)
+    else:
+        n_q = len(texts)
+    if groups_list is not None and len(groups_list) != n_q:
         raise ValueError("groups_list must have one entry per query")
-    if after_list is not None and len(after_list) != len(texts):
+    if after_list is not None and len(after_list) != n_q:
         raise ValueError("after_list must have one entry per query")
-    afters = after_list if after_list is not None else [None] * len(texts)
-    groups_per_q = groups_list if groups_list is not None \
-        else [analyze_query(t, cfg, syn) for t in texts]
-    all_terms = sorted({t for gs in groups_per_q for g in gs for t in g})
+    afters = after_list if after_list is not None else [None] * n_q
+    if plans is None:
+        groups_per_q = groups_list if groups_list is not None \
+            else [analyze_query(t, cfg, syn) for t in texts]
+        all_terms = sorted({t for gs in groups_per_q
+                            for g in gs for t in g})
+    else:
+        all_terms = sorted({t for p in plans for t in p.terms})
     if not all_terms:
         return spark.createDataFrame([],
                                      "query_id int, doc_id long, score double")
-    dfs = store.term_dfs(spark, all_terms, build_id=meta.build_id)
-    # scoring N must match plan_query's n_eff (maxDoc minus merged-away
-    # docs) or batch scores diverge from single-query search after an
-    # incremental merge — pinned by test_search_batch_merged_identity
-    n_eff = meta.n_docs - meta.n_purged
-    plans = []
-    for gs in groups_per_q:
-        idfs = [idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
-                for g in gs]
-        plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=n_eff,
-                               avgdl=meta.avgdl, k1=meta.k1, b=meta.b))
+    if plans is None:
+        dfs = store.term_dfs(spark, all_terms, build_id=meta.build_id)
+        # scoring N must match plan_query's n_eff (maxDoc minus
+        # merged-away docs) or batch scores diverge from single-query
+        # search after an incremental merge — pinned by
+        # test_search_batch_merged_identity
+        n_eff = meta.n_docs - meta.n_purged
+        plans = []
+        for gs in groups_per_q:
+            idfs = [idf(n_eff, max((dfs.get(t, 0) for t in g),
+                                   default=0))
+                    for g in gs]
+            plans.append(QueryPlan(groups=gs, idfs=idfs, n_docs=n_eff,
+                                   avgdl=meta.avgdl, k1=meta.k1,
+                                   b=meta.b))
 
+    if phrase and any(p.kinds is not None for p in plans):
+        raise ValueError("phrase=True is not supported with "
+                         "kinds-tagged bool plans")
     cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
             "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
             "imp_bytes"]

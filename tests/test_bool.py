@@ -309,3 +309,32 @@ def test_filter_msm_default_follows_es(spark, booled):
     hits_f = count_matches(spark, booled,
                            plan=f_only).collect()[0].hits
     assert hits_fs == hits_f  # should is optional: same match set
+
+
+def test_search_batch_with_bool_plans(spark, booled):
+    """A mixed batch of bool / msm / plain plans runs in ONE job and
+    is rank- and score-identical to the per-query paths."""
+    from synspark.query import plan_query, search_batch
+    p1 = plan_bool(spark, booled, must="data", should="merge",
+                   must_not="key")
+    p2 = plan_bool(spark, booled, should="data sort merge",
+                   min_should_match=4)
+    p3 = plan_query(spark, booled, "data sort")
+    out = search_batch(spark, booled, [], k=15,
+                       plans=[p1, p2, p3]).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert by_q[0] == _pairs(search_bool(
+        spark, booled, must="data", should="merge", must_not="key",
+        k=15))
+    assert by_q[1] == _pairs(search(
+        spark, booled, "data sort merge", k=15, mode="or",
+        min_should_match=4))
+    # kinds-None plan under the batch's default mode="and"
+    assert by_q[2] == _pairs(search(
+        spark, booled, "data sort", k=15, mode="and"))
+    with pytest.raises(ValueError, match="texts or plans"):
+        search_batch(spark, booled, ["x"], plans=[p1])
+    with pytest.raises(ValueError, match="phrase"):
+        search_batch(spark, booled, [], phrase=True, plans=[p1])
