@@ -771,6 +771,50 @@ def q_fts_terms_agg(spark, sf_dir):
     return terms_agg(spark, store, "lang", BM25_QUERY, mode="and")
 
 
+def q_fts_stats_agg(spark, sf_dir):
+    """ES ``stats`` metric aggregation (count/min/max/avg/sum) over
+    the benchmark query's AND match set's dl (indexed token count).
+    One scalar row leaves the cluster; the aggregate itself is a
+    map-side partial fold after the doc_id join."""
+    from synspark.query import stats_agg
+    store = _index(spark, sf_dir)
+    return stats_agg(spark, store, "dl", BM25_QUERY, mode="and")
+
+
+def q_fts_histogram_agg(spark, sf_dir):
+    """ES ``histogram`` aggregation over the match set's dl with
+    interval 10, default min_doc_count=0 semantics: empty buckets
+    between the first and last occupied bucket materialize with
+    doc_count 0 (one generated sequence frame, never a driver
+    loop)."""
+    from synspark.query import histogram_agg
+    store = _index(spark, sf_dir)
+    return histogram_agg(spark, store, "dl", 10, BM25_QUERY,
+                         mode="and")
+
+
+def q_fts_cardinality_agg(spark, sf_dir):
+    """ES ``cardinality`` aggregation: distinct langs in the match
+    set. Exact path here (oracle-comparable); the HLL++ approx twin
+    (``exact=False`` — what ES itself computes) is pinned within rsd
+    by pytest."""
+    from synspark.query import cardinality_agg
+    store = _index(spark, sf_dir)
+    return cardinality_agg(spark, store, "lang", BM25_QUERY,
+                           mode="and")
+
+
+def q_fts_sort_topk(spark, sf_dir):
+    """ES field ``sort`` (not _score): the match set's top 10 by
+    (dl DESC, lang ASC, doc_id ASC tiebreak) — a
+    TakeOrderedAndProject distributed k-heap, never a global sort."""
+    from synspark.query import search_sorted
+    store = _index(spark, sf_dir)
+    return search_sorted(spark, store, [("dl", "desc"),
+                                        ("lang", "asc")],
+                         BM25_QUERY, mode="and", k=10)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -1013,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_stats_agg": q_fts_stats_agg,
+        "fts_histogram_agg": q_fts_histogram_agg,
+        "fts_cardinality_agg": q_fts_cardinality_agg,
+        "fts_sort_topk": q_fts_sort_topk,
         "fts_merge_topk": q_fts_merge_topk,
         "fts_multifield_topk": q_fts_multifield_topk,
         "fts_dismax_topk": q_fts_dismax_topk,
@@ -1112,6 +1160,23 @@ def _qterm_values() -> str:
     distinct, so group-AND == all-terms-present)."""
     return ", ".join(f"('{t}')"
                      for t in sorted(set(_query_bigrams(BM25_QUERY))))
+
+
+def _match_dl_cte() -> str:
+    """Continuation CTEs after _GRAMS_CTE: ``m`` = the benchmark
+    query's AND match set, ``dl`` = per-doc gram count — the shared
+    scaffold of the aggregation/sort oracles."""
+    return f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+), m AS (
+  SELECT doc_id FROM per_doc WHERE c = (SELECT count(*) FROM qt)
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM grams GROUP BY doc_id
+)
+"""
 
 
 def _bm25_prefix(table: str = "documents", sfx: str = "",
@@ -1420,6 +1485,35 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
+SELECT count(*)::BIGINT AS "count", min(l.dl)::BIGINT AS "min",
+       max(l.dl)::BIGINT AS "max", round(avg(l.dl), 6) AS "avg",
+       sum(l.dl)::BIGINT AS "sum"
+FROM m JOIN dl l USING (doc_id)
+""",
+        "fts_histogram_agg": _GRAMS_CTE + _match_dl_cte() + """
+, b AS (
+  SELECT (floor(l.dl / 10) * 10)::BIGINT AS key
+  FROM m JOIN dl l USING (doc_id)
+), c AS (
+  SELECT key, count(*)::BIGINT AS doc_count FROM b GROUP BY key
+), keys AS (
+  SELECT unnest(generate_series((SELECT min(key) FROM c),
+                                (SELECT max(key) FROM c), 10)) AS key
+)
+SELECT k.key::BIGINT AS key,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM keys k LEFT JOIN c USING (key) ORDER BY key
+""",
+        "fts_cardinality_agg": _GRAMS_CTE + _match_dl_cte() + """
+SELECT count(DISTINCT d.lang)::BIGINT AS value
+FROM m JOIN documents d USING (doc_id)
+""",
+        "fts_sort_topk": _GRAMS_CTE + _match_dl_cte() + """
+SELECT m.doc_id, l.dl::INT AS dl, d.lang AS lang
+FROM m JOIN dl l USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10
 """,
         "fts_count_or": _GRAMS_CTE + f"""
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))

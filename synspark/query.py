@@ -1758,6 +1758,157 @@ def terms_agg(spark: SparkSession, store: IndexStore, field: str,
             .limit(size))
 
 
+def _field_values(spark: SparkSession, store: IndexStore,
+                  field: str) -> DataFrame:
+    """(doc_id, <field>) for aggregations / sorting: docmap metadata
+    fields, plus the engine's own per-doc numeric ``dl`` (indexed
+    token count, the ES ``token_count``-ish field) from docstats."""
+    if field == "dl":
+        return store.docstats(spark)
+    dm = store.docmap(spark)
+    if field not in dm.columns:
+        raise ValueError(f"unknown doc field {field!r}; have "
+                         f"{dm.columns} + 'dl'")
+    return dm.select("doc_id", field)
+
+
+def stats_agg(spark: SparkSession, store: IndexStore, field: str,
+              text: str = "", mode: str = "and", phrase: bool = False,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              groups: list[list[str]] | None = None,
+              min_should_match: int | None = None,
+              plan: QueryPlan | None = None) -> DataFrame:
+    """ES ``stats`` metric aggregation over the match set's numeric
+    field: ONE row ``(count, min, max, avg, sum)``. Same query-shape
+    surface as ``terms_agg`` (any ``match_ids`` query). avg is rounded
+    to 6 decimals for cross-engine comparability; min/max/sum are
+    exact longs.
+
+    Scale shape: match frame ⋈ (doc_id, field) on doc_id, then one
+    map-side-partial global aggregate — a single scalar row crosses to
+    the driver."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan)
+    v = _field_values(spark, store, field)
+    return (ids.join(v, "doc_id").agg(
+        F.count(field).cast("long").alias("count"),
+        F.min(field).cast("long").alias("min"),
+        F.max(field).cast("long").alias("max"),
+        F.round(F.avg(field), 6).alias("avg"),
+        F.sum(field).cast("long").alias("sum")))
+
+
+def histogram_agg(spark: SparkSession, store: IndexStore, field: str,
+                  interval: int, text: str = "", mode: str = "and",
+                  phrase: bool = False,
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None,
+                  groups: list[list[str]] | None = None,
+                  min_should_match: int | None = None,
+                  plan: QueryPlan | None = None,
+                  min_doc_count: int = 0) -> DataFrame:
+    """ES ``histogram`` aggregation over the match set:
+    ``key = floor(field / interval) * interval`` buckets with
+    doc_count, key ASC. ES's default ``min_doc_count=0`` semantics —
+    empty buckets BETWEEN the first and last occupied bucket are
+    materialized with doc_count 0 (via one ``sequence`` over the
+    2-value bounds row, not a driver loop); ``min_doc_count=1`` skips
+    the fill. Integer intervals only (the engine's numeric doc fields
+    are token counts).
+
+    Scale shape: one doc_id join + bucket-key aggregate (map-side
+    partial over ≤ value-range/interval keys); the zero-fill joins a
+    ≤ |buckets|-row generated frame against the counts — never
+    per-doc."""
+    if interval <= 0 or int(interval) != interval:
+        raise ValueError("interval must be a positive integer")
+    interval = int(interval)
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan)
+    v = _field_values(spark, store, field)
+    keyed = (ids.join(v, "doc_id")
+             .withColumn("key", (F.floor(F.col(field) / interval)
+                                 * interval).cast("long")))
+    counts = keyed.groupBy("key").agg(
+        F.count("*").cast("long").alias("doc_count"))
+    if min_doc_count == 0:
+        bounds = counts.agg(F.min("key").alias("lo"),
+                            F.max("key").alias("hi"))
+        keys = (bounds.where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence(
+                    "lo", "hi", F.lit(interval))).alias("key")))
+        counts = (keys.join(counts, "key", "left")
+                  .select("key", F.coalesce("doc_count", F.lit(0))
+                          .cast("long").alias("doc_count")))
+    elif min_doc_count > 1:
+        counts = counts.filter(F.col("doc_count") >= min_doc_count)
+    return counts.orderBy(F.asc("key"))
+
+
+def cardinality_agg(spark: SparkSession, store: IndexStore,
+                    field: str, text: str = "", mode: str = "and",
+                    phrase: bool = False,
+                    syn: SynonymDict | None = None,
+                    cfg: TokenizerConfig | None = None,
+                    groups: list[list[str]] | None = None,
+                    min_should_match: int | None = None,
+                    plan: QueryPlan | None = None,
+                    exact: bool = True, rsd: float = 0.05) -> DataFrame:
+    """ES ``cardinality`` aggregation: distinct values of ``field``
+    over the match set, ONE row ``(value)``. ES's implementation is
+    HyperLogLog++; so is Spark's ``approx_count_distinct`` — that is
+    the 100 TB path (``exact=False``, rsd-tunable, fixed-size sketch
+    per partition, no distinct shuffle). ``exact=True`` (default here)
+    runs the exact distinct count so results are oracle-comparable;
+    at scale it is still one hash-distinct shuffle bounded by the
+    number of DISTINCT values, not docs."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan)
+    v = _field_values(spark, store, field)
+    j = ids.join(v, "doc_id")
+    if exact:
+        agg = F.count_distinct(F.col(field))
+    else:
+        agg = F.approx_count_distinct(field, rsd)
+    return j.agg(agg.cast("long").alias("value"))
+
+
+def search_sorted(spark: SparkSession, store: IndexStore,
+                  sort: list[tuple[str, str]], text: str = "",
+                  mode: str = "and", phrase: bool = False,
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None,
+                  groups: list[list[str]] | None = None,
+                  min_should_match: int | None = None,
+                  plan: QueryPlan | None = None,
+                  k: int = 10) -> DataFrame:
+    """ES field ``sort``: top-k of the match set ordered by doc
+    fields instead of _score (``"sort": [{"dl": "desc"},
+    {"lang": "asc"}]``), final tiebreak doc_id ASC (the ES shard-doc
+    tiebreaker). Returns ``(doc_id, <sort fields...>)``.
+
+    Scale shape: the match frame joins each sort field's (doc_id,
+    value) projection on doc_id, then TakeOrderedAndProject — a
+    per-partition k-heap + driver merge of n_partitions·k rows, never
+    a full sort."""
+    if not sort:
+        raise ValueError("sort needs at least one (field, direction)")
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan)
+    df = ids
+    order = []
+    for field, direction in sort:
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"direction {direction!r} not asc/desc")
+        df = df.join(_field_values(spark, store, field), "doc_id")
+        order.append(F.asc(field) if direction == "asc"
+                     else F.desc(field))
+    order.append(F.asc("doc_id"))
+    return (df.orderBy(*order).limit(k)
+            .select("doc_id", *[f for f, _ in sort]))
+
+
 def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
                         plan: QueryPlan, mode: str,
                         cand_ids: list[int] | None = None) -> DataFrame:
