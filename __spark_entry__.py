@@ -815,6 +815,28 @@ def q_fts_sort_topk(spark, sf_dir):
                          BM25_QUERY, mode="and", k=10)
 
 
+def q_fts_prefix_count(spark, sf_dir):
+    """ES ``prefix`` query, constant_score rewrite (the ES default):
+    hit count of docs holding ANY indexed term starting with 'd'.
+    Expansion resolves against the term dictionary (StartsWith pushed
+    to the termstats parquet scan); matching is one OR group through
+    the distributed match workers."""
+    from synspark.query import count_prefix
+    store = _index(spark, sf_dir)
+    return count_prefix(spark, store, "d")
+
+
+def q_fts_prefix_topk(spark, sf_dir):
+    """ES ``prefix`` query, scoring_boolean rewrite: the top-5-by-df
+    'd%' terms (deterministic top_terms_N selection, term ASC ties)
+    each become their own BM25 SHOULD clause, ranked by the standard
+    WAND path."""
+    from synspark.query import search_prefix
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search_prefix(spark, store, "d", k=200, max_expansions=5), 10)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -1057,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_prefix_count": q_fts_prefix_count,
+        "fts_prefix_topk": q_fts_prefix_topk,
         "fts_stats_agg": q_fts_stats_agg,
         "fts_histogram_agg": q_fts_histogram_agg,
         "fts_cardinality_agg": q_fts_cardinality_agg,
@@ -1180,16 +1204,20 @@ def _match_dl_cte() -> str:
 
 
 def _bm25_prefix(table: str = "documents", sfx: str = "",
-                 lead: str = "WITH") -> str:
+                 lead: str = "WITH",
+                 qterms_sql: str | None = None) -> str:
     """Shared CTE chain through ``scored{sfx}`` (doc_id, score, ng)
     for the benchmark query's bigrams — reused by every BM25-derived
     oracle. ``table`` swaps in a derived corpus (the purge oracle's
     renumbered live docs); ``sfx``/``lead`` allow chaining two
-    instances (multi-field)."""
+    instances (multi-field); ``qterms_sql`` replaces the fixed VALUES
+    query-term list with a derived selection (the prefix/MLT rewrites,
+    which pick their clause terms from the corpus itself)."""
     terms = sorted(set(_query_bigrams(BM25_QUERY)))
     vals = ", ".join(f"('{t}')" for t in terms)
+    qsrc = qterms_sql or f"SELECT * FROM (VALUES {vals}) AS q(term)"
     return _grams_cte(table=table, sfx=sfx, lead=lead) + f"""
-, qterms{sfx} AS (SELECT * FROM (VALUES {vals}) AS q(term))
+, qterms{sfx} AS ({qsrc})
 , tf{sfx} AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams{sfx}
   GROUP BY 1, 2
@@ -1485,6 +1513,18 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_prefix_count": _GRAMS_CTE + """
+SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM grams
+WHERE term LIKE 'd%'
+""",
+        "fts_prefix_topk": _bm25_prefix(qterms_sql=(
+            "SELECT term FROM ("
+            "SELECT term, count(DISTINCT doc_id) AS pdf FROM grams "
+            "WHERE term LIKE 'd%' GROUP BY term) "
+            "ORDER BY pdf DESC, term LIMIT 5")) + """
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """,
         "fts_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
 SELECT count(*)::BIGINT AS "count", min(l.dl)::BIGINT AS "min",

@@ -1909,6 +1909,70 @@ def search_sorted(spark: SparkSession, store: IndexStore,
             .select("doc_id", *[f for f, _ in sort]))
 
 
+def prefix_terms(spark: SparkSession, store: IndexStore, prefix: str,
+                 max_expansions: int | None = None) -> list[str]:
+    """Index terms matching an ES ``prefix`` query, resolved from the
+    term dictionary (termstats). Selection under ``max_expansions`` is
+    the Lucene ``top_terms_N`` rewrite: highest-df terms first, term
+    ASC tiebreak — deterministic, so rewrites are reproducible.
+
+    Scale shape: the StartsWith predicate pushes below the termstats
+    delta-sum to the parquet scan (min/max row-group pruning on the
+    sorted term column), and the driver receives only the ≤
+    max_expansions term STRINGS (unbounded expansion returns the
+    prefix's whole dictionary range — fine for real prefixes; a
+    pathological one-letter prefix over a web-scale unigram dictionary
+    should pass max_expansions, as ES's rewrite caps do)."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    ts = store.termstats(spark).filter(F.col("term").startswith(prefix))
+    if max_expansions is not None:
+        ts = ts.orderBy(F.desc("df"), F.asc("term")) \
+               .limit(max_expansions)
+    return sorted(r.term for r in ts.select("term", "df").collect())
+
+
+def count_prefix(spark: SparkSession, store: IndexStore, prefix: str,
+                 max_expansions: int | None = None) -> DataFrame:
+    """ES ``prefix`` query hit count (constant_score rewrite — the ES
+    default: matching is a doc-set union over the expanded terms, no
+    scoring). One group of all expanded terms feeds the distributed
+    match workers; uncapped by default like Lucene's blended
+    constant-score rewrite."""
+    terms = prefix_terms(spark, store, prefix, max_expansions)
+    if not terms:
+        return spark.range(1).select(F.lit(0).cast("long").alias("hits"))
+    return count_matches(spark, store, mode="or", groups=[terms])
+
+
+def prefix_ids(spark: SparkSession, store: IndexStore, prefix: str,
+               max_expansions: int | None = None) -> DataFrame:
+    """Matching doc ids of a constant-score ES ``prefix`` query, as a
+    distributed ``doc_id long`` frame (the scroll surface)."""
+    terms = prefix_terms(spark, store, prefix, max_expansions)
+    if not terms:
+        return spark.range(0).select(F.col("id").alias("doc_id"))
+    return match_ids(spark, store, mode="or", groups=[terms])
+
+
+def search_prefix(spark: SparkSession, store: IndexStore, prefix: str,
+                  k: int = 10,
+                  max_expansions: int = 50) -> DataFrame:
+    """ES ``prefix`` query under the ``scoring_boolean`` rewrite:
+    every expanded term becomes its own BM25 SHOULD clause (its own
+    idf), ranked by the same shard-parallel block-max WAND as any
+    disjunction — the rewrite Lucene applies when a MultiTermQuery
+    must score. ``max_expansions`` caps the clause count (ES's
+    rewrite parameter; default 50 like fuzzy/prefix expansion
+    defaults) with the deterministic top-df selection from
+    ``prefix_terms``."""
+    terms = prefix_terms(spark, store, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return search(spark, store, "", k=k, mode="or",
+                  groups=[[t] for t in terms])
+
+
 def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
                         plan: QueryPlan, mode: str,
                         cand_ids: list[int] | None = None) -> DataFrame:
