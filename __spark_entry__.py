@@ -305,6 +305,24 @@ def _word_tokens(spark, sf_dir):
                            None)
 
 
+def _word_index(spark, sf_dir):
+    """Plain WORD-level index (whole-block tokens — the whitespace
+    tokenizer shape) over documents, cached per sf_dir. Token
+    positions are word positions, which is what ES match_phrase slop
+    is defined over."""
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|word-f{FORMAT_VERSION}".encode()).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=1 << 20, expand=False), syn=None,
+        n_shards=4, source=f"{sf_dir}:word", resume=True)
+
+
 def _filter_index(spark, sf_dir):
     """Filter-COMPOSED analyzer index (word tokenizer + synonym token
     filter with the multi-word rule 'key order,ko') over documents,
@@ -815,6 +833,18 @@ def q_fts_sort_topk(spark, sf_dir):
                          BM25_QUERY, mode="and", k=10)
 
 
+def q_fts_slop_count(spark, sf_dir):
+    """ES ``match_phrase`` with ``slop: 2`` over the word-level index:
+    docs where 'key' and 'order' occur within Lucene move distance 2
+    (adjacent, one- or two-word gap, or transposed — transposition
+    costs exactly 2). Distributed position-set probes per shard, no
+    driver-side candidate lists."""
+    from synspark.query import count_matches
+    store = _word_index(spark, sf_dir)
+    return count_matches(spark, store, "key order", phrase=True,
+                         slop=2)
+
+
 def q_fts_prefix_count(spark, sf_dir):
     """ES ``prefix`` query, constant_score rewrite (the ES default):
     hit count of docs holding ANY indexed term starting with 'd'.
@@ -1079,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_slop_count": q_fts_slop_count,
         "fts_prefix_count": q_fts_prefix_count,
         "fts_prefix_topk": q_fts_prefix_topk,
         "fts_stats_agg": q_fts_stats_agg,
@@ -1513,6 +1544,22 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_slop_count": f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, ws[p] AS word, p
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        FROM wl)
+)
+SELECT count(DISTINCT a.doc_id)::BIGINT AS hits
+FROM tok a JOIN tok b USING (doc_id)
+WHERE a.word = 'key' AND b.word = 'order'
+  AND abs((b.p - a.p) - 1) <= 2
 """,
         "fts_prefix_count": _GRAMS_CTE + """
 SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM grams

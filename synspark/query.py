@@ -117,6 +117,10 @@ class QueryPlan:
     # (BooleanQuery.setMinimumNumberShouldMatch).
     kinds: list[str] | None = None
     msm: int = 0
+    # ES match_phrase ``slop`` (Lucene SloppyPhraseScorer edit
+    # distance). Plan-carried so it reaches the shard workers like
+    # ``window``; only the phrase match/count path honors it.
+    slop: int = 0
 
     @property
     def terms(self) -> list[str]:
@@ -1480,7 +1484,7 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                for g in plan.groups]
         order.sort(key=lambda gi: vol[gi])
 
-    if phrase and has_pl:
+    if phrase and has_pl and plan.slop == 0:
         # posLength graph: adjacency is "group gi+1 starts where a
         # surviving gi token ENDS" — inherently sequential in group
         # order (the frontier chain from _wand_shard), so rarest-first
@@ -1502,6 +1506,38 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                 return done(0)
             cand = np.unique(frontier >> np.int64(32)) + lo
         return done(live(np.unique(frontier >> np.int64(32)) + lo))
+
+    if phrase and plan.slop > 0:
+        # ES match_phrase ``slop`` — exact Lucene SloppyPhraseScorer
+        # semantics for a TWO-position phrase (the planner enforces
+        # the arity): occurrences (p0, p1) of the two groups match
+        # iff the move distance |(p1 - p0) - 1| <= slop, so a
+        # one-word gap costs 1 and transposed adjacent terms cost 2
+        # (the ES-documented behavior). Vectorized as ≤ 2·slop+1
+        # membership probes of shifted position keys — no per-doc
+        # loops; group-1 block decodes are gated by group-0's doc
+        # set exactly like the exact-phrase path.
+        if has_pl:
+            raise ValueError("slop is not supported on posLength-"
+                             "graph (token-filter composed) indexes")
+        lo = int(first.min()) if len(pdf) else 0
+        d0, pd0, pv0, _pl0 = group_arrays(plan.groups[0], True, None)
+        if len(d0) == 0:
+            return done(0)
+        k0 = np.unique(((pd0 - lo) << np.int64(32)) + pv0)
+        _d1, pd1, pv1, _pl1 = group_arrays(plan.groups[1], True, d0)
+        hits = []
+        for delta in range(1 - plan.slop, 2 + plan.slop):
+            q = pv1 - delta
+            m = q >= 0
+            if not m.any():
+                continue
+            sel = np.isin(((pd1[m] - lo) << np.int64(32)) + q[m], k0)
+            if sel.any():
+                hits.append(pd1[m][sel])
+        if not hits:
+            return done(0)
+        return done(live(np.unique(np.concatenate(hits))))
 
     if phrase:
         lo = int(first.min()) if len(pdf) else 0
@@ -1595,6 +1631,24 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
     return done(live(acc) if acc is not None else znil)
 
 
+def _apply_slop(plan: QueryPlan, phrase: bool, slop: int) -> QueryPlan:
+    """Validate + attach ES match_phrase ``slop`` to the plan."""
+    if not slop:
+        return plan
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    if not phrase:
+        raise ValueError("slop requires phrase=True")
+    if len(plan.groups) != 2:
+        raise ValueError(
+            "sloppy phrase matching is implemented for two-position "
+            f"queries (got {len(plan.groups)} positions); exact "
+            "Lucene semantics for longer phrases need the full "
+            "SloppyPhraseScorer repeat machinery")
+    plan.slop = slop
+    return plan
+
+
 def count_matches(spark: SparkSession, store: IndexStore,
                   text: str = "", mode: str = "and",
                   phrase: bool = False,
@@ -1602,7 +1656,8 @@ def count_matches(spark: SparkSession, store: IndexStore,
                   cfg: TokenizerConfig | None = None,
                   groups: list[list[str]] | None = None,
                   min_should_match: int | None = None,
-                  plan: QueryPlan | None = None) -> DataFrame:
+                  plan: QueryPlan | None = None,
+                  slop: int = 0) -> DataFrame:
     """Total hit count (the reference's query-then-read-total idiom,
     SynonymPluginTest.java:149-169) as a DISTRIBUTED aggregate: each
     shard worker counts its matches (applyInPandas), partials sum in a
@@ -1614,7 +1669,13 @@ def count_matches(spark: SparkSession, store: IndexStore,
     ``min_should_match`` mirrors search(); ``plan`` overrides text
     analysis with a pre-built QueryPlan (the bool-query hook:
     ``count_matches(..., plan=plan_bool(...))`` is the ES bool count
-    surface — must/should/must_not with exact distributed totals)."""
+    surface — must/should/must_not with exact distributed totals).
+
+    ``slop`` (with ``phrase=True``) is ES match_phrase slop — exact
+    Lucene move-distance semantics, implemented for TWO-position
+    queries (|Δpos − 1| ≤ slop; transpositions cost 2). Longer sloppy
+    phrases would need the full SloppyPhraseScorer repeat machinery
+    and raise instead of approximating."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -1626,6 +1687,7 @@ def count_matches(spark: SparkSession, store: IndexStore,
         raise ValueError("phrase=True is not supported with a "
                          "kinds-tagged bool plan (phrase adjacency "
                          "is defined over required positions only)")
+    plan = _apply_slop(plan, phrase, slop)
     if not plan.groups:
         return spark.createDataFrame([(0,)], "hits long")
 
@@ -1669,7 +1731,8 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
               cfg: TokenizerConfig | None = None,
               groups: list[list[str]] | None = None,
               min_should_match: int | None = None,
-              plan: QueryPlan | None = None) -> DataFrame:
+              plan: QueryPlan | None = None,
+              slop: int = 0) -> DataFrame:
     """ALL matching (live) doc ids as a DataFrame ``doc_id long`` —
     the scale-safe scroll-all-hits surface feeding
     ``deletes.delete_by_query`` (ES ``_delete_by_query`` resolves its
@@ -1689,6 +1752,7 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
         raise ValueError("phrase=True is not supported with a "
                          "kinds-tagged bool plan (phrase adjacency "
                          "is defined over required positions only)")
+    plan = _apply_slop(plan, phrase, slop)
     if not plan.groups:
         return spark.range(0).select(F.col("id").alias("doc_id"))
 
