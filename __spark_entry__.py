@@ -833,6 +833,19 @@ def q_fts_sort_topk(spark, sf_dir):
                          BM25_QUERY, mode="and", k=10)
 
 
+def q_fts_mlt_topk(spark, sf_dir):
+    """ES ``more_like_this`` for doc 42 with the ES defaults
+    (max_query_terms=25, min_term_freq=2, min_doc_freq=5,
+    include=false): interesting terms ranked by rounded tf·idf become
+    a scored disjunction over the standard WAND path; the liked doc
+    itself is excluded."""
+    from synspark.query import more_like_this
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return _rounded_topk(
+        more_like_this(spark, store, 42, corpus=corpus, k=200), 10)
+
+
 def q_fts_slop_count(spark, sf_dir):
     """ES ``match_phrase`` with ``slop: 2`` over the word-level index:
     docs where 'key' and 'order' occur within Lucene move distance 2
@@ -1109,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_mlt_topk": q_fts_mlt_topk,
         "fts_slop_count": q_fts_slop_count,
         "fts_prefix_count": q_fts_prefix_count,
         "fts_prefix_topk": q_fts_prefix_topk,
@@ -1544,6 +1558,20 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_mlt_topk": _bm25_prefix(qterms_sql=(
+            "SELECT term FROM ("
+            "SELECT g.term AS term, round(count(*) * ln(1 + "
+            "((SELECT count(*) FROM documents) - d.df + 0.5) "
+            "/ (d.df + 0.5)), 6) AS sc "
+            "FROM grams g JOIN (SELECT term, count(DISTINCT doc_id) "
+            "AS df FROM grams GROUP BY term) d ON g.term = d.term "
+            "WHERE g.doc_id = 42 GROUP BY g.term, d.df "
+            "HAVING count(*) >= 2 AND d.df >= 5 "
+            "ORDER BY sc DESC, term LIMIT 25)")) + """
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE doc_id != 42
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """,
         "fts_slop_count": f"""
 WITH wl AS (

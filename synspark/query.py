@@ -2037,6 +2037,95 @@ def search_prefix(spark: SparkSession, store: IndexStore, prefix: str,
                   groups=[[t] for t in terms])
 
 
+def mlt_terms(spark: SparkSession, store: IndexStore, text: str,
+              max_query_terms: int = 25, min_term_freq: int = 2,
+              min_doc_freq: int = 5,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None) -> list[str]:
+    """ES ``more_like_this`` interesting-term selection: tokenize the
+    liked text with the INDEX analyzer, keep terms with
+    tf ≥ min_term_freq and df ≥ min_doc_freq (the ES defaults are
+    2 / 5), rank by tf·idf (rounded to 6 decimals so the selection is
+    reproducible across engines), term ASC ties, take the top
+    ``max_query_terms`` (ES default 25). df lookups ride the
+    term-filtered termstats scan — only |distinct terms| rows reach
+    the driver."""
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    toks = [w for w, *_ in tokenize(text, cfg, syn)]
+    if not toks:
+        return []
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dfs = store.term_dfs(spark, sorted(tf), build_id=meta.build_id)
+    n_eff = meta.n_docs - meta.n_purged
+    cand = [(round(tf[t] * idf(n_eff, dfs.get(t, 0)), 6), t)
+            for t in tf
+            if tf[t] >= min_term_freq
+            and dfs.get(t, 0) >= max(1, min_doc_freq)]
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _s, t in cand[:max_query_terms]]
+
+
+def more_like_this(spark: SparkSession, store: IndexStore, like,
+                   corpus: DataFrame | None = None,
+                   text_col: str = "content", k: int = 10,
+                   max_query_terms: int = 25, min_term_freq: int = 2,
+                   min_doc_freq: int = 5,
+                   syn: SynonymDict | None = None,
+                   cfg: TokenizerConfig | None = None) -> DataFrame:
+    """ES ``more_like_this``: find docs similar to ``like`` — a free
+    text (the ES ``like: ["..."]`` form) or an int doc_id (the
+    ``like: [{_id: ...}]`` form; needs ``corpus`` to fetch the text,
+    and the liked doc is excluded from results like ES's default
+    ``include: false``). The selected interesting terms (see
+    ``mlt_terms``) each become their own BM25 SHOULD clause ranked by
+    the standard shard-parallel WAND — Lucene's MLT builds exactly
+    this BooleanQuery.
+
+    Scale shape: one driver-side tokenize of ONE document + a
+    term-filtered df lookup, then a normal ≤25-clause disjunction —
+    identical cost profile to any OR query."""
+    exclude: int | None = None
+    if isinstance(like, int):
+        if corpus is None:
+            raise ValueError("like=<doc_id> needs the corpus "
+                             "DataFrame to fetch the document text")
+        if "doc_id" in corpus.columns:
+            # corpus keyed by native doc_id (kept by build_index)
+            rows = (corpus.filter(F.col("doc_id") == like)
+                    .select(text_col).collect())
+        else:
+            # resolve the engine id through the docmap's document
+            # keys, exactly like fetch_sources
+            dm = store.docmap(spark)
+            keys = [c for c in ("repo", "path", "commit")
+                    if c in corpus.columns and c in dm.columns]
+            if not keys:
+                raise ValueError("corpus shares no document keys "
+                                 "(repo/path/commit or doc_id) with "
+                                 "this index's docmap")
+            rows = (dm.filter(F.col("doc_id") == like).select(*keys)
+                    .join(corpus, keys).select(text_col).collect())
+        if not rows:
+            raise ValueError(f"doc_id {like} not found in corpus")
+        text, exclude = rows[0][0], like
+    else:
+        text = like
+    terms = mlt_terms(spark, store, text, max_query_terms,
+                      min_term_freq, min_doc_freq, syn, cfg)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    hits = search(spark, store, "", k=k + (1 if exclude is not None
+                                           else 0),
+                  mode="or", groups=[[t] for t in terms])
+    if exclude is not None:
+        hits = (hits.filter(F.col("doc_id") != exclude)
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    return hits
+
+
 def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
                         plan: QueryPlan, mode: str,
                         cand_ids: list[int] | None = None) -> DataFrame:
