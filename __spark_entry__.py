@@ -38,6 +38,7 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 BM25_QUERY = "data sort merge"
 PHRASE = "key order"
+RESCORE_QUERY = "key order"
 K1, B = 1.2, 0.75
 
 
@@ -833,6 +834,19 @@ def q_fts_sort_topk(spark, sf_dir):
                          BM25_QUERY, mode="and", k=10)
 
 
+def q_fts_rescore_topk(spark, sf_dir):
+    """ES ``rescore`` (query rescorer, score_mode=total,
+    rescore_query_weight=2): the benchmark query's top-50 window
+    re-ranked by primary + 2×BM25('key order'), secondary scoring
+    candidate-restricted to the window's blocks — never a full
+    posting scan of the rescore terms."""
+    from synspark.query import rescore
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        rescore(spark, store, BM25_QUERY, RESCORE_QUERY, k=50,
+                window_size=50, rescore_query_weight=2.0), 10)
+
+
 def q_fts_mlt_topk(spark, sf_dir):
     """ES ``more_like_this`` for doc 42 with the ES defaults
     (max_query_terms=25, min_term_freq=2, min_doc_freq=5,
@@ -1122,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_rescore_topk": q_fts_rescore_topk,
         "fts_mlt_topk": q_fts_mlt_topk,
         "fts_slop_count": q_fts_slop_count,
         "fts_prefix_count": q_fts_prefix_count,
@@ -1559,6 +1574,24 @@ FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
 """,
+        "fts_rescore_topk": (
+            _bm25_prefix()
+            + _bm25_prefix(sfx="2", lead=",", qterms_sql=(
+                "SELECT * FROM (VALUES " + ", ".join(
+                    f"('{t}')" for t in
+                    sorted(set(_query_bigrams(RESCORE_QUERY))))
+                + ") AS q(term)"))
+            + f"""
+, win AS (
+  SELECT doc_id, score FROM scored WHERE ng = {_n_groups()}
+  ORDER BY score DESC, doc_id LIMIT 50
+)
+SELECT w.doc_id,
+       round(w.score + 2.0 * coalesce(s.score, 0), 6) AS score_r
+FROM win w LEFT JOIN scored2 s USING (doc_id)
+ORDER BY round(w.score + 2.0 * coalesce(s.score, 0), 6) DESC, doc_id
+LIMIT 10
+"""),
         "fts_mlt_topk": _bm25_prefix(qterms_sql=(
             "SELECT term FROM ("
             "SELECT g.term AS term, round(count(*) * ln(1 + "

@@ -2126,6 +2126,71 @@ def more_like_this(spark: SparkSession, store: IndexStore, like,
     return hits
 
 
+def rescore(spark: SparkSession, store: IndexStore, text: str,
+            rescore_text: str, k: int = 10, window_size: int = 50,
+            query_weight: float = 1.0,
+            rescore_query_weight: float = 1.0,
+            score_mode: str = "total", mode: str = "and",
+            syn: SynonymDict | None = None,
+            cfg: TokenizerConfig | None = None) -> DataFrame:
+    """ES ``rescore`` (query rescorer): re-rank the primary query's
+    top ``window_size`` hits by combining their primary score with a
+    secondary query's BM25 score, per ``score_mode`` —
+    total (default), multiply, avg, max, min — with the ES
+    query_weight / rescore_query_weight factors. Docs in the window
+    that don't match the secondary query keep a 0 secondary score
+    (match-query OR semantics), exactly like ES.
+
+    Divergence note: ES applies the window PER SHARD; this engine is
+    one logical index, so the window is global — the stricter, more
+    predictable contract.
+
+    Scale shape: the window is k-bounded (≤ window_size ids on the
+    driver, like any top-k), and the secondary scoring is candidate-
+    restricted — ``decoded_postings(doc_ids=window)`` prunes decode to
+    blocks whose doc range covers a window doc, so the rescore query's
+    full posting lists are never scanned (the reason ES rescore is
+    cheap: scoring ~50 docs, not df docs)."""
+    combiner = {
+        "total": lambda p, s: p + s,
+        "multiply": lambda p, s: p * s,
+        "avg": lambda p, s: (p + s) / 2.0,
+        "max": lambda p, s: F.greatest(p, s),
+        "min": lambda p, s: F.least(p, s),
+    }.get(score_mode)
+    if combiner is None:
+        raise ValueError(f"score_mode {score_mode!r} not in "
+                         "total/multiply/avg/max/min")
+    primary = search(spark, store, text, k=window_size, mode=mode,
+                     syn=syn, cfg=cfg)
+    window = primary.collect()          # ≤ window_size rows
+    if not window:
+        return spark.createDataFrame([], "doc_id long, score double")
+    ids = [int(r.doc_id) for r in window]
+    meta = store.meta()
+    plan2 = plan_query(spark, store, rescore_text, syn, cfg)
+    if plan2.groups:
+        sec = _field_group_scores(spark, store, meta, plan2,
+                                  mode="or", cand_ids=ids)
+    else:
+        sec = spark.createDataFrame([], "doc_id long, fscore double")
+    prim = spark.createDataFrame(
+        [(int(r.doc_id), float(r.score)) for r in window],
+        "doc_id long, pscore double")
+    p = F.col("pscore") * F.lit(float(query_weight))
+    s = F.col("fscore") * F.lit(float(rescore_query_weight))
+    # window docs that don't match the rescore query keep their
+    # (weighted) primary score — the combiner only applies to matched
+    # docs (under "total" this equals p + 0, the ES behavior; under
+    # multiply/avg/max/min combining with an absent score would be
+    # wrong)
+    final = F.when(F.col("fscore").isNull(), p) \
+        .otherwise(combiner(p, s))
+    return (prim.join(sec, "doc_id", "left")
+            .select("doc_id", final.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def _field_group_scores(spark: SparkSession, fstore: IndexStore, meta,
                         plan: QueryPlan, mode: str,
                         cand_ids: list[int] | None = None) -> DataFrame:
