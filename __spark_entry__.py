@@ -894,6 +894,50 @@ def q_fts_prefix_topk(spark, sf_dir):
         search_prefix(spark, store, "d", k=200, max_expansions=5), 10)
 
 
+def q_fts_fuzzy_count(spark, sf_dir):
+    """ES ``fuzzy`` query, constant_score rewrite (the ES default):
+    docs holding any word within 2 edits of the typo 'qery'
+    ('query' d=1, 'key' d=2). Expansion resolves against the
+    word-index term dictionary — JVM-side ``levenshtein`` with the
+    early-exit threshold, length-window prefilter pushed below it —
+    and matching is one OR group through the match workers."""
+    from synspark.multiterm import count_fuzzy
+    store = _word_index(spark, sf_dir)
+    return count_fuzzy(spark, store, "qery", fuzziness=2)
+
+
+def q_fts_fuzzy_topk(spark, sf_dir):
+    """ES ``fuzzy`` query, scored: each expansion of 'qery' becomes a
+    SHOULD clause with its own idf × the Lucene FuzzyTermsEnum boost
+    1 − d/min(len(term), len(query)), summed over matched clauses and
+    ranked by the shard-parallel block-max WAND."""
+    from synspark.multiterm import search_fuzzy
+    store = _word_index(spark, sf_dir)
+    return _rounded_topk(
+        search_fuzzy(spark, store, "qery", k=200, fuzziness=2), 10)
+
+
+def q_fts_wildcard_topk(spark, sf_dir):
+    """ES ``wildcard`` query 's*' under the capped scoring_boolean
+    rewrite: the top-5-by-df matching dictionary words (term ASC
+    ties — the deterministic top_terms_N selection) each become their
+    own BM25 SHOULD clause."""
+    from synspark.multiterm import search_wildcard
+    store = _word_index(spark, sf_dir)
+    return _rounded_topk(
+        search_wildcard(spark, store, "s*", k=200,
+                        max_expansions=5), 10)
+
+
+def q_fts_regexp_count(spark, sf_dir):
+    """ES ``regexp`` query '.*or.*' — ANCHORED full-term match
+    (Lucene RegexpQuery), constant_score: hit count of docs holding
+    any dictionary word containing 'or'."""
+    from synspark.multiterm import count_regexp
+    store = _word_index(spark, sf_dir)
+    return count_regexp(spark, store, ".*or.*")
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -1141,6 +1185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_slop_count": q_fts_slop_count,
         "fts_prefix_count": q_fts_prefix_count,
         "fts_prefix_topk": q_fts_prefix_topk,
+        "fts_fuzzy_count": q_fts_fuzzy_count,
+        "fts_fuzzy_topk": q_fts_fuzzy_topk,
+        "fts_wildcard_topk": q_fts_wildcard_topk,
+        "fts_regexp_count": q_fts_regexp_count,
         "fts_stats_agg": q_fts_stats_agg,
         "fts_histogram_agg": q_fts_histogram_agg,
         "fts_cardinality_agg": q_fts_cardinality_agg,
@@ -1301,6 +1349,89 @@ def _bm25_prefix(table: str = "documents", sfx: str = "",
   CROSS JOIN stats{sfx} s
   WHERE t.term IN (SELECT term FROM qterms{sfx})
   GROUP BY t.doc_id
+)
+"""
+
+
+def _bm25_words(qterms_sql: str) -> str:
+    """Word-level BM25 scored CTE (the word index's whole-block
+    tokens, same shape as the slop oracle's ``tok``): ``qterms_sql``
+    must yield (term, boost); ``scored`` is (doc_id, score). The
+    fuzzy/wildcard oracles derive their qterms from the corpus
+    vocabulary exactly as the engine's term-dictionary expansion
+    does."""
+    return f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS term FROM wl
+), qterms AS ({qterms_sql})
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum(q.boost * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+"""
+
+
+# Lucene FuzzyTermsEnum boost for the 'qery' (len 4) expansion;
+# mirrors multiterm._fuzzy_clauses bit-exactly (same IEEE ops).
+_FUZZY_BOOST = ("CASE WHEN d = 0 THEN 1.0 "
+                "ELSE 1.0 - d / least(length(term), 4) END")
+
+_FUZZY_QTERMS = f"""
+  SELECT term, {_FUZZY_BOOST} AS boost
+  FROM (
+    SELECT term, levenshtein(term, 'qery')::DOUBLE AS d,
+           count(DISTINCT doc_id) AS df
+    FROM tok
+    WHERE abs(length(term) - 4) <= 2
+    GROUP BY term
+    HAVING levenshtein(term, 'qery') <= 2
+    ORDER BY levenshtein(term, 'qery') ASC, df DESC, term ASC
+    LIMIT 50
+  )
+  WHERE {_FUZZY_BOOST} > 0
+"""
+
+_WILDCARD_QTERMS = """
+  SELECT term, 1.0 AS boost
+  FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM tok WHERE term LIKE 's%'
+    GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT 5
+  )
+"""
+
+_WORDS_TOK_CTE = f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS term FROM wl
 )
 """
 
@@ -1633,6 +1764,22 @@ WHERE term LIKE 'd%'
             "ORDER BY pdf DESC, term LIMIT 5")) + """
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_fuzzy_count": _WORDS_TOK_CTE + """
+SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM tok
+WHERE levenshtein(term, 'qery') <= 2
+""",
+        "fts_fuzzy_topk": _bm25_words(_FUZZY_QTERMS) + """
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_wildcard_topk": _bm25_words(_WILDCARD_QTERMS) + """
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_regexp_count": _WORDS_TOK_CTE + """
+SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM tok
+WHERE regexp_full_match(term, '.*or.*')
 """,
         "fts_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
 SELECT count(*)::BIGINT AS "count", min(l.dl)::BIGINT AS "min",
