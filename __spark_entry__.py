@@ -938,6 +938,32 @@ def q_fts_regexp_count(spark, sf_dir):
     return count_regexp(spark, store, ".*or.*")
 
 
+def q_fts_suggest_term(spark, sf_dir):
+    """ES ``term`` suggester (Lucene DirectSpellChecker) over the word
+    index's dictionary: 'slot' and 'qery' are missing from the corpus
+    and get corrected ('slot'→slow d=1 / sort d=2, 'qery'→query d=1);
+    'merge' exists so the default suggest_mode=missing leaves it
+    alone. Score = 1 − d/min(len), rounded; (score DESC, df DESC,
+    term ASC) order. One column-pruned dictionary scan; no postings
+    touched."""
+    from synspark.suggest import suggest_terms
+    store = _word_index(spark, sf_dir)
+    out = suggest_terms(spark, store, "slot qery merge", size=5)
+    return (out.withColumn("score", F.round("score", 6))
+            .orderBy(F.asc("token"), F.desc("score"), F.desc("df"),
+                     F.asc("suggestion")))
+
+
+def q_fts_suggest_completion(spark, sf_dir):
+    """ES ``completion`` suggester with df as weight: top-5 dictionary
+    words under prefix 's', heaviest first (weight DESC, term ASC) —
+    the FST-with-weights lookup as a StartsWith-pruned scan of the
+    sorted term column."""
+    from synspark.suggest import suggest_completion
+    store = _word_index(spark, sf_dir)
+    return suggest_completion(spark, store, "s", size=5)
+
+
 def q_fts_synfilter(spark, sf_dir):
     """Token-level synonym filter (SURVEY §2.3) over word tokens of the
     documents table. With the fixed single-word dict the expanded term
@@ -1189,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_fuzzy_topk": q_fts_fuzzy_topk,
         "fts_wildcard_topk": q_fts_wildcard_topk,
         "fts_regexp_count": q_fts_regexp_count,
+        "fts_suggest_term": q_fts_suggest_term,
+        "fts_suggest_completion": q_fts_suggest_completion,
         "fts_stats_agg": q_fts_stats_agg,
         "fts_histogram_agg": q_fts_histogram_agg,
         "fts_cardinality_agg": q_fts_cardinality_agg,
@@ -1780,6 +1808,39 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         "fts_regexp_count": _WORDS_TOK_CTE + """
 SELECT count(DISTINCT doc_id)::BIGINT AS hits FROM tok
 WHERE regexp_full_match(term, '.*or.*')
+""",
+        "fts_suggest_term": _WORDS_TOK_CTE + """
+, dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  GROUP BY term
+), toks AS (
+  SELECT * FROM (VALUES ('merge'), ('qery'), ('slot')) AS t(token)
+), cand AS (
+  SELECT t.token, d.term, d.df,
+         levenshtein(d.term, t.token)::DOUBLE AS dist
+  FROM toks t JOIN dict d
+    ON length(d.term) BETWEEN length(t.token) - 2
+                          AND length(t.token) + 2
+   AND substring(d.term, 1, 1) = substring(t.token, 1, 1)
+  WHERE levenshtein(d.term, t.token) BETWEEN 1 AND 2
+    AND NOT EXISTS (SELECT 1 FROM dict x WHERE x.term = t.token)
+), sc AS (
+  SELECT token, term AS suggestion, df,
+         1.0 - dist / least(length(term), length(token)) AS score
+  FROM cand
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY token
+            ORDER BY score DESC, df DESC, suggestion ASC) AS rn
+  FROM sc
+)
+SELECT token, suggestion, df, round(score, 6) AS score
+FROM ranked WHERE rn <= 5
+ORDER BY token ASC, round(score, 6) DESC, df DESC, suggestion ASC
+""",
+        "fts_suggest_completion": _WORDS_TOK_CTE + """
+SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY weight DESC, suggestion ASC LIMIT 5
 """,
         "fts_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
 SELECT count(*)::BIGINT AS "count", min(l.dl)::BIGINT AS "min",
