@@ -771,6 +771,28 @@ def q_fts_filter_topk(spark, sf_dir):
                     k=200), 10)
 
 
+def q_fts_docvalue_topk(spark, sf_dir):
+    """ES doc-values filter ({"bool": {"filter": {"term": {"lang":
+    "en"}}}} + scoring match): the metadata predicate resolves to a
+    per-shard allowlist routed like liveDocs and masks BEFORE heap
+    admission — hits keep their unfiltered scores (filters never touch
+    idf/avgdl, exactly ES)."""
+    from synspark.query import search
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search(spark, store, BM25_QUERY, k=200, mode="and",
+               doc_where="lang = 'en'"), 10)
+
+
+def q_fts_docvalue_count(spark, sf_dir):
+    """Distributed hit count under a doc-values filter (OR-mode match
+    restricted to lang='zh' docs)."""
+    from synspark.query import count_matches
+    store = _index(spark, sf_dir)
+    return count_matches(spark, store, BM25_QUERY, mode="or",
+                         doc_where="lang = 'zh'")
+
+
 def q_fts_msm_count(spark, sf_dir):
     """Distributed m-of-n hit count: per-shard vectorized group-match
     counting, one tiny sum — the bool twin of fts_count_and/or."""
@@ -1205,6 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_msm_topk": q_fts_msm_topk,
         "fts_msm_count": q_fts_msm_count,
         "fts_filter_topk": q_fts_filter_topk,
+        "fts_docvalue_topk": q_fts_docvalue_topk,
+        "fts_docvalue_count": q_fts_docvalue_count,
         "fts_terms_agg": q_fts_terms_agg,
         "fts_rescore_topk": q_fts_rescore_topk,
         "fts_mlt_topk": q_fts_mlt_topk,
@@ -1712,6 +1736,16 @@ WHERE c = (SELECT count(*) FROM qt)
 """,
         "fts_bool_topk": _bool_oracle(),
         "fts_filter_topk": _filter_oracle(),
+        "fts_docvalue_topk": _bm25_prefix() + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()}
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+""",
+        "fts_docvalue_count": _bm25_prefix() + """
+SELECT count(*)::BIGINT AS hits FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'zh')
+""",
         "fts_msm_topk": _bm25_prefix() + f"""
 SELECT doc_id, round(score, 6) AS score_r FROM scored
 WHERE ng >= {MSM_M}

@@ -342,7 +342,8 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
                 cfg: TokenizerConfig | None = None,
                 postings: DataFrame | None = None,
                 groups: list[list[str]] | None = None,
-                plan: QueryPlan | None = None) -> DataFrame:
+                plan: QueryPlan | None = None,
+                doc_where: str | None = None) -> DataFrame:
     """Pure declarative BM25 top-k: decode -> join group map (broadcast)
     -> two hash aggregations -> orderBy/limit. Catalyst handles partial
     aggregation and the top-k sort; this is the cross-check for WAND.
@@ -421,6 +422,12 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
         # liveDocs anti-join before the top-k cut (stats above already
         # include deleted docs — Lucene pre-merge semantics)
         agg = agg.join(store.deletes(spark), "doc_id", "left_anti")
+    if doc_where is not None:
+        # doc-values filter, declaratively: semi-join the docmap rows
+        # passing the predicate before the top-k cut (scoring stats
+        # unchanged — filters never affect idf/avgdl, exactly ES)
+        agg = agg.join(store.docmap(spark).filter(doc_where)
+                       .select("doc_id"), "doc_id", "left_semi")
     return (agg.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
@@ -500,6 +507,129 @@ def _deletes_runtime(spark: SparkSession, store: IndexStore, meta=None):
     return ("df", _deletes_by_shard(spark, store, meta))
 
 
+def _allow_runtime(spark: SparkSession, store: IndexStore, meta,
+                   doc_where: str | None):
+    """Doc-values filter (ES term/terms/range queries on keyword /
+    numeric metadata fields, run in the bool FILTER context): resolve
+    ``doc_where`` — a Spark SQL boolean expression over docmap columns
+    (repo, path, commit, lang, ...) — to a per-shard doc-id ALLOWLIST,
+    routed exactly like liveDocs (Lucene evaluates filters per segment
+    and intersects the bitset during scoring; this is that shape).
+
+    Returns None (no filter), ("map", Broadcast[{shard: sorted ids}])
+    for selective filters, or ("df", (shard, doc_id) DataFrame) for
+    large allowlists — which then ride the executor-to-executor
+    cogroup, never the driver. The docmap scan pushes ``doc_where``
+    into parquet (predicate pushdown on the metadata columns).
+
+    Scale note: allowlist volume is proportional to filter
+    selectivity. A highly UNSELECTIVE filter (e.g. 20% of a 10^12-doc
+    corpus) is the wrong plan shape for an id list in any engine —
+    deploy those as separate per-tenant indexes (the ES
+    index-per-tenant idiom) or accept the one bounded shuffle of the
+    cogroup path. Stale docmap rows (docs already purged by merges)
+    are harmless here: an allow id with no postings simply never
+    matches.
+
+    Cached on the store per (build_id, docmap generation, predicate)
+    so serving loops pay the resolve once per commit."""
+    if doc_where is None:
+        return None
+    key = (meta.build_id, meta.n_docs, meta.n_purged,
+           tuple(meta.delete_batches), str(doc_where))
+    cached = getattr(store, "_allow_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    ids = store.docmap(spark).filter(doc_where).select("doc_id")
+    ranges = store.shard_doc_ranges(spark)
+    routed = (ids.join(F.broadcast(ranges),
+                       (F.col("doc_id") >= F.col("lo"))
+                       & (F.col("doc_id") <= F.col("hi")))
+              .select("shard", "doc_id"))
+    n = ids.count()
+    if n <= DELETES_BROADCAST_MAX:
+        m: dict[int, list] = {}
+        for r in routed.collect():
+            m.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
+        bc = spark.sparkContext.broadcast(
+            {s: np.sort(np.asarray(v, np.int64)) for s, v in m.items()})
+        rt = ("map", bc)
+    else:
+        rt = ("df", routed)
+    store._allow_cache = (key, rt)
+    return rt
+
+
+_EMPTY_IDS = np.zeros(0, np.int64)
+
+
+def _masked_apply(spark: SparkSession, store: IndexStore, meta,
+                  blocks: DataFrame, fn, schema: str,
+                  doc_where: str | None = None) -> DataFrame:
+    """Shared shard-parallel runner for every match/score path: calls
+    ``fn(pdf, deleted, allowed)`` per shard with the liveDocs mask and
+    the optional doc-values allowlist routed in.
+
+    Plan shapes (identical to the historical per-path code when no
+    filter is given, so delete-free plans stay byte-identical to a
+    delete-free engine):
+    - no mask needs a frame: single-sided grouped map, masks via 0-2
+      tiny broadcasts;
+    - any mask too large to broadcast: ONE cogroup against the union
+      frame (shard, doc_id, allow) — flagged rows split back out in
+      the worker; the other mask may still ride its broadcast."""
+    rt = _deletes_runtime(spark, store, meta)
+    art = _allow_runtime(spark, store, meta, doc_where)
+    has_allow = art is not None
+    del_bc = rt[1] if rt is not None and rt[0] == "map" else None
+    al_bc = art[1] if has_allow and art[0] == "map" else None
+    rights = []
+    if rt is not None and rt[0] == "df":
+        rights.append(rt[1].select(
+            "shard", "doc_id", F.lit(False).alias("allow")))
+    if has_allow and art[0] == "df":
+        rights.append(art[1].select(
+            "shard", "doc_id", F.lit(True).alias("allow")))
+
+    if not rights:
+        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            sh = int(key[0])
+            deleted = del_bc.value.get(sh) if del_bc is not None \
+                else None
+            # a filtered query's shard with no allow entries matches
+            # NOTHING — empty array, never None
+            allowed = (al_bc.value.get(sh, _EMPTY_IDS)
+                       if al_bc is not None else None)
+            return fn(pdf, deleted, allowed)
+
+        return _fanout(blocks).groupBy("shard").applyInPandas(
+            run, schema=schema)
+
+    right = rights[0]
+    for extra in rights[1:]:
+        right = right.unionByName(extra)
+
+    def run2(key, left: pd.DataFrame,
+             rp: pd.DataFrame) -> pd.DataFrame:
+        sh = int(key[0])
+        if del_bc is not None:
+            deleted = del_bc.value.get(sh)
+        else:
+            d = rp[~rp["allow"]] if len(rp) else rp
+            deleted = _del_array(d) if rt is not None else None
+        if not has_allow:
+            allowed = None
+        elif al_bc is not None:
+            allowed = al_bc.value.get(sh, _EMPTY_IDS)
+        else:
+            a = rp[rp["allow"]] if len(rp) else rp
+            allowed = np.sort(a["doc_id"].to_numpy().astype(np.int64))
+        return fn(left, deleted, allowed)
+
+    return (_fanout(blocks).groupBy("shard")
+            .cogroup(_fanout(right).groupBy("shard"))
+            .applyInPandas(run2, schema=schema))
+
 
 def _fanout(df: DataFrame, key: str = "shard") -> DataFrame:
     """Pin the grouped-map exchange to a real fan-out. AQE's
@@ -520,7 +650,8 @@ def _fanout(df: DataFrame, key: str = "shard") -> DataFrame:
 def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                 phrase: bool = False,
                 deleted: np.ndarray | None = None,
-                after: tuple | None = None) -> pd.DataFrame:
+                after: tuple | None = None,
+                allowed: np.ndarray | None = None) -> pd.DataFrame:
     """Exact top-k for one shard. Windowed block-max pruning: windows
     are visited in descending upper bound; a window is decoded only if
     its bound beats the running kth-best score.
@@ -950,6 +1081,11 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
             # bounds stay valid (removing docs only lowers attainable
             # scores), so pruning exactness is unaffected.
             keep &= ~np.isin(u, deleted)
+        if allowed is not None:
+            # doc-values filter (ES filter context on metadata): pure
+            # intersection with the shard's allowlist, same soundness
+            # argument as the masks above
+            keep &= np.isin(u, allowed)
         if after is not None:
             # search_after cursor: admit only docs ranking STRICTLY
             # after (score DESC, doc_id ASC) the cursor. Exact float
@@ -995,7 +1131,8 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            cfg: TokenizerConfig | None = None,
            groups: list[list[str]] | None = None,
            after: tuple | None = None,
-           min_should_match: int | None = None) -> DataFrame:
+           min_should_match: int | None = None,
+           doc_where: str | None = None) -> DataFrame:
     """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
@@ -1012,7 +1149,15 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     parameter: a doc must match at least m of the query's position
     groups (Lucene BooleanQuery.setMinimumNumberShouldMatch — WAND is
     natively this m-of-n operator). mode="and" is m = n_groups;
-    mode="or" default is m = 1."""
+    mode="or" default is m = 1.
+
+    ``doc_where`` is the ES filter context over METADATA doc values —
+    a Spark SQL boolean expression on docmap columns (e.g.
+    ``"lang = 'java'"``, ``"repo = 'r1' AND path LIKE 'src/%'"``).
+    Matching docs are restricted to the filter's allowlist BEFORE
+    heap admission (never scores, never affects idf/avgdl — exactly
+    ES: filters don't change scoring stats), routed per shard like
+    liveDocs (see _allow_runtime for the scale shape)."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -1021,7 +1166,8 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
     plan = _apply_msm(plan, mode, min_should_match, phrase)
-    return _wand_topk(spark, store, meta, plan, k, mode, phrase, after)
+    return _wand_topk(spark, store, meta, plan, k, mode, phrase, after,
+                      doc_where)
 
 
 def _apply_msm(plan: QueryPlan, mode: str,
@@ -1052,7 +1198,8 @@ def search_bool(spark: SparkSession, store: IndexStore,
                 min_should_match: int | None = None,
                 syn: SynonymDict | None = None,
                 cfg: TokenizerConfig | None = None,
-                after: tuple | None = None) -> DataFrame:
+                after: tuple | None = None,
+                doc_where: str | None = None) -> DataFrame:
     """ES ``bool`` query: BM25 top-k over must/should/must_not/filter
     clauses (see plan_bool for the exact Lucene BooleanQuery
     semantics). Runs on the same shard-parallel block-max WAND as
@@ -1075,13 +1222,15 @@ def search_bool(spark: SparkSession, store: IndexStore,
                          "clause; filter-only matching is served by "
                          "match_ids/count_matches")
     meta = store.meta()
-    return _wand_topk(spark, store, meta, plan, k, "or", False, after)
+    return _wand_topk(spark, store, meta, plan, k, "or", False, after,
+                      doc_where)
 
 
 def _wand_topk(spark: SparkSession, store: IndexStore, meta,
                plan: QueryPlan, k: int, mode: str,
                phrase: bool = False,
-               after: tuple | None = None) -> DataFrame:
+               after: tuple | None = None,
+               doc_where: str | None = None) -> DataFrame:
     """The shard-parallel WAND execution behind ``search``, taking a
     pre-built plan (so multi-field search can run it per field without
     re-analysis)."""
@@ -1096,35 +1245,19 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    rt = _deletes_runtime(spark, store, meta)
 
     empty = {"doc_id": pd.Series([], dtype="int64"),
              "score": pd.Series([], dtype="float64")}
-    if rt is None or rt[0] == "map":
-        bc = rt[1] if rt is not None else None
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            if len(pdf) == 0:
-                return pd.DataFrame(empty)
-            deleted = bc.value.get(int(key[0])) if bc is not None \
-                else None
-            return _wand_shard(pdf, plan, k, mode, phrase,
-                               deleted=deleted, after=after)
+    def fn(pdf: pd.DataFrame, deleted, allowed) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(empty)
+        return _wand_shard(pdf, plan, k, mode, phrase,
+                           deleted=deleted, after=after,
+                           allowed=allowed)
 
-        topk = _fanout(blocks).groupBy("shard").applyInPandas(
-            run, schema="doc_id long, score double")
-    else:
-        dels = rt[1]
-
-        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0:
-                return pd.DataFrame(empty)
-            return _wand_shard(left, plan, k, mode, phrase,
-                               deleted=_del_array(right), after=after)
-
-        topk = (_fanout(blocks).groupBy("shard")
-                .cogroup(_fanout(dels).groupBy("shard"))
-                .applyInPandas(run2, schema="doc_id long, score double"))
+    topk = _masked_apply(spark, store, meta, blocks, fn,
+                         "doc_id long, score double", doc_where)
     return topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -1135,8 +1268,8 @@ def search_batch(spark: SparkSession, store: IndexStore,
                  cfg: TokenizerConfig | None = None,
                  groups_list: list[list[list[str]]] | None = None,
                  after_list: list[tuple | None] | None = None,
-                 plans: list[QueryPlan] | None = None
-                 ) -> DataFrame:
+                 plans: list[QueryPlan] | None = None,
+                 doc_where: str | None = None) -> DataFrame:
     """Answer MANY queries in one Spark job: one planning pass, one
     blocks scan for the union of all query terms, per-shard workers run
     every query's WAND against their slice. Amortizes per-job overhead
@@ -1207,10 +1340,9 @@ def search_batch(spark: SparkSession, store: IndexStore,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(all_terms)).select(*cols)
-    rt = _deletes_runtime(spark, store, meta)
 
-    def _run_all(pdf: pd.DataFrame,
-                 deleted: np.ndarray | None) -> pd.DataFrame:
+    def _run_all(pdf: pd.DataFrame, deleted: np.ndarray | None,
+                 allowed: np.ndarray | None) -> pd.DataFrame:
         outs = []
         for qi, plan in enumerate(plans):
             if not plan.groups or len(pdf) == 0:
@@ -1220,7 +1352,8 @@ def search_batch(spark: SparkSession, store: IndexStore,
             if not len(sub):
                 continue
             res = _wand_shard(sub.reset_index(drop=True), plan, k, mode,
-                              phrase, deleted=deleted, after=afters[qi])
+                              phrase, deleted=deleted, after=afters[qi],
+                              allowed=allowed)
             if len(res):
                 res.insert(0, "query_id", np.int32(qi))
                 outs.append(res)
@@ -1230,26 +1363,9 @@ def search_batch(spark: SparkSession, store: IndexStore,
                                  "score": pd.Series([], dtype="float64")})
         return pd.concat(outs, ignore_index=True)
 
-    if rt is None or rt[0] == "map":
-        bc = rt[1] if rt is not None else None
-
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            deleted = bc.value.get(int(key[0])) if bc is not None \
-                else None
-            return _run_all(pdf, deleted)
-
-        topk = _fanout(blocks).groupBy("shard").applyInPandas(
-            run, schema="query_id int, doc_id long, score double")
-    else:
-        dels = rt[1]
-
-        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            return _run_all(left, _del_array(right))
-
-        topk = (_fanout(blocks).groupBy("shard")
-                .cogroup(_fanout(dels).groupBy("shard"))
-                .applyInPandas(
-                    run2, schema="query_id int, doc_id long, score double"))
+    topk = _masked_apply(spark, store, meta, blocks, _run_all,
+                         "query_id int, doc_id long, score double",
+                         doc_where)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))
     return (topk.withColumn("_r", F.row_number().over(w))
@@ -1374,14 +1490,17 @@ def explain_score(spark: SparkSession, store: IndexStore, text: str,
 
 def _count_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                  phrase: bool, stats: dict | None = None,
-                 deleted: np.ndarray | None = None) -> int:
+                 deleted: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None) -> int:
     """Number of matching docs in one shard (see _match_shard)."""
-    return len(_match_shard(pdf, plan, mode, phrase, stats, deleted))
+    return len(_match_shard(pdf, plan, mode, phrase, stats, deleted,
+                            allowed))
 
 
 def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                  phrase: bool, stats: dict | None = None,
-                 deleted: np.ndarray | None = None) -> np.ndarray:
+                 deleted: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None) -> np.ndarray:
     """Matching doc ids in one shard — whole-shard vectorized
     set algebra over the decoded postings, no ranking, no top-k state.
     Phrase adjacency via (doc, start) key intersection across groups.
@@ -1474,6 +1593,9 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
         # carry deleted docs — harmless, they only widen block skips
         if deleted is not None and len(docs):
             docs = docs[~np.isin(docs, deleted)]
+        # doc-values allowlist (ES filter context on metadata)
+        if allowed is not None and len(docs):
+            docs = docs[np.isin(docs, allowed)]
         return docs
 
     # rarest first: posting volume (Σ n_docs over the group's blocks)
@@ -1657,7 +1779,8 @@ def count_matches(spark: SparkSession, store: IndexStore,
                   groups: list[list[str]] | None = None,
                   min_should_match: int | None = None,
                   plan: QueryPlan | None = None,
-                  slop: int = 0) -> DataFrame:
+                  slop: int = 0,
+                  doc_where: str | None = None) -> DataFrame:
     """Total hit count (the reference's query-then-read-total idiom,
     SynonymPluginTest.java:149-169) as a DISTRIBUTED aggregate: each
     shard worker counts its matches (applyInPandas), partials sum in a
@@ -1697,30 +1820,14 @@ def count_matches(spark: SparkSession, store: IndexStore,
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    rt = _deletes_runtime(spark, store, meta)
 
-    if rt is None or rt[0] == "map":
-        bc = rt[1] if rt is not None else None
+    def fn(pdf: pd.DataFrame, deleted, allowed) -> pd.DataFrame:
+        n = _count_shard(pdf, plan, mode, phrase, deleted=deleted,
+                         allowed=allowed) if len(pdf) else 0
+        return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
 
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            deleted = bc.value.get(int(key[0])) if bc is not None \
-                else None
-            n = _count_shard(pdf, plan, mode, phrase,
-                             deleted=deleted) if len(pdf) else 0
-            return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
-
-        partials = _fanout(blocks).groupBy("shard").applyInPandas(
-            run, schema="hits long")
-    else:
-        dels = rt[1]
-        def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            n = _count_shard(left, plan, mode, phrase,
-                             deleted=_del_array(right)) if len(left) else 0
-            return pd.DataFrame({"hits": pd.Series([n], dtype="int64")})
-
-        partials = (_fanout(blocks).groupBy("shard")
-                    .cogroup(_fanout(dels).groupBy("shard"))
-                    .applyInPandas(run2, schema="hits long"))
+    partials = _masked_apply(spark, store, meta, blocks, fn,
+                             "hits long", doc_where)
     return partials.agg(
         F.coalesce(F.sum("hits"), F.lit(0)).cast("long").alias("hits"))
 
@@ -1732,7 +1839,8 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
               groups: list[list[str]] | None = None,
               min_should_match: int | None = None,
               plan: QueryPlan | None = None,
-              slop: int = 0) -> DataFrame:
+              slop: int = 0,
+              doc_where: str | None = None) -> DataFrame:
     """ALL matching (live) doc ids as a DataFrame ``doc_id long`` —
     the scale-safe scroll-all-hits surface feeding
     ``deletes.delete_by_query`` (ES ``_delete_by_query`` resolves its
@@ -1762,33 +1870,15 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)
-    rt = _deletes_runtime(spark, store, meta)
 
-    def _emit(docs: np.ndarray) -> pd.DataFrame:
+    def fn(pdf: pd.DataFrame, deleted, allowed) -> pd.DataFrame:
+        docs = _match_shard(pdf, plan, mode, phrase, deleted=deleted,
+                            allowed=allowed) \
+            if len(pdf) else np.zeros(0, np.int64)
         return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
 
-    if rt is None or rt[0] == "map":
-        bc = rt[1] if rt is not None else None
-
-        def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            deleted = bc.value.get(int(key[0])) if bc is not None \
-                else None
-            return _emit(_match_shard(pdf, plan, mode, phrase,
-                                      deleted=deleted)
-                         if len(pdf) else np.zeros(0, np.int64))
-
-        return _fanout(blocks).groupBy("shard").applyInPandas(
-            run, schema="doc_id long")
-    dels = rt[1]
-
-    def run2(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return _emit(_match_shard(left, plan, mode, phrase,
-                                  deleted=_del_array(right))
-                     if len(left) else np.zeros(0, np.int64))
-
-    return (_fanout(blocks).groupBy("shard")
-            .cogroup(_fanout(dels).groupBy("shard"))
-            .applyInPandas(run2, schema="doc_id long"))
+    return _masked_apply(spark, store, meta, blocks, fn,
+                         "doc_id long", doc_where)
 
 
 def terms_agg(spark: SparkSession, store: IndexStore, field: str,
@@ -1798,7 +1888,8 @@ def terms_agg(spark: SparkSession, store: IndexStore, field: str,
               groups: list[list[str]] | None = None,
               min_should_match: int | None = None,
               plan: QueryPlan | None = None,
-              size: int = 10) -> DataFrame:
+              size: int = 10,
+              doc_where: str | None = None) -> DataFrame:
     """ES ``terms`` aggregation over the query's matching doc set: the
     docmap field's bucket counts, ordered ES-style (doc_count DESC,
     key ASC), as ``(<field>, doc_count)``. Accepts every query shape
@@ -1813,7 +1904,8 @@ def terms_agg(spark: SparkSession, store: IndexStore, field: str,
     are live docs only, so buckets follow deletes/merges like ES
     aggregations follow liveDocs."""
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
-                    groups, min_should_match, plan)
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
     dm = store.docmap(spark).select("doc_id", field)
     return (ids.join(dm, "doc_id")
             .groupBy(field)
@@ -1842,7 +1934,8 @@ def stats_agg(spark: SparkSession, store: IndexStore, field: str,
               cfg: TokenizerConfig | None = None,
               groups: list[list[str]] | None = None,
               min_should_match: int | None = None,
-              plan: QueryPlan | None = None) -> DataFrame:
+              plan: QueryPlan | None = None,
+              doc_where: str | None = None) -> DataFrame:
     """ES ``stats`` metric aggregation over the match set's numeric
     field: ONE row ``(count, min, max, avg, sum)``. Same query-shape
     surface as ``terms_agg`` (any ``match_ids`` query). avg is rounded
@@ -1853,7 +1946,8 @@ def stats_agg(spark: SparkSession, store: IndexStore, field: str,
     map-side-partial global aggregate — a single scalar row crosses to
     the driver."""
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
-                    groups, min_should_match, plan)
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
     v = _field_values(spark, store, field)
     return (ids.join(v, "doc_id").agg(
         F.count(field).cast("long").alias("count"),
@@ -1871,7 +1965,8 @@ def histogram_agg(spark: SparkSession, store: IndexStore, field: str,
                   groups: list[list[str]] | None = None,
                   min_should_match: int | None = None,
                   plan: QueryPlan | None = None,
-                  min_doc_count: int = 0) -> DataFrame:
+                  min_doc_count: int = 0,
+                  doc_where: str | None = None) -> DataFrame:
     """ES ``histogram`` aggregation over the match set:
     ``key = floor(field / interval) * interval`` buckets with
     doc_count, key ASC. ES's default ``min_doc_count=0`` semantics —
@@ -1889,7 +1984,8 @@ def histogram_agg(spark: SparkSession, store: IndexStore, field: str,
         raise ValueError("interval must be a positive integer")
     interval = int(interval)
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
-                    groups, min_should_match, plan)
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
     v = _field_values(spark, store, field)
     keyed = (ids.join(v, "doc_id")
              .withColumn("key", (F.floor(F.col(field) / interval)
@@ -1918,7 +2014,8 @@ def cardinality_agg(spark: SparkSession, store: IndexStore,
                     groups: list[list[str]] | None = None,
                     min_should_match: int | None = None,
                     plan: QueryPlan | None = None,
-                    exact: bool = True, rsd: float = 0.05) -> DataFrame:
+                    exact: bool = True, rsd: float = 0.05,
+                    doc_where: str | None = None) -> DataFrame:
     """ES ``cardinality`` aggregation: distinct values of ``field``
     over the match set, ONE row ``(value)``. ES's implementation is
     HyperLogLog++; so is Spark's ``approx_count_distinct`` — that is
@@ -1928,7 +2025,8 @@ def cardinality_agg(spark: SparkSession, store: IndexStore,
     at scale it is still one hash-distinct shuffle bounded by the
     number of DISTINCT values, not docs."""
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
-                    groups, min_should_match, plan)
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
     v = _field_values(spark, store, field)
     j = ids.join(v, "doc_id")
     if exact:
@@ -1946,7 +2044,8 @@ def search_sorted(spark: SparkSession, store: IndexStore,
                   groups: list[list[str]] | None = None,
                   min_should_match: int | None = None,
                   plan: QueryPlan | None = None,
-                  k: int = 10) -> DataFrame:
+                  k: int = 10,
+                  doc_where: str | None = None) -> DataFrame:
     """ES field ``sort``: top-k of the match set ordered by doc
     fields instead of _score (``"sort": [{"dl": "desc"},
     {"lang": "asc"}]``), final tiebreak doc_id ASC (the ES shard-doc
@@ -1959,7 +2058,8 @@ def search_sorted(spark: SparkSession, store: IndexStore,
     if not sort:
         raise ValueError("sort needs at least one (field, direction)")
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
-                    groups, min_should_match, plan)
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
     df = ids
     order = []
     for field, direction in sort:
