@@ -856,6 +856,59 @@ def q_fts_sort_topk(spark, sf_dir):
                          BM25_QUERY, mode="and", k=10)
 
 
+def q_fts_collapse_topk(spark, sf_dir):
+    """ES ``collapse``: top-5 hits keeping only the best-scoring doc
+    per lang (search-result dedup by key). Rank-1 window over the
+    score-all frame — one shuffle on the collapse key, final cut is a
+    distributed k-heap."""
+    from synspark.rank import search_collapsed
+    store = _index(spark, sf_dir)
+    return search_collapsed(spark, store, "lang", BM25_QUERY,
+                            mode="and", k=5)
+
+
+def q_fts_top_hits(spark, sf_dir):
+    """ES ``terms`` + ``top_hits`` sub-aggregation: the 3 largest lang
+    buckets of the match set with each bucket's 2 best hits. One
+    window computes rank and bucket size together."""
+    from synspark.rank import top_hits_agg
+    store = _index(spark, sf_dir)
+    return top_hits_agg(spark, store, "lang", BM25_QUERY, mode="and",
+                        n_buckets=3, n_hits=2)
+
+
+def q_fts_function_score(spark, sf_dir):
+    """ES ``function_score`` / field_value_factor: BM25 × log10(1+dl)
+    (the popularity-boost idiom on the engine's own token-count
+    field), top-10 on the combined score — the combine stays in
+    whole-stage codegen over the score-all frame."""
+    from synspark.rank import function_score
+    store = _index(spark, sf_dir)
+    return function_score(spark, store, BM25_QUERY, "dl", factor=1.0,
+                          modifier="log1p", boost_mode="multiply",
+                          k=10)
+
+
+def q_fts_constant_score(spark, sf_dir):
+    """ES ``constant_score``: the AND match set scored flat 1.5 — no
+    tf/dl decode at all (rides the match-only set algebra), first 10
+    by doc_id."""
+    from synspark.rank import constant_score
+    store = _index(spark, sf_dir)
+    return constant_score(spark, store, BM25_QUERY, mode="and",
+                          boost=1.5, k=10)
+
+
+def q_fts_boosting(spark, sf_dir):
+    """ES ``boosting`` query: positive BM25 match demoted ×0.3 where
+    the doc also matches the negative query — demotion without
+    exclusion; the negative set is an unscored match_ids frame."""
+    from synspark.rank import boosting
+    store = _index(spark, sf_dir)
+    return boosting(spark, store, BM25_QUERY, PHRASE,
+                    negative_boost=0.3, k=10)
+
+
 def q_fts_rescore_topk(spark, sf_dir):
     """ES ``rescore`` (query rescorer, score_mode=total,
     rescore_query_weight=2): the benchmark query's top-50 window
@@ -1230,6 +1283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_docvalue_topk": q_fts_docvalue_topk,
         "fts_docvalue_count": q_fts_docvalue_count,
         "fts_terms_agg": q_fts_terms_agg,
+        "fts_collapse_topk": q_fts_collapse_topk,
+        "fts_top_hits": q_fts_top_hits,
+        "fts_function_score": q_fts_function_score,
+        "fts_constant_score": q_fts_constant_score,
+        "fts_boosting": q_fts_boosting,
         "fts_rescore_topk": q_fts_rescore_topk,
         "fts_mlt_topk": q_fts_mlt_topk,
         "fts_slop_count": q_fts_slop_count,
@@ -1766,6 +1824,61 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_collapse_topk": _bm25_prefix() + f"""
+SELECT doc_id, lang, score_r FROM (
+  SELECT s.doc_id, d.lang, round(s.score, 6) AS score_r,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.score, 6) DESC,
+                                     s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.ng = {_n_groups()}
+) WHERE rn = 1
+ORDER BY score_r DESC, doc_id LIMIT 5
+""",
+        "fts_top_hits": _bm25_prefix() + f"""
+, h AS (
+  SELECT d.lang, s.doc_id, round(s.score, 6) AS score_r,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.score, 6) DESC,
+                                     s.doc_id) AS rank,
+         count(*) OVER (PARTITION BY d.lang) AS doc_count
+  FROM scored s JOIN documents d USING (doc_id)
+  WHERE s.ng = {_n_groups()}
+), b AS (
+  SELECT lang FROM (SELECT DISTINCT lang, doc_count FROM h)
+  ORDER BY doc_count DESC, lang LIMIT 3
+)
+SELECT h.lang, h.doc_count::BIGINT AS doc_count, h.rank::INT AS rank,
+       h.doc_id, h.score_r
+FROM h JOIN b USING (lang) WHERE h.rank <= 2
+ORDER BY doc_count DESC, lang, rank
+""",
+        "fts_function_score": _bm25_prefix() + f"""
+SELECT s.doc_id,
+       round(s.score * log10(1.0 * l.dl + 1.0), 6) AS score_r
+FROM scored s JOIN dl l USING (doc_id)
+WHERE s.ng = {_n_groups()}
+ORDER BY score_r DESC, doc_id LIMIT 10
+""",
+        "fts_constant_score": _bm25_prefix() + f"""
+SELECT doc_id, 1.5::DOUBLE AS score_r FROM scored
+WHERE ng = {_n_groups()}
+ORDER BY doc_id LIMIT 10
+""",
+        "fts_boosting": _bm25_prefix() + f"""
+, negdocs AS (
+  SELECT doc_id FROM grams
+  WHERE term IN ({", ".join(f"'{t}'" for t in
+                            sorted(set(_query_bigrams(PHRASE))))})
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(set(_query_bigrams(PHRASE)))}
+)
+SELECT s.doc_id,
+       round(CASE WHEN s.doc_id IN (SELECT doc_id FROM negdocs)
+                  THEN s.score * 0.3 ELSE s.score END, 6) AS score_r
+FROM scored s WHERE s.ng = {_n_groups()}
+ORDER BY score_r DESC, doc_id LIMIT 10
 """,
         "fts_rescore_topk": (
             _bm25_prefix()

@@ -336,17 +336,29 @@ def decoded_postings(spark: SparkSession, store: IndexStore,
 # naive DataFrame scorer — the oracle (E10 fallback path)
 # --------------------------------------------------------------------
 
-def score_naive(spark: SparkSession, store: IndexStore, text: str,
-                k: int = 10, mode: str = "and",
-                syn: SynonymDict | None = None,
-                cfg: TokenizerConfig | None = None,
-                postings: DataFrame | None = None,
-                groups: list[list[str]] | None = None,
-                plan: QueryPlan | None = None,
-                doc_where: str | None = None) -> DataFrame:
-    """Pure declarative BM25 top-k: decode -> join group map (broadcast)
-    -> two hash aggregations -> orderBy/limit. Catalyst handles partial
-    aggregation and the top-k sort; this is the cross-check for WAND.
+def score_matches(spark: SparkSession, store: IndexStore, text: str,
+                  mode: str = "and",
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None,
+                  postings: DataFrame | None = None,
+                  groups: list[list[str]] | None = None,
+                  plan: QueryPlan | None = None,
+                  doc_where: str | None = None) -> DataFrame:
+    """Score EVERY matching live doc — the un-truncated frame
+    ``(doc_id, score, ng)`` feeding score-all consumers (field
+    collapse, top_hits/sampler aggregations, function_score rerank):
+    exactly what an ES search with aggregations does, where the
+    collector must visit all matches so WAND-style early termination
+    is off by contract. Decode is still restricted to the QUERY terms'
+    postings (O(Σ df), the information-theoretic floor for exact
+    score-all), the group map is broadcast, and the per-doc aggregate
+    is a partial-agg hash shuffle bounded by matching docs — never the
+    corpus. ``ng`` is the number of distinct matched groups (the
+    coordination count downstream msm/AND gates reuse).
+
+    Score accumulation is the same ascending-gid ordered fold the WAND
+    worker uses, so scores are bit-identical to ``search`` for the
+    same doc (fuzz-pinned rank identity).
 
     ``postings`` may inject an alternative (term, doc_id, tf, dl) source
     (e.g. pre-encoding postings in tests, proving codec round-trip).
@@ -359,7 +371,8 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
     if plan is None:
         plan = plan_query(spark, store, text, syn, cfg, groups)
     if not plan.groups:
-        return spark.createDataFrame([], "doc_id long, score double")
+        return spark.createDataFrame(
+            [], "doc_id long, score double, ng int")
     p = postings if postings is not None else \
         decoded_postings(spark, store, plan.terms)
 
@@ -428,7 +441,24 @@ def score_naive(spark: SparkSession, store: IndexStore, text: str,
         # unchanged — filters never affect idf/avgdl, exactly ES)
         agg = agg.join(store.docmap(spark).filter(doc_where)
                        .select("doc_id"), "doc_id", "left_semi")
-    return (agg.select("doc_id", "score")
+    return agg.select("doc_id", "score",
+                      F.size("gids").cast("int").alias("ng"))
+
+
+def score_naive(spark: SparkSession, store: IndexStore, text: str,
+                k: int = 10, mode: str = "and",
+                syn: SynonymDict | None = None,
+                cfg: TokenizerConfig | None = None,
+                postings: DataFrame | None = None,
+                groups: list[list[str]] | None = None,
+                plan: QueryPlan | None = None,
+                doc_where: str | None = None) -> DataFrame:
+    """Pure declarative BM25 top-k: ``score_matches`` + orderBy/limit.
+    Catalyst handles partial aggregation and the top-k sort; this is
+    the cross-check for WAND."""
+    return (score_matches(spark, store, text, mode, syn, cfg, postings,
+                          groups, plan, doc_where)
+            .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
 
 
