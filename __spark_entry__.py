@@ -909,6 +909,28 @@ def q_fts_boosting(spark, sf_dir):
                     negative_boost=0.3, k=10)
 
 
+def q_fts_sig_terms(spark, sf_dir):
+    """ES ``significant_terms`` (JLH) over the AND match set: terms
+    unusually frequent in matching docs vs the whole index. Foreground
+    counts re-analyze ONLY the matches (fielddata contract);
+    background df rides the index's termstats."""
+    from synspark.fielddata import significant_terms_agg
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return significant_terms_agg(spark, store, corpus, BM25_QUERY,
+                                 mode="and", size=10)
+
+
+def q_fts_term_vectors(spark, sf_dir):
+    """ES ``_termvectors`` with term_statistics: per-term tf for docs
+    3 and 7 re-derived from _source, plus collection df/ttf from
+    termstats — vectors on the fly, exactly ES when not stored."""
+    from synspark.fielddata import term_vectors
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return term_vectors(spark, store, corpus, [3, 7])
+
+
 def q_fts_rescore_topk(spark, sf_dir):
     """ES ``rescore`` (query rescorer, score_mode=total,
     rescore_query_weight=2): the benchmark query's top-50 window
@@ -1284,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_docvalue_count": q_fts_docvalue_count,
         "fts_terms_agg": q_fts_terms_agg,
         "fts_collapse_topk": q_fts_collapse_topk,
+        "fts_sig_terms": q_fts_sig_terms,
+        "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
         "fts_constant_score": q_fts_constant_score,
@@ -1824,6 +1848,44 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_sig_terms": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+), m AS (
+  SELECT doc_id FROM per_doc WHERE c = (SELECT count(*) FROM qt)
+), fgt AS (SELECT count(*)::DOUBLE AS n FROM m)
+, fg AS (
+  SELECT g.term, count(DISTINCT g.doc_id)::BIGINT AS doc_count
+  FROM grams g JOIN m USING (doc_id) GROUP BY g.term
+), bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count FROM grams
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
+), tot AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n)
+SELECT term, doc_count, bg_count, score_r FROM (
+  SELECT f.term, f.doc_count, b.bg_count,
+         round(CASE WHEN (f.doc_count / fgt.n) > (b.bg_count / tot.n)
+               THEN ((f.doc_count / fgt.n) - (b.bg_count / tot.n))
+                    * ((f.doc_count / fgt.n) / (b.bg_count / tot.n))
+               ELSE 0.0 END, 6) AS score_r
+  FROM fg f JOIN bg b USING (term), fgt, tot
+) WHERE score_r > 0
+ORDER BY score_r DESC, term LIMIT 10
+""",
+        "fts_term_vectors": _GRAMS_CTE + """
+, tv AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM grams
+  WHERE doc_id IN (3, 7) GROUP BY 1, 2
+), st AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS ttf
+  FROM grams WHERE term IN (SELECT term FROM tv) GROUP BY term
+)
+SELECT t.doc_id, t.term, t.tf, s.df, s.ttf
+FROM tv t JOIN st s USING (term)
+ORDER BY doc_id, term
 """,
         "fts_collapse_topk": _bm25_prefix() + f"""
 SELECT doc_id, lang, score_r FROM (
