@@ -931,6 +931,25 @@ def q_fts_term_vectors(spark, sf_dir):
     return term_vectors(spark, store, corpus, [3, 7])
 
 
+PERC_QUERIES = [(1, BM25_QUERY, "and"), (2, "merge", "or"),
+                (3, PHRASE, "msm", 3)]
+
+
+def q_fts_percolate(spark, sf_dir):
+    """ES ``percolate`` (reverse search): three registered queries
+    (AND / OR / minimum_should_match) matched against every document —
+    the saved-search alerting shape. Broadcast path: the query table
+    ships with the Arrow workers, each doc decides locally, zero
+    shuffle (and therefore streaming-safe, pinned by pytest)."""
+    from synspark.percolate import percolate, register_queries
+    from synspark.tokenizer import TokenizerConfig
+    cfg = TokenizerConfig(n=2, expand=False, ignore_case=True)
+    reg = register_queries(spark, PERC_QUERIES, cfg)
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return percolate(spark, reg, docs, cfg) \
+        .orderBy("doc_id", "query_id")
+
+
 def q_fts_rescore_topk(spark, sf_dir):
     """ES ``rescore`` (query rescorer, score_mode=total,
     rescore_query_weight=2): the benchmark query's top-50 window
@@ -1307,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_terms_agg": q_fts_terms_agg,
         "fts_collapse_topk": q_fts_collapse_topk,
         "fts_sig_terms": q_fts_sig_terms,
+        "fts_percolate": q_fts_percolate,
         "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
@@ -1426,6 +1446,29 @@ def _qterm_values() -> str:
     distinct, so group-AND == all-terms-present)."""
     return ", ".join(f"('{t}')"
                      for t in sorted(set(_query_bigrams(BM25_QUERY))))
+
+
+def _perc_reg_values() -> str:
+    """VALUES list (query_id, term) mirroring register_queries over
+    PERC_QUERIES (expand=False: every group is its one bigram, and no
+    query repeats a bigram, so distinct-term counting == group
+    counting)."""
+    rows = []
+    for q in PERC_QUERIES:
+        for t in sorted(set(_query_bigrams(q[1]))):
+            rows.append(f"({q[0]}, '{t}')")
+    return ", ".join(rows)
+
+
+def _perc_req_values() -> str:
+    """VALUES list (query_id, required): and=all groups, or=1, msm=m."""
+    rows = []
+    for q in PERC_QUERIES:
+        n = len(set(_query_bigrams(q[1])))
+        req = n if q[2] == "and" else (1 if q[2] == "or"
+                                       else min(q[3], n))
+        rows.append(f"({q[0]}, {req})")
+    return ", ".join(rows)
 
 
 def _match_dl_cte() -> str:
@@ -1848,6 +1891,21 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_percolate": _GRAMS_CTE + f"""
+, reg AS (SELECT * FROM (VALUES {_perc_reg_values()})
+          AS r(query_id, term))
+, req AS (SELECT * FROM (VALUES {_perc_req_values()})
+          AS r(query_id, required))
+, m AS (
+  SELECT g.doc_id, r.query_id, count(DISTINCT g.term) AS c
+  FROM (SELECT DISTINCT doc_id, term FROM grams) g
+  JOIN reg r USING (term) GROUP BY 1, 2
+)
+SELECT m.doc_id, m.query_id::BIGINT AS query_id
+FROM m JOIN req USING (query_id)
+WHERE m.c >= req.required
+ORDER BY doc_id, query_id
 """,
         "fts_sig_terms": _GRAMS_CTE + f"""
 , qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
