@@ -950,6 +950,23 @@ def q_fts_percolate(spark, sf_dir):
         .orderBy("doc_id", "query_id")
 
 
+def q_fts_snapshot_topk(spark, sf_dir):
+    """ES ``_snapshot`` + restore: point-in-time incremental copy of
+    the committed store (immutable files, (name,size) skip,
+    metadata-last commit), then the flagship BM25 over the RESTORED
+    store — answers must be identical to querying the source."""
+    import tempfile
+    from synspark.query import search
+    from synspark.snapshot import restore, snapshot
+    store = _index(spark, sf_dir)
+    key = hashlib.md5(f"{sf_dir}|snap".encode()).hexdigest()[:12]
+    root = Path(tempfile.gettempdir()) / f"synspark_snap_{key}"
+    snapshot(store, str(root / "snap"))
+    rst = restore(str(root / "snap"), str(root / "restored"))
+    return _rounded_topk(
+        search(spark, rst, BM25_QUERY, k=200, mode="and"), 10)
+
+
 def q_fts_rescore_topk(spark, sf_dir):
     """ES ``rescore`` (query rescorer, score_mode=total,
     rescore_query_weight=2): the benchmark query's top-50 window
@@ -1327,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_collapse_topk": q_fts_collapse_topk,
         "fts_sig_terms": q_fts_sig_terms,
         "fts_percolate": q_fts_percolate,
+        "fts_snapshot_topk": q_fts_snapshot_topk,
         "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
@@ -1830,6 +1848,7 @@ SELECT doc_id, count(*)::INT AS dl FROM grams GROUP BY doc_id
 """,
         "fts_bm25_topk": bm25,
         "fts_wand_topk": bm25,
+        "fts_snapshot_topk": bm25,
         "fts_wand_or_topk": _bm25_oracle(mode="or"),
         # compaction is a pure shard relabeling: same docs, same
         # postings, same scores — the oracle IS the BM25 oracle

@@ -103,6 +103,18 @@ class LocalFS:
             f.write(text)
         return True
 
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def copy_file(self, src: str, dst: str) -> None:
+        """Byte copy src -> dst (dst parent must exist). Copies to a
+        temp name + atomic rename so a crashed copy never leaves a
+        half-written file under the destination name."""
+        s, d = self._local(src), self._local(dst)
+        tmp = f"{d}.tmp.{uuid.uuid4().hex}"
+        shutil.copyfile(s, tmp)
+        os.replace(tmp, d)
+
 
 class HadoopFS:
     """Metadata layer over the Hadoop ``FileSystem`` JVM API — the FS
@@ -204,6 +216,20 @@ class HadoopFS:
                 out.close()
         return True
 
+    def is_dir(self, path: str) -> bool:
+        p = self._jpath(path)
+        return bool(self._fs.exists(p)
+                    and self._fs.getFileStatus(p).isDirectory())
+
+    def copy_file(self, src: str, dst: str) -> None:
+        """Byte copy via FileUtil to a temp name + atomic-ish rename
+        (same contract as write_text_atomic)."""
+        tmp = f"{dst}.tmp.{uuid.uuid4().hex}"
+        self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._jpath(src), self._fs, self._jpath(tmp),
+            False, True, self._conf)
+        self._rename_overwrite(tmp, dst)
+
 
 class FsPath:
     """A path bound to a filesystem — the minimal pathlib surface the
@@ -273,3 +299,10 @@ class FsPath:
 
     def stat_sig(self) -> tuple[int, int]:
         return self.fs.stat(self._p)
+
+    def is_dir(self) -> bool:
+        return self.fs.is_dir(self._p)
+
+    def copy_to(self, other: "FsPath") -> None:
+        """Byte copy of THIS FILE to ``other`` (same fs)."""
+        self.fs.copy_file(self._p, str(other))
