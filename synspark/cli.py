@@ -133,6 +133,18 @@ def main(argv=None):
                          "segment bytes — no Spark job")
     stt.add_argument("--index", required=True)
 
+    sn = sub.add_parser("snapshot", help="point-in-time incremental "
+                        "copy of the committed store (_snapshot): "
+                        "immutable files skip on re-snapshot, "
+                        "metadata written last — no Spark job")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+
+    rs = sub.add_parser("restore", help="materialize a snapshot as a "
+                        "fresh writable store — no Spark job")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--dest", required=True)
+
     mg = sub.add_parser("merge", help="incremental merge: purge "
                         "tombstones from shards whose deleted "
                         "fraction crosses the threshold (Lucene "
@@ -184,6 +196,16 @@ def main(argv=None):
     if args.cmd == "stats":  # meta + manifest only — no Spark needed
         from .index_store import IndexStore
         print(json.dumps(IndexStore(args.index).stats()))
+        return 0
+    if args.cmd == "snapshot":  # file copies only — no Spark needed
+        from .index_store import IndexStore
+        from .snapshot import snapshot as _snap
+        print(json.dumps(_snap(IndexStore(args.index), args.dest)))
+        return 0
+    if args.cmd == "restore":
+        from .snapshot import restore as _restore
+        store = _restore(args.snapshot, args.dest)
+        print(json.dumps(store.stats()))
         return 0
     if args.cmd == "delete" and \
             sum(map(bool, (args.ids, args.keys, args.query))) != 1:

@@ -33,3 +33,28 @@ def test_cli_delete_arg_validation(capsys):
     assert main(["delete", "--index", "/nonexistent",
                  "--ids", "1", "--keys", "/also"]) == 2
     assert "exactly one" in capsys.readouterr().err
+
+
+def test_cli_snapshot_restore_roundtrip(spark, tmp_path, capsys):
+    """snapshot + restore subcommands (no Spark inside the CLI path):
+    the restored store reports the same stats as the source."""
+    import json
+
+    from synspark.index_store import build_index
+    from synspark.tokenizer import TokenizerConfig
+    corpus = spark.createDataFrame(
+        [("r0", "f", "c", "data sort merge")],
+        "repo string, path string, commit string, content string")
+    store = build_index(spark, corpus, str(tmp_path / "idx"),
+                        cfg=TokenizerConfig(n=2, expand=False),
+                        n_shards=1, resume=False)
+    rc = main(["snapshot", "--index", str(store.path),
+               "--dest", str(tmp_path / "snap")])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out)
+    assert out1["files_copied"] > 0
+    rc = main(["restore", "--snapshot", str(tmp_path / "snap"),
+               "--dest", str(tmp_path / "restored")])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got["n_docs"] == store.stats()["n_docs"]
