@@ -149,6 +149,24 @@ def main() -> None:
     lat("q_bm25_batch16", lambda: search_batch(
         spark, store_docs, batch_texts, k=10, mode="and").collect())
 
+    # late round-5 surfaces: score-all consumers (collapse = score
+    # every match + one window) and percolation throughput (saved
+    # searches against the whole documents table — the alerting-at-
+    # ingest shape, zero shuffle on the broadcast path)
+    from synspark.percolate import percolate, register_queries
+    from synspark.rank import search_collapsed
+    lat("q_collapse", lambda: search_collapsed(
+        spark, store_docs, "lang", "data sort merge", mode="and",
+        k=10).collect())
+    perc_reg = register_queries(
+        spark, [(1, "data sort merge", "and"), (2, "key order", "msm", 3),
+                (3, "hash join", "or"), (4, "query plan", "and"),
+                (5, "scan filter", "msm", 2), (6, "merge", "or")],
+        TokenizerConfig(n=2, expand=False, ignore_case=True))
+    lat("q_percolate6", lambda: percolate(
+        spark, perc_reg, docs,
+        TokenizerConfig(n=2, expand=False, ignore_case=True)).count())
+
     # -- 3b. liveDocs overhead (round 4): same WAND query with 1% of
     # docs tombstoned — measures the cogroup tombstone-routing path
     # (broadcast range join + per-shard numpy mask) vs the identical

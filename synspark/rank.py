@@ -15,10 +15,11 @@ likewise disables early termination when these features are present.
 Scale shapes (100 TB):
 - score-all decodes ONLY the query terms' postings (O(Σ df)), then one
   partial-agg hash shuffle bounded by |matches|;
-- collapse / top_hits add ONE window per bucket key — Spark's
-  running-rank window over (key) partitions, map-side pre-truncation
-  not needed because rank ≤ n filtering happens before any further
-  shuffle;
+- collapse / top_hits add ONE window per bucket key, and Catalyst's
+  WindowGroupLimit pushes the rank ≤ n cut MAP-SIDE (a Partial limit
+  runs before the key exchange, verified in .explain("formatted")), so
+  the shuffle carries at most n rows per key per input partition —
+  never the full match set;
 - function_score joins the (doc_id, field) projection of the docmap
   (column-pruned parquet scan) and keeps the combine expression in
   whole-stage codegen;
