@@ -87,6 +87,31 @@ def main() -> None:
           "int str", "len map", "get set", "for val"]
     lat("q_batch16", lambda: search_batch(
         spark, store, qs, k=10, mode="and").collect())
+
+    # round-5 score-all + reverse-search surfaces at the same scale:
+    # collapse must score EVERY match (410k docs for the AND pair) and
+    # window them; percolation streams the whole corpus past saved
+    # queries (broadcast path, zero shuffle) — the throughput number
+    # that matters for alerting-at-ingest.
+    from synspark.percolate import percolate, register_queries
+    from synspark.rank import search_collapsed
+    lat("q_collapse", lambda: search_collapsed(
+        spark, store, "lang", "return import", mode="and",
+        k=10).collect())
+    reg = register_queries(
+        spark, [(1, "return import", "and"), (2, "match case", "msm", 3),
+                (3, "yield await", "or"), (4, "public void", "and"),
+                (5, "struct union", "msm", 2), (6, "async", "or")],
+        TokenizerConfig(n=2, expand=False, ignore_case=True))
+    t0 = time.time()
+    n_pairs = percolate(spark, reg, corpus,
+                        TokenizerConfig(n=2, expand=False,
+                                        ignore_case=True),
+                        text_col="content").count()
+    out["percolate6_sec"] = round(time.time() - t0, 3)
+    out["percolate6_pairs"] = int(n_pairs)
+    out["percolate_docs_per_sec"] = round(
+        meta.n_docs / out["percolate6_sec"], 1)
     print(json.dumps(out), flush=True)
 
 
