@@ -170,3 +170,15 @@ def test_filter_unknown_column_raises(spark, store):
     with pytest.raises(Exception):
         search(spark, store, "data sort",
                doc_where="no_such_col = 1").collect()
+
+
+def test_filter_predicate_reaches_parquet_scan(spark, store):
+    """Scale pin: the doc_where predicate must PUSH DOWN into the
+    docmap parquet scan (PushedFilters) with column pruning
+    (ReadSchema = doc_id + the filtered column only) — the allowlist
+    resolve reads index bytes proportional to the docmap's pruned
+    columns, never the full docmap row."""
+    df = store.docmap(spark).filter("lang = 'java'").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(lang,java)" in plan
+    assert "struct<doc_id:bigint,lang:string>" in plan
