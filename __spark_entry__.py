@@ -950,6 +950,33 @@ def q_fts_percolate(spark, sf_dir):
         .orderBy("doc_id", "query_id")
 
 
+def q_fts_sort_page2(spark, sf_dir):
+    """Sort-keyed deep pagination (ES search_after on a field sort):
+    page 2 of the (dl DESC, lang ASC) ordering via the page-1 cursor —
+    the codegen lexicographic filter admits only rows strictly after
+    it, so page N never re-ships pages 1..N-1."""
+    from synspark.query import search_sorted
+    store = _index(spark, sf_dir)
+    sort = [("dl", "desc"), ("lang", "asc")]
+    p1 = search_sorted(spark, store, sort, BM25_QUERY, mode="and",
+                       k=10).collect()
+    last = p1[-1]
+    return search_sorted(spark, store, sort, BM25_QUERY, mode="and",
+                         k=10, after=(last.dl, last.lang,
+                                      last.doc_id))
+
+
+def q_fts_sig_terms_sampled(spark, sf_dir):
+    """ES ``sampler`` around significant_terms: the foreground is the
+    50 best-scoring matches instead of all matches — fielddata
+    re-analysis cost stays fixed no matter how large the match set."""
+    from synspark.fielddata import significant_terms_agg
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return significant_terms_agg(spark, store, corpus, BM25_QUERY,
+                                 mode="and", size=10, sample_size=50)
+
+
 def q_fts_snapshot_topk(spark, sf_dir):
     """ES ``_snapshot`` + restore: point-in-time incremental copy of
     the committed store (immutable files, (name,size) skip,
@@ -1345,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms": q_fts_sig_terms,
         "fts_percolate": q_fts_percolate,
         "fts_snapshot_topk": q_fts_snapshot_topk,
+        "fts_sort_page2": q_fts_sort_page2,
+        "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
@@ -1910,6 +1939,33 @@ SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
 FROM m JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang LIMIT 10
+""",
+        "fts_sort_page2": _GRAMS_CTE + _match_dl_cte() + """
+SELECT m.doc_id, l.dl::INT AS dl, d.lang AS lang
+FROM m JOIN dl l USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
+""",
+        "fts_sig_terms_sampled": _bm25_prefix() + f"""
+, m AS (
+  SELECT doc_id FROM scored WHERE ng = {_n_groups()}
+  ORDER BY round(score, 6) DESC, doc_id LIMIT 50
+), fgt AS (SELECT count(*)::DOUBLE AS n FROM m)
+, fg AS (
+  SELECT g.term, count(DISTINCT g.doc_id)::BIGINT AS doc_count
+  FROM grams g JOIN m USING (doc_id) GROUP BY g.term
+), bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_count FROM grams
+  WHERE term IN (SELECT term FROM fg) GROUP BY term
+), tot AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n)
+SELECT term, doc_count, bg_count, score_r FROM (
+  SELECT f.term, f.doc_count, b.bg_count,
+         round(CASE WHEN (f.doc_count / fgt.n) > (b.bg_count / tot.n)
+               THEN ((f.doc_count / fgt.n) - (b.bg_count / tot.n))
+                    * ((f.doc_count / fgt.n) / (b.bg_count / tot.n))
+               ELSE 0.0 END, 6) AS score_r
+  FROM fg f JOIN bg b USING (term), fgt, tot
+) WHERE score_r > 0
+ORDER BY score_r DESC, term LIMIT 10
 """,
         "fts_percolate": _GRAMS_CTE + f"""
 , reg AS (SELECT * FROM (VALUES {_perc_reg_values()})

@@ -98,6 +98,7 @@ def significant_terms_agg(spark: SparkSession, store: IndexStore,
                           min_should_match: int | None = None,
                           plan=None, size: int = 10,
                           min_doc_count: int = 1,
+                          sample_size: int | None = None,
                           doc_where: str | None = None) -> DataFrame:
     """ES ``significant_terms`` over the match set: terms unusually
     frequent in the FOREGROUND (matching docs) vs the BACKGROUND (the
@@ -112,12 +113,29 @@ def significant_terms_agg(spark: SparkSession, store: IndexStore,
     index's termstats — so like ES, background counts follow Lucene's
     pre-merge semantics (tombstoned docs still count until merged) and
     the denominator is the index's maxDoc-equivalent, while the
-    foreground is live matches only."""
+    foreground is live matches only.
+
+    ``sample_size`` is the ES ``sampler`` aggregation composed around
+    significant_terms: the foreground becomes the ``sample_size``
+    BEST-SCORING matches (BM25, rounded-score/doc_id deterministic
+    cut) instead of all matches — the standard trick for keeping the
+    fielddata re-analysis cost fixed when the match set is huge and
+    only the head is representative."""
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)
-    ids = match_ids(spark, store, text, mode, syn=syn, cfg=cfg,
-                    groups=groups, min_should_match=min_should_match,
-                    plan=plan, doc_where=doc_where)
+    if sample_size is not None:
+        from .query import score_matches
+        scored = score_matches(spark, store, text, mode, syn, cfg,
+                               groups=groups, plan=plan,
+                               doc_where=doc_where)
+        ids = (scored.withColumn("_r", F.round("score", 6))
+               .orderBy(F.desc("_r"), F.asc("doc_id"))
+               .limit(int(sample_size)).select("doc_id"))
+    else:
+        ids = match_ids(spark, store, text, mode, syn=syn, cfg=cfg,
+                        groups=groups,
+                        min_should_match=min_should_match,
+                        plan=plan, doc_where=doc_where)
     hyd = _hydrate(spark, store, ids, corpus, meta)
     fg = (_doc_terms(hyd, cfg, syn, counts=False)
           .groupBy("term")

@@ -2075,16 +2075,24 @@ def search_sorted(spark: SparkSession, store: IndexStore,
                   min_should_match: int | None = None,
                   plan: QueryPlan | None = None,
                   k: int = 10,
-                  doc_where: str | None = None) -> DataFrame:
+                  doc_where: str | None = None,
+                  after: tuple | None = None) -> DataFrame:
     """ES field ``sort``: top-k of the match set ordered by doc
     fields instead of _score (``"sort": [{"dl": "desc"},
     {"lang": "asc"}]``), final tiebreak doc_id ASC (the ES shard-doc
     tiebreaker). Returns ``(doc_id, <sort fields...>)``.
 
+    ``after`` is sort-keyed ``search_after`` pagination: the previous
+    page's last row as ``(<sort values...>, doc_id)``; only rows
+    strictly after that cursor in the total sort order are admitted,
+    so page N+1 costs the same one job as page 1 and never re-ships
+    earlier pages (the ES deep-pagination contract).
+
     Scale shape: the match frame joins each sort field's (doc_id,
-    value) projection on doc_id, then TakeOrderedAndProject — a
-    per-partition k-heap + driver merge of n_partitions·k rows, never
-    a full sort."""
+    value) projection on doc_id, the cursor filter is a codegen
+    lexicographic predicate applied BEFORE the cut, then
+    TakeOrderedAndProject — a per-partition k-heap + driver merge of
+    n_partitions·k rows, never a full sort."""
     if not sort:
         raise ValueError("sort needs at least one (field, direction)")
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
@@ -2099,6 +2107,23 @@ def search_sorted(spark: SparkSession, store: IndexStore,
         order.append(F.asc(field) if direction == "asc"
                      else F.desc(field))
     order.append(F.asc("doc_id"))
+    if after is not None:
+        keys = [f for f, _ in sort] + ["doc_id"]
+        dirs = [d for _, d in sort] + ["asc"]
+        if len(after) != len(keys):
+            raise ValueError(f"after needs {len(keys)} values "
+                             f"(<sort fields...>, doc_id)")
+        # strictly-after-cursor in the total order: OR over i of
+        # (all keys < i equal) AND (key i past the cursor per its
+        # direction) — pure codegen comparisons, no UDF
+        cond = F.lit(False)
+        for i, (key, d) in enumerate(zip(keys, dirs)):
+            ci = F.col(key) > F.lit(after[i]) if d == "asc" \
+                else F.col(key) < F.lit(after[i])
+            for j in range(i):
+                ci = ci & (F.col(keys[j]) == F.lit(after[j]))
+            cond = cond | ci
+        df = df.filter(cond)
     return (df.orderBy(*order).limit(k)
             .select("doc_id", *[f for f, _ in sort]))
 

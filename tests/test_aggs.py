@@ -151,3 +151,25 @@ def test_aggs_follow_live_docs(spark, tmp_path, astore):
 def test_unknown_field_raises(spark, astore):
     with pytest.raises(ValueError, match="unknown doc field"):
         stats_agg(spark, astore, "nope", QUERY)
+
+
+def test_search_sorted_after_cursor_pages(spark, astore):
+    """Sort-keyed search_after: concatenating cursor pages reproduces
+    the full ordering exactly once, including ties crossed mid-page
+    (dl repeats heavily in this corpus)."""
+    from synspark.query import search_sorted
+    sort = [("dl", "desc"), ("lang", "asc")]
+    full = search_sorted(spark, astore, sort, QUERY, mode="and",
+                         k=10 ** 6).collect()
+    pages, after = [], None
+    while True:
+        p = search_sorted(spark, astore, sort, QUERY, mode="and",
+                          k=7, after=after).collect()
+        if not p:
+            break
+        pages += p
+        after = (p[-1].dl, p[-1].lang, p[-1].doc_id)
+    assert [(r.doc_id, r.dl, r.lang) for r in pages] == \
+        [(r.doc_id, r.dl, r.lang) for r in full]
+    with pytest.raises(ValueError):
+        search_sorted(spark, astore, sort, QUERY, after=(1,))

@@ -161,3 +161,23 @@ def test_sig_terms_foreground_is_live_matches(spark, fstore):
             assert all_rows.get(t, 0) == n_fg
         else:
             assert t not in all_rows
+
+
+def test_sig_terms_sampler_restricts_foreground(spark, fstore):
+    """sample_size=N: the foreground is the N best-scoring matches —
+    query-term doc_counts equal N (every sampled doc matches), and the
+    fg set equals the rounded-score top-N."""
+    store, corpus, bodies = fstore
+    n = 10
+    rows = significant_terms_agg(spark, store, corpus, QUERY,
+                                 mode="and", size=500,
+                                 sample_size=n).collect()
+    counts = {r.term: r.doc_count for r in rows}
+    qt = set(_grams(QUERY))
+    docs = [set(_grams(b)) for b in bodies]
+    n_match = sum(1 for d in docs if qt <= d)
+    assert n < n_match  # the sample is a strict subset
+    for t in qt:
+        bg = sum(1 for d in docs if t in d)
+        if bg < len(docs):
+            assert counts.get(t, 0) == n
