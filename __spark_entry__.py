@@ -1335,6 +1335,34 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+QS_QUERY = '+data "key order" -"slow scan" lang:en sort^2'
+
+
+def q_fts_query_string(spark, sf_dir):
+    """ES/Lucene ``query_string`` mini-DSL compiled onto the bool/WAND
+    engine: '+data' must-scores, the phrase gates (per-shard adjacency)
+    AND scores its grams, '-"slow scan"' excludes phrase-matching docs
+    (id set merged into the liveDocs mask), 'lang:en' is a docmap
+    filter pushed into the parquet scan, 'sort^2' is an optional
+    boosted clause. The 'or' bigram lands in BOTH the phrase and the
+    boosted should clause — per-group scoring sums to boost 3."""
+    from synspark.querystring import query_string
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        query_string(spark, store, QS_QUERY, k=200), 10)
+
+
+def q_fts_qs_prefix_topk(spark, sf_dir):
+    """query_string with a boosted prefix clause ('+data s*^2'): the
+    prefix expands over the term dictionary (top-df, capped 50) into
+    ONE blended group — idf of the max-df expansion, tf summed over
+    expansions (the SynonymQuery / blended-rewrite shape)."""
+    from synspark.querystring import query_string
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        query_string(spark, store, "+data s*^2", k=200), 10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_term_stats": q_fts_term_stats,
@@ -1374,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_snapshot_topk": q_fts_snapshot_topk,
         "fts_sort_page2": q_fts_sort_page2,
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
+        "fts_query_string": q_fts_query_string,
+        "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
         "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
@@ -1720,6 +1750,118 @@ ORDER BY round(score, 6) DESC, doc_id LIMIT 10
 """
 
 
+def _qs_oracle() -> str:
+    """QS_QUERY ('+data "key order" -"slow scan" lang:en sort^2') over
+    the bigram index: qterm boosts SUM per bigram occurrence across
+    clauses ('or' sits in the phrase and the ×2 should → 3.0); gate =
+    every distinct must gram present ∧ phrase-adjacency regex ∧
+    lang='en' ∧ NOT excluded-phrase regex — exactly the compiled
+    plan's must groups + allow/exclude id sets + docmap filter."""
+    from collections import Counter
+    boosts: Counter = Counter()
+    for text, w in (("data", 1.0), ("key order", 1.0), ("sort", 2.0)):
+        for g in _query_bigrams(text):
+            boosts[g] += w
+    mterms = sorted(set(_query_bigrams("data"))
+                    | set(_query_bigrams("key order")))
+    qv = ", ".join(f"('{t}', {b})" for t, b in sorted(boosts.items()))
+    ml = ", ".join(f"'{t}'" for t in mterms)
+    ph = "key order".replace(" ", _DELIMS)
+    xph = "slow scan".replace(" ", _DELIMS)
+    return _grams_cte() + f"""
+, qterms AS (SELECT * FROM (VALUES {qv}) AS q(term, boost))
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+         sum(q.boost * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) FILTER (WHERE t.term IN ({ml})) AS nm
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, round(score, 6) AS score_r FROM scored s
+JOIN documents doc USING (doc_id)
+WHERE nm = {len(mterms)}
+  AND regexp_matches(doc.text, '{ph}')
+  AND NOT regexp_matches(doc.text, '{xph}')
+  AND doc.lang = 'en'
+ORDER BY round(score, 6) DESC, s.doc_id LIMIT 10
+"""
+
+
+def _qs_prefix_oracle() -> str:
+    """'+data s*^2': must grams of 'data' score per term; the prefix
+    clause is ONE blended group — expansion = top-50 grams LIKE 's%'
+    by df DESC, term ASC (the engine's deterministic top_terms cap);
+    blended tf = Σ member tf, blended idf from the MAX member df
+    (plan_bool's group-idf rule), ×2 boost."""
+    m = sorted(set(_query_bigrams("data")))
+    mv = ", ".join(f"('{t}')" for t in m)
+    ml = ", ".join(f"'{t}'" for t in m)
+    return _grams_cte() + f"""
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), exp AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM grams
+  WHERE term LIKE 's%'
+  GROUP BY term
+  ORDER BY count(DISTINCT doc_id) DESC, term ASC LIMIT 50
+), mdfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({ml}) GROUP BY term
+), mscore AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) AS nm
+  FROM tf t
+  JOIN mdfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), pblend AS (
+  SELECT t.doc_id, sum(t.tf) AS btf FROM tf t
+  WHERE t.term IN (SELECT term FROM exp)
+  GROUP BY t.doc_id
+), pscore AS (
+  SELECT p.doc_id,
+         2.0 * ln(1 + (s.n - (SELECT max(df) FROM exp) + 0.5)
+                  / ((SELECT max(df) FROM exp) + 0.5)) *
+         p.btf / (p.btf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS score
+  FROM pblend p
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT m.doc_id,
+       round(m.score + coalesce(p.score, 0), 6) AS score_r
+FROM mscore m LEFT JOIN pscore p USING (doc_id)
+WHERE m.nm = {len(m)}
+ORDER BY round(m.score + coalesce(p.score, 0), 6) DESC, m.doc_id
+LIMIT 10
+"""
+
+
 def _filter_oracle() -> str:
     """must='data' scores; filter='sort' gates without scoring: the
     BM25 sum runs over the must bigrams only, restricted to docs
@@ -1945,6 +2087,8 @@ SELECT m.doc_id, l.dl::INT AS dl, d.lang AS lang
 FROM m JOIN dl l USING (doc_id) JOIN documents d USING (doc_id)
 ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
+        "fts_query_string": _qs_oracle(),
+        "fts_qs_prefix_topk": _qs_prefix_oracle(),
         "fts_sig_terms_sampled": _bm25_prefix() + f"""
 , m AS (
   SELECT doc_id FROM scored WHERE ng = {_n_groups()}

@@ -537,8 +537,33 @@ def _deletes_runtime(spark: SparkSession, store: IndexStore, meta=None):
     return ("df", _deletes_by_shard(spark, store, meta))
 
 
+def _route_ids(spark: SparkSession, store: IndexStore,
+               ids: DataFrame):
+    """Route an arbitrary ``doc_id`` frame to its shards and pick the
+    liveDocs delivery shape: ("map", Broadcast[{shard: sorted ids}])
+    when the set fits the resident-bitset budget, else
+    ("df", (shard, doc_id)) riding the executor-to-executor cogroup.
+    Shared by the doc-values allowlist and the query_string
+    phrase-gate / phrase-exclusion id sets."""
+    ranges = store.shard_doc_ranges(spark)
+    routed = (ids.join(F.broadcast(ranges),
+                       (F.col("doc_id") >= F.col("lo"))
+                       & (F.col("doc_id") <= F.col("hi")))
+              .select("shard", "doc_id"))
+    n = ids.count()
+    if n <= DELETES_BROADCAST_MAX:
+        m: dict[int, list] = {}
+        for r in routed.collect():
+            m.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
+        bc = spark.sparkContext.broadcast(
+            {s: np.sort(np.asarray(v, np.int64)) for s, v in m.items()})
+        return ("map", bc)
+    return ("df", routed)
+
+
 def _allow_runtime(spark: SparkSession, store: IndexStore, meta,
-                   doc_where: str | None):
+                   doc_where: str | None,
+                   allow_df: DataFrame | None = None):
     """Doc-values filter (ES term/terms/range queries on keyword /
     numeric metadata fields, run in the bool FILTER context): resolve
     ``doc_where`` — a Spark SQL boolean expression over docmap columns
@@ -561,41 +586,53 @@ def _allow_runtime(spark: SparkSession, store: IndexStore, meta,
     are harmless here: an allow id with no postings simply never
     matches.
 
+    ``allow_df`` (a ``doc_id`` frame, e.g. the ids matching a
+    query_string must-phrase) intersects with the ``doc_where``
+    allowlist — both gates must hold. Per-commit caching applies only
+    to the pure-predicate form; id-frame gates are query-specific.
+
     Cached on the store per (build_id, docmap generation, predicate)
     so serving loops pay the resolve once per commit."""
-    if doc_where is None:
+    if doc_where is None and allow_df is None:
         return None
     key = (meta.build_id, meta.n_docs, meta.n_purged,
            tuple(meta.delete_batches), str(doc_where))
-    cached = getattr(store, "_allow_cache", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
-    ids = store.docmap(spark).filter(doc_where).select("doc_id")
-    ranges = store.shard_doc_ranges(spark)
-    routed = (ids.join(F.broadcast(ranges),
-                       (F.col("doc_id") >= F.col("lo"))
-                       & (F.col("doc_id") <= F.col("hi")))
-              .select("shard", "doc_id"))
-    n = ids.count()
-    if n <= DELETES_BROADCAST_MAX:
-        m: dict[int, list] = {}
-        for r in routed.collect():
-            m.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
-        bc = spark.sparkContext.broadcast(
-            {s: np.sort(np.asarray(v, np.int64)) for s, v in m.items()})
-        rt = ("map", bc)
+    if allow_df is None:
+        cached = getattr(store, "_allow_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+    if doc_where is not None:
+        ids = store.docmap(spark).filter(doc_where).select("doc_id")
+        if allow_df is not None:
+            ids = ids.join(allow_df.select("doc_id").distinct(),
+                           "doc_id", "semi")
     else:
-        rt = ("df", routed)
-    store._allow_cache = (key, rt)
+        ids = allow_df.select("doc_id").distinct()
+    rt = _route_ids(spark, store, ids)
+    if allow_df is None:
+        store._allow_cache = (key, rt)
     return rt
 
 
 _EMPTY_IDS = np.zeros(0, np.int64)
 
 
+def _merge_ids(a: np.ndarray | None,
+               b: np.ndarray | None) -> np.ndarray | None:
+    """Sorted union of two optional sorted id arrays (liveDocs mask ∪
+    query-level exclusion set)."""
+    if a is None:
+        return b
+    if b is None or not len(b):
+        return a
+    return np.union1d(a, b)
+
+
 def _masked_apply(spark: SparkSession, store: IndexStore, meta,
                   blocks: DataFrame, fn, schema: str,
-                  doc_where: str | None = None) -> DataFrame:
+                  doc_where: str | None = None,
+                  allow_df: DataFrame | None = None,
+                  exclude_df: DataFrame | None = None) -> DataFrame:
     """Shared shard-parallel runner for every match/score path: calls
     ``fn(pdf, deleted, allowed)`` per shard with the liveDocs mask and
     the optional doc-values allowlist routed in.
@@ -607,15 +644,29 @@ def _masked_apply(spark: SparkSession, store: IndexStore, meta,
       tiny broadcasts;
     - any mask too large to broadcast: ONE cogroup against the union
       frame (shard, doc_id, allow) — flagged rows split back out in
-      the worker; the other mask may still ride its broadcast."""
+      the worker; the other mask may still ride its broadcast.
+
+    ``allow_df`` intersects the doc_where allowlist (see
+    _allow_runtime); ``exclude_df`` is a query-level doc-id EXCLUSION
+    set (query_string must_not phrases) that merges into the liveDocs
+    mask inside each worker — to the matcher an excluded doc is
+    indistinguishable from a deleted one."""
     rt = _deletes_runtime(spark, store, meta)
-    art = _allow_runtime(spark, store, meta, doc_where)
+    art = _allow_runtime(spark, store, meta, doc_where, allow_df)
+    ert = _route_ids(spark, store,
+                     exclude_df.select("doc_id").distinct()) \
+        if exclude_df is not None else None
     has_allow = art is not None
     del_bc = rt[1] if rt is not None and rt[0] == "map" else None
     al_bc = art[1] if has_allow and art[0] == "map" else None
+    ex_bc = ert[1] if ert is not None and ert[0] == "map" else None
+    has_excl_df = ert is not None and ert[0] == "df"
     rights = []
     if rt is not None and rt[0] == "df":
         rights.append(rt[1].select(
+            "shard", "doc_id", F.lit(False).alias("allow")))
+    if has_excl_df:
+        rights.append(ert[1].select(
             "shard", "doc_id", F.lit(False).alias("allow")))
     if has_allow and art[0] == "df":
         rights.append(art[1].select(
@@ -626,6 +677,8 @@ def _masked_apply(spark: SparkSession, store: IndexStore, meta,
             sh = int(key[0])
             deleted = del_bc.value.get(sh) if del_bc is not None \
                 else None
+            if ex_bc is not None:
+                deleted = _merge_ids(deleted, ex_bc.value.get(sh))
             # a filtered query's shard with no allow entries matches
             # NOTHING — empty array, never None
             allowed = (al_bc.value.get(sh, _EMPTY_IDS)
@@ -642,11 +695,12 @@ def _masked_apply(spark: SparkSession, store: IndexStore, meta,
     def run2(key, left: pd.DataFrame,
              rp: pd.DataFrame) -> pd.DataFrame:
         sh = int(key[0])
-        if del_bc is not None:
-            deleted = del_bc.value.get(sh)
-        else:
+        deleted = del_bc.value.get(sh) if del_bc is not None else None
+        if (rt is not None and del_bc is None) or has_excl_df:
             d = rp[~rp["allow"]] if len(rp) else rp
-            deleted = _del_array(d) if rt is not None else None
+            deleted = _merge_ids(deleted, _del_array(d))
+        if ex_bc is not None:
+            deleted = _merge_ids(deleted, ex_bc.value.get(sh))
         if not has_allow:
             allowed = None
         elif al_bc is not None:
@@ -1260,7 +1314,9 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
                plan: QueryPlan, k: int, mode: str,
                phrase: bool = False,
                after: tuple | None = None,
-               doc_where: str | None = None) -> DataFrame:
+               doc_where: str | None = None,
+               allow_df: DataFrame | None = None,
+               exclude_df: DataFrame | None = None) -> DataFrame:
     """The shard-parallel WAND execution behind ``search``, taking a
     pre-built plan (so multi-field search can run it per field without
     re-analysis)."""
@@ -1287,7 +1343,8 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
                            allowed=allowed)
 
     topk = _masked_apply(spark, store, meta, blocks, fn,
-                         "doc_id long, score double", doc_where)
+                         "doc_id long, score double", doc_where,
+                         allow_df, exclude_df)
     return topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -1,0 +1,280 @@
+"""ES ``query_string`` / Kibana search-bar mini-DSL, compiled onto the
+bool/WAND engine.
+
+The reference plugin feeds analyzers into Elasticsearch, whose users
+reach them through the Lucene query-string syntax (the default
+``q=`` of ``_search`` and the Kibana bar). This module implements the
+FLAT subset of that grammar — the part users actually type — and
+compiles it to one :class:`synspark.query.QueryPlan` bool query plus
+doc-id gates, all served by the existing shard-parallel block-max
+WAND (`synspark/query.py`). Reference anchor: the plugin's own README
+demos query_string bodies against the ngram_synonym analyzer
+(reference README.md:60-114); the grammar itself is public Lucene
+``QueryParser`` syntax.
+
+Grammar (whitespace-separated clauses; no parentheses / AND / OR /
+NOT keywords — use ``+`` / ``-`` and ``default_operator``):
+
+- ``tok``        bare clause — occur from ``default_operator``
+                 ("or" → should, "and" → must); multi-word text is
+                 analyzed into per-position groups, each its own
+                 clause (exactly an ES ``match`` clause);
+- ``+tok``       must, ``-tok`` must_not;
+- ``"a b"``      phrase (``"a b"~N`` with slop N). POSITIVE phrases
+                 are REQUIRED: the clause both gates (adjacency
+                 verified per shard, MultiPhraseQuery semantics) and
+                 scores (BM25 over its per-position groups — the same
+                 contract as ``search(phrase=True)``). ``-"a b"``
+                 excludes phrase-matching docs. Deviation from
+                 Lucene, documented: an optional (should) phrase
+                 under default_operator=or is promoted to must —
+                 optional-phrase scoring needs per-clause positional
+                 scorers the flat plan doesn't carry;
+- ``tok*``       prefix query — dictionary expansion capped at
+                 ``max_expansions`` (top-df first, the Lucene
+                 top_terms rewrite), served as ONE blended group:
+                 idf of the max-df expansion, tf summed over
+                 expansions (SynonymQuery / blended rewrite shape);
+- ``tok~`` / ``tok~N``  fuzzy (AUTO / N edits), same blended-group
+                 rewrite as prefix;
+- ``tok^2.5`` / ``"a b"^2`` / ``tok*^3``  clause boost (> 0);
+- ``field:val``  metadata filter on a docmap column (repo, path,
+                 commit, lang, ...): FILTER context — gates, never
+                 scores, never touches idf/avgdl (exactly the ES
+                 filter-vs-query split). ``-field:val`` negates.
+                 ``field:val*`` is a prefix (LIKE) filter;
+                 ``field:"a b"`` quotes the value. Unknown fields
+                 raise (strict mappings);
+- ``\\x``        escapes any character in bare tokens and phrases.
+
+Scale shape: term/prefix/fuzzy clauses ride the WAND plan unchanged
+(expansion caps bound the driver's term strings). Each positive
+phrase resolves its matching ids DISTRIBUTED (`match_ids` — per-shard
+adjacency, ids never transit the driver beyond the broadcast-size
+check) and joins the doc-values allowlist path: broadcast when small,
+executor-to-executor cogroup when not (`query._route_ids`); negative
+phrases merge into the liveDocs mask the same way. Metadata
+predicates push down into the docmap parquet scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .index_store import IndexStore
+from .multiterm import fuzzy_terms
+from .query import _wand_topk, match_ids, plan_bool, prefix_terms
+from .synonyms import SynonymDict
+from .tokenizer import TokenizerConfig
+
+META_FIELDS = ("repo", "path", "commit", "lang")
+
+
+@dataclass
+class QSClause:
+    """One parsed query_string clause."""
+    occur: str | None          # '+' must, '-' must_not, None → default
+    kind: str                  # term | phrase | prefix | fuzzy | meta
+    text: str                  # clause text (unescaped)
+    boost: float = 1.0
+    slop: int = 0              # phrase only
+    fuzziness: int | None = None   # fuzzy only; None = ES AUTO
+    field: str = ""            # meta only
+    meta_prefix: bool = False  # meta only: trailing-* LIKE filter
+
+
+_TOKEN_RE = re.compile(r"""
+    \s*
+    (?P<occur>[+-])?
+    (?:(?P<field>[A-Za-z_][A-Za-z0-9_.]*):)?
+    (?:
+        "(?P<phrase>(?:[^"\\]|\\.)*)"
+        (?:~(?P<slop>\d+))?
+      |
+        (?P<term>(?:[^\s"\\^~+-]|\\.)(?:[^\s"\\^~]|\\.)*)
+        (?:~(?P<fuzz>\d*))?
+    )
+    (?:\^(?P<boost>\d+(?:\.\d+)?))?
+    (?=\s|$)
+""", re.X)
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def parse_query_string(qs: str,
+                       metadata_fields=META_FIELDS) -> list[QSClause]:
+    """Parse the flat query_string grammar into clauses. Raises
+    ``ValueError`` on syntax errors (unterminated quote, stray
+    operator, empty clause, unknown field) — ES query_string is
+    strict the same way."""
+    out: list[QSClause] = []
+    pos = 0
+    qs = qs.strip()
+    while pos < len(qs):
+        m = _TOKEN_RE.match(qs, pos)
+        if m is None:
+            raise ValueError(
+                f"query_string syntax error at offset {pos}: "
+                f"{qs[pos:pos + 20]!r}")
+        pos = m.end()
+        occur = {"+": "must", "-": "must_not",
+                 None: None}[m.group("occur")]
+        boost = float(m.group("boost")) if m.group("boost") else 1.0
+        if boost <= 0:
+            raise ValueError("clause boost must be > 0")
+        fld = m.group("field") or ""
+        if m.group("phrase") is not None:
+            text = _unescape(m.group("phrase"))
+            if not text.strip():
+                raise ValueError("empty phrase")
+            if fld:
+                out.append(QSClause(occur, "meta", text, boost,
+                                    field=fld))
+            else:
+                out.append(QSClause(occur, "phrase", text, boost,
+                                    slop=int(m.group("slop") or 0)))
+            continue
+        raw = m.group("term")
+        fuzz = m.group("fuzz")
+        if fld:
+            if fuzz is not None:
+                raise ValueError("fuzzy metadata filters are not "
+                                 "supported (field:value~N)")
+            mp = raw.endswith("*") and not raw.endswith("\\*")
+            out.append(QSClause(occur, "meta",
+                                _unescape(raw[:-1] if mp else raw),
+                                boost, field=fld, meta_prefix=mp))
+            continue
+        if fuzz is not None:
+            term = _unescape(raw)
+            out.append(QSClause(occur, "fuzzy", term, boost,
+                                fuzziness=(int(fuzz) if fuzz else
+                                           None)))
+        elif raw.endswith("*") and not raw.endswith("\\*"):
+            stem = _unescape(raw[:-1])
+            if not stem:
+                raise ValueError("bare '*' is match_all — unbounded; "
+                                 "give a prefix stem")
+            if "*" in stem:
+                raise ValueError("only trailing-* prefix patterns "
+                                 "are supported; use search_wildcard "
+                                 "for general wildcards")
+            out.append(QSClause(occur, "prefix", stem, boost))
+        else:
+            out.append(QSClause(occur, "term", _unescape(raw), boost))
+    for c in out:
+        if c.kind == "meta" and c.field not in metadata_fields:
+            raise ValueError(f"unknown metadata field {c.field!r}; "
+                             f"known: {sorted(metadata_fields)}")
+    return out
+
+
+def _sql_quote(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _meta_pred(c: QSClause) -> str:
+    """One metadata clause → a Spark SQL predicate over docmap
+    columns (pushes down into the docmap parquet scan)."""
+    if c.meta_prefix:
+        like = c.text.replace("\\", "\\\\").replace("%", r"\%") \
+                     .replace("_", r"\_")
+        p = f"{c.field} LIKE {_sql_quote(like + '%')}"
+    else:
+        p = f"{c.field} = {_sql_quote(c.text)}"
+    return f"NOT ({p})" if c.occur == "must_not" else p
+
+
+def compile_query_string(spark: SparkSession, store: IndexStore,
+                         qs: str, default_operator: str = "or",
+                         max_expansions: int = 50,
+                         syn: SynonymDict | None = None,
+                         cfg: TokenizerConfig | None = None,
+                         doc_where: str | None = None):
+    """Parse + compile to ``(plan, doc_where, allow_df, exclude_df)``
+    — or ``None`` when an empty required expansion proves the query
+    matches nothing (a must prefix/fuzzy with no dictionary terms)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    bare = "must" if default_operator == "and" else "should"
+    clauses = parse_query_string(qs)
+    if not clauses:
+        raise ValueError("empty query_string")
+    must, should, must_not = [], [], []
+    bucket = {"must": must, "should": should, "must_not": must_not}
+    preds: list[str] = []
+    allow_df: DataFrame | None = None
+    exclude_df: DataFrame | None = None
+    for c in clauses:
+        occur = c.occur or bare
+        if c.kind == "meta":
+            # filter context, whatever the operator (a should-meta
+            # term would score 0 in ES anyway for practical purposes;
+            # strictness documented in the module docstring)
+            preds.append(_meta_pred(c))
+            continue
+        if c.kind == "phrase":
+            ids = match_ids(spark, store, c.text, mode="and",
+                            phrase=True, syn=syn, cfg=cfg,
+                            slop=c.slop)
+            if occur == "must_not":
+                exclude_df = ids if exclude_df is None else \
+                    exclude_df.unionByName(ids)
+            else:
+                allow_df = ids if allow_df is None else \
+                    allow_df.join(ids, "doc_id", "semi")
+                must.append((c.text, c.boost))
+            continue
+        if c.kind == "prefix":
+            terms = prefix_terms(spark, store, c.text, max_expansions)
+        elif c.kind == "fuzzy":
+            terms = [t for t, _d in
+                     fuzzy_terms(spark, store, c.text, c.fuzziness,
+                                 max_expansions=max_expansions)]
+        else:
+            bucket[occur].append((c.text, c.boost))
+            continue
+        if not terms:
+            if occur == "must":
+                return None            # required clause matches nothing
+            continue                   # vacuous should / must_not
+        bucket[occur].append((terms, c.boost))
+    if not (must or should):
+        raise ValueError(
+            "query_string needs at least one scoring clause (pure "
+            "must_not / filter queries have no ranking signal — ES "
+            "gives every doc score 0; use match_ids for those)")
+    plan = plan_bool(spark, store, must or None, should or None,
+                     must_not or None, syn=syn, cfg=cfg)
+    where = " AND ".join(f"({p})" for p in preds) if preds else None
+    if doc_where is not None:
+        where = f"({doc_where})" if where is None \
+            else f"{where} AND ({doc_where})"
+    return plan, where, allow_df, exclude_df
+
+
+def query_string(spark: SparkSession, store: IndexStore, qs: str,
+                 k: int = 10, default_operator: str = "or",
+                 max_expansions: int = 50,
+                 syn: SynonymDict | None = None,
+                 cfg: TokenizerConfig | None = None,
+                 doc_where: str | None = None,
+                 after: tuple | None = None) -> DataFrame:
+    """Ranked BM25 top-k for a query_string (grammar in the module
+    docstring). ``doc_where`` ANDs an extra metadata predicate onto
+    any ``field:value`` clauses; ``after=(score, doc_id)`` is
+    search_after pagination, same contract as ``search``."""
+    compiled = compile_query_string(spark, store, qs,
+                                    default_operator, max_expansions,
+                                    syn, cfg, doc_where)
+    if compiled is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    plan, where, allow_df, exclude_df = compiled
+    meta = store.meta()
+    return _wand_topk(spark, store, meta, plan, k, "or", False,
+                      after, where, allow_df, exclude_df)

@@ -1,0 +1,234 @@
+"""query_string mini-DSL: grammar, compilation onto the bool/WAND
+plan, phrase allow/exclude id-set gating, metadata filter context,
+prefix/fuzzy expansion clauses. Truth anchors: public Lucene
+QueryParser / ES query_string semantics (occur prefixes, boosts,
+phrase slop, field filters) and the engine's own documented
+deviations (positive phrases are MUST; metadata clauses are FILTER
+context). Scoring oracle: score_naive over the same compiled plan,
+intersected with regex-derived phrase doc sets from the raw corpus.
+"""
+
+import re
+
+import pytest
+
+from synspark.deletes import delete_docs
+from synspark.index_store import build_index
+from synspark.query import plan_bool, score_naive
+from synspark.querystring import parse_query_string, query_string
+from synspark.tokenizer import TokenizerConfig
+
+CFG = TokenizerConfig(n=2, expand=False, ignore_case=True)
+
+WORDS = ["data", "sort", "merge", "key", "order", "scan", "slow"]
+
+
+def _corpus(spark, n=200):
+    rows = []
+    for i in range(n):
+        ws = [w for j, w in enumerate(WORDS) if (i >> j) & 1 or i % 5 == j]
+        ws = ws or ["data"]
+        if i % 3 == 0:
+            ws += ["key", "order"]          # adjacent -> phrase docs
+        if i % 13 == 0:
+            ws += ["slow", "scan"]
+        text = " ".join(ws) + f" fill{i % 9}"
+        rows.append((f"r{i:03d}", f"p{i % 4}/x", "c0",
+                     "en" if i % 2 == 0 else "ja", text))
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+
+@pytest.fixture(scope="module")
+def qst(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("qs")
+    store = build_index(spark, _corpus(spark), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    return store
+
+
+def _texts(spark, store):
+    dm = store.docmap(spark).collect()
+    corpus = {r["repo"]: r for r in _corpus(spark).collect()}
+    return {r.doc_id: corpus[r.repo] for r in dm}
+
+
+def _phrase_docs(texts, phrase):
+    pat = re.compile(phrase.replace(" ", r"[ \t\n\r　]+"))
+    return {d for d, row in texts.items() if pat.search(row["content"])}
+
+
+# ------------------------------------------------------------------
+# parser
+# ------------------------------------------------------------------
+
+def test_parse_grammar():
+    cs = parse_query_string(
+        '+data "key order"~2 -slow lang:en sort^2 pre* fuz~1 auto~')
+    assert [c.kind for c in cs] == ["term", "phrase", "term", "meta",
+                                    "term", "prefix", "fuzzy", "fuzzy"]
+    assert cs[0].occur == "must" and cs[2].occur == "must_not"
+    assert cs[1].slop == 2 and cs[4].boost == 2.0
+    assert cs[6].fuzziness == 1 and cs[7].fuzziness is None
+    assert cs[3].field == "lang" and cs[3].text == "en"
+
+
+def test_parse_escapes_and_quoted_field():
+    cs = parse_query_string(r'a\-b path:"s p" repo:r\*x repo:st*')
+    assert cs[0].text == "a-b" and cs[0].kind == "term"
+    assert cs[1].field == "path" and cs[1].text == "s p"
+    # escaped * is a literal char, not a prefix marker
+    assert cs[2].kind == "meta" and cs[2].text == "r*x" \
+        and not cs[2].meta_prefix
+    assert cs[3].meta_prefix and cs[3].text == "st"
+
+
+@pytest.mark.parametrize("bad", [
+    'unterminated "phr', "data^x", "^2", "unknown_field:x",
+    "bare:*", "*", 'mid*dle*', "term^0", "lang:en~2", '""',
+])
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query_string(bad)
+
+
+# ------------------------------------------------------------------
+# compiled semantics vs naive oracle
+# ------------------------------------------------------------------
+
+def _pairs(df):
+    return [(r.doc_id, round(r.score, 9)) for r in df.collect()]
+
+
+def test_terms_only_matches_bool(spark, qst):
+    """No phrases/meta: query_string == the equivalent plan_bool run
+    through the naive scorer (rank and score)."""
+    got = _pairs(query_string(spark, qst, "+data -key sort^2 merge",
+                              k=15))
+    plan = plan_bool(spark, qst, must=[("data", 1.0)],
+                     should=[("sort", 2.0), ("merge", 1.0)],
+                     must_not=["key"], cfg=CFG)
+    want = _pairs(score_naive(spark, qst, "", k=15, plan=plan))
+    assert got == want
+
+
+def test_default_operator_and(spark, qst):
+    got = _pairs(query_string(spark, qst, "data sort",
+                              default_operator="and", k=10))
+    plan = plan_bool(spark, qst, must=["data", "sort"], cfg=CFG)
+    assert got == _pairs(score_naive(spark, qst, "", k=10, plan=plan))
+
+
+def test_positive_phrase_gates_and_scores(spark, qst):
+    """'data "key order"' ranks only phrase-matching docs; scores are
+    the compiled plan's scores (phrase grams score too; 'data' stays
+    an optional should under default_operator=or)."""
+    texts = _texts(spark, qst)
+    ph = _phrase_docs(texts, "key order")
+    got = _pairs(query_string(spark, qst, 'data "key order"', k=300))
+    assert got and all(d in ph for d, _s in got)
+    plan = plan_bool(spark, qst, must=[("key order", 1.0)],
+                     should=[("data", 1.0)], cfg=CFG)
+    naive = {d: s for d, s in
+             _pairs(score_naive(spark, qst, "", k=1000, plan=plan))}
+    for d, s in got:
+        assert naive[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_negative_phrase_excludes(spark, qst):
+    texts = _texts(spark, qst)
+    xp = _phrase_docs(texts, "slow scan")
+    base = {d for d, _ in
+            _pairs(query_string(spark, qst, "data", k=500))}
+    got = {d for d, _ in
+           _pairs(query_string(spark, qst, 'data -"slow scan"',
+                               k=500))}
+    assert got == base - xp and base & xp
+
+
+def test_meta_filter_and_negation(spark, qst):
+    texts = _texts(spark, qst)
+    en = {d for d, r in texts.items() if r["lang"] == "en"}
+    got = {d for d, _ in
+           _pairs(query_string(spark, qst, "data lang:en", k=500))}
+    assert got and got <= en
+    neg = {d for d, _ in
+           _pairs(query_string(spark, qst, "data -lang:en", k=500))}
+    assert neg and neg.isdisjoint(en) and (got | neg) == {
+        d for d, _ in _pairs(query_string(spark, qst, "data", k=500))}
+
+
+def test_meta_prefix_like(spark, qst):
+    texts = _texts(spark, qst)
+    p0 = {d for d, r in texts.items() if r["path"].startswith("p0")}
+    got = {d for d, _ in
+           _pairs(query_string(spark, qst, "data path:p0*", k=500))}
+    assert got and got <= p0
+
+
+def test_prefix_clause_blended(spark, qst):
+    """'so*' expands the dictionary and rides as ONE blended group."""
+    from synspark.query import prefix_terms
+    exp = prefix_terms(spark, qst, "so", max_expansions=50)
+    assert exp
+    got = _pairs(query_string(spark, qst, "+data so*^2", k=20))
+    plan = plan_bool(spark, qst, must=[("data", 1.0)],
+                     should=[(exp, 2.0)], cfg=CFG)
+    assert got == _pairs(score_naive(spark, qst, "", k=20, plan=plan))
+
+
+def test_must_prefix_no_expansion_empty(spark, qst):
+    assert query_string(spark, qst, "+zzqq* data", k=5).count() == 0
+    # vacuous should / must_not expansions just drop out
+    got = _pairs(query_string(spark, qst, "data zzqq* -qqzz~1", k=5))
+    assert got == _pairs(query_string(spark, qst, "data", k=5))
+
+
+def test_fuzzy_clause(spark, qst):
+    from synspark.multiterm import fuzzy_terms
+    exp = [t for t, _ in fuzzy_terms(spark, qst, "da", 1)]
+    got = _pairs(query_string(spark, qst, "da~1", k=10))
+    plan = plan_bool(spark, qst, should=[(exp, 1.0)], cfg=CFG)
+    assert got == _pairs(score_naive(spark, qst, "", k=10, plan=plan))
+
+
+def test_errors(spark, qst):
+    with pytest.raises(ValueError):
+        query_string(spark, qst, '-data')          # no scoring clause
+    with pytest.raises(ValueError):
+        query_string(spark, qst, 'lang:en')        # filter-only
+    with pytest.raises(ValueError):
+        query_string(spark, qst, 'data', default_operator="xor")
+
+
+def test_exclusion_merges_with_deletes(spark, tmp_path_factory):
+    """Committed tombstones AND a query-level phrase exclusion apply
+    together (mask union inside the worker)."""
+    root = tmp_path_factory.mktemp("qsdel")
+    store = build_index(spark, _corpus(spark), str(root / "idx"),
+                        cfg=CFG, n_shards=4, resume=False)
+    texts = _texts(spark, store)
+    xp = _phrase_docs(texts, "slow scan")
+    base = {d for d, _ in _pairs(query_string(spark, store,
+                                              'data -"slow scan"',
+                                              k=500))}
+    victims = sorted(base)[:5]
+    delete_docs(spark, store, doc_ids=victims)
+    got = {d for d, _ in _pairs(query_string(spark, store,
+                                             'data -"slow scan"',
+                                             k=500))}
+    assert got == base - set(victims)
+    assert got.isdisjoint(xp)
+
+
+def test_df_routed_gates(spark, qst, monkeypatch):
+    """Force the cogroup (df) path for the phrase allow AND exclude
+    sets: results identical to the broadcast path."""
+    import synspark.query as Q
+    want = _pairs(query_string(
+        spark, qst, 'data "key order" -"slow scan" lang:en', k=50))
+    monkeypatch.setattr(Q, "DELETES_BROADCAST_MAX", -1)
+    got = _pairs(query_string(
+        spark, qst, 'data "key order" -"slow scan" lang:en', k=50))
+    assert got == want and got
