@@ -1335,6 +1335,60 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_percentiles_agg(spark, sf_dir):
+    """ES ``percentiles`` metric aggregation over the match set's dl:
+    exact interpolated quantiles (the oracle-comparable path; the
+    t-digest-style sketch twin ``exact=False`` is pinned by pytest,
+    as ES itself never serves exact percentiles)."""
+    from synspark.query import percentiles_agg
+    store = _index(spark, sf_dir)
+    return percentiles_agg(spark, store, "dl",
+                           (25.0, 50.0, 75.0, 95.0, 99.0),
+                           BM25_QUERY, mode="and")
+
+
+def q_fts_range_agg(spark, sf_dir):
+    """ES ``range`` bucket aggregation over dl: [*,120), [120,160),
+    [160,*) — every requested range materializes (empty included),
+    from inclusive / to exclusive, ES key format."""
+    from synspark.query import range_agg
+    store = _index(spark, sf_dir)
+    return range_agg(spark, store, "dl",
+                     [(None, 120.0), (120.0, 160.0), (160.0, None)],
+                     BM25_QUERY, mode="and")
+
+
+def q_fts_composite_agg(spark, sf_dir):
+    """ES ``composite`` aggregation (one terms source, lang) — page 2
+    via after_key 'en': buckets in KEY order with the cursor predicate
+    BEFORE the aggregate, constant cost per page."""
+    from synspark.query import composite_agg
+    store = _index(spark, sf_dir)
+    return composite_agg(spark, store, "lang", size=10, after="en",
+                         text=BM25_QUERY, mode="and")
+
+
+def q_fts_phrase_prefix_count(spark, sf_dir):
+    """ES ``match_phrase_prefix`` hit count ('key o' — last position
+    prefix-expanded over the whole dictionary range, adjacency
+    verified per shard like any MultiPhraseQuery)."""
+    from synspark.multiterm import count_phrase_prefix
+    store = _index(spark, sf_dir)
+    return count_phrase_prefix(spark, store, "key o",
+                               max_expansions=None)
+
+
+def q_fts_phrase_prefix_topk(spark, sf_dir):
+    """ES ``match_phrase_prefix`` ranked: BM25 over the positions with
+    the expanded last position as a blended group (max-df idf, summed
+    tf), restricted to adjacency-verified docs."""
+    from synspark.multiterm import search_phrase_prefix
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        search_phrase_prefix(spark, store, "key o", k=200,
+                             max_expansions=None), 10)
+
+
 QS_QUERY = '+data "key order" -"slow scan" lang:en sort^2'
 
 
@@ -1404,6 +1458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_percentiles_agg": q_fts_percentiles_agg,
+        "fts_range_agg": q_fts_range_agg,
+        "fts_composite_agg": q_fts_composite_agg,
+        "fts_phrase_prefix_count": q_fts_phrase_prefix_count,
+        "fts_phrase_prefix_topk": q_fts_phrase_prefix_topk,
         "fts_term_vectors": q_fts_term_vectors,
         "fts_top_hits": q_fts_top_hits,
         "fts_function_score": q_fts_function_score,
@@ -1862,6 +1921,59 @@ LIMIT 10
 """
 
 
+def _phrase_prefix_oracle() -> str:
+    """'key o' match_phrase_prefix, uncapped: adjacency gate = the
+    raw-text regex (bigram positions mirror substrings); score = BM25
+    over [ke],[ey] plus the blended 'o%'-expansion group (max-df idf,
+    summed tf) — identical to the engine's MultiPhrasePrefix
+    contract."""
+    return _grams_cte() + f"""
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), pdocs AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(text, 'key[ \t\n\r　]+o')
+), edfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term LIKE 'o%'
+  GROUP BY term
+), kdfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('ke', 'ey') GROUP BY term
+), ks AS (
+  SELECT t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl)))
+           AS score,
+         count(*) AS nm
+  FROM tf t
+  JOIN kdfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+), ob AS (
+  SELECT t.doc_id, sum(t.tf) AS btf FROM tf t
+  WHERE t.term LIKE 'o%' GROUP BY t.doc_id
+), os AS (
+  SELECT o.doc_id,
+         ln(1 + (s.n - (SELECT max(df) FROM edfs) + 0.5)
+            / ((SELECT max(df) FROM edfs) + 0.5)) *
+         o.btf / (o.btf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS score
+  FROM ob o JOIN dl l USING (doc_id) CROSS JOIN stats s
+)
+SELECT k.doc_id, round(k.score + coalesce(o.score, 0), 6) AS score_r
+FROM ks k LEFT JOIN os o USING (doc_id)
+WHERE k.nm = 2 AND k.doc_id IN (SELECT doc_id FROM pdocs)
+ORDER BY round(k.score + coalesce(o.score, 0), 6) DESC, k.doc_id
+LIMIT 10
+"""
+
+
 def _filter_oracle() -> str:
     """must='data' scores; filter='sort' gates without scoring: the
     BM25 sum runs over the must bigrams only, restricted to docs
@@ -2089,6 +2201,39 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_percentiles_agg": _GRAMS_CTE + _match_dl_cte() + """
+SELECT round(quantile_cont(l.dl, 0.25), 6) AS p25,
+       round(quantile_cont(l.dl, 0.5), 6) AS p50,
+       round(quantile_cont(l.dl, 0.75), 6) AS p75,
+       round(quantile_cont(l.dl, 0.95), 6) AS p95,
+       round(quantile_cont(l.dl, 0.99), 6) AS p99
+FROM m JOIN dl l USING (doc_id)
+""",
+        "fts_range_agg": _GRAMS_CTE + _match_dl_cte() + """
+, j AS (SELECT l.dl FROM m JOIN dl l USING (doc_id))
+SELECT r.key, coalesce(c.doc_count, 0)::BIGINT AS doc_count
+FROM (VALUES ('*-120'), ('120-160'), ('160-*')) AS r(key)
+LEFT JOIN (
+  SELECT '*-120' AS key, count(*)::BIGINT AS doc_count FROM j
+  WHERE dl < 120
+  UNION ALL
+  SELECT '120-160', count(*)::BIGINT FROM j
+  WHERE dl >= 120 AND dl < 160
+  UNION ALL
+  SELECT '160-*', count(*)::BIGINT FROM j WHERE dl >= 160
+) c USING (key)
+""",
+        "fts_composite_agg": _GRAMS_CTE + _match_dl_cte() + """
+SELECT d.lang AS lang, count(*)::BIGINT AS doc_count
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang > 'en'
+GROUP BY d.lang ORDER BY d.lang ASC LIMIT 10
+""",
+        "fts_phrase_prefix_count": """
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_matches(text, 'key[ \t\n\r　]+o')
+""",
+        "fts_phrase_prefix_topk": _phrase_prefix_oracle(),
         "fts_sig_terms_sampled": _bm25_prefix() + f"""
 , m AS (
   SELECT doc_id FROM scored WHERE ng = {_n_groups()}

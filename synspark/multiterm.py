@@ -300,6 +300,73 @@ def search_regexp(spark: SparkSession, store: IndexStore,
 
 
 # --------------------------------------------------------------------
+# match_phrase_prefix
+# --------------------------------------------------------------------
+
+def _phrase_prefix_groups(spark: SparkSession, store: IndexStore,
+                          text: str, syn=None, cfg=None,
+                          max_expansions: int | None = 50):
+    """Analyze ``text`` and replace the LAST position group with the
+    prefix expansion of its (first) term — Lucene
+    MultiPhrasePrefixQuery: the final position accepts ANY dictionary
+    term continuing the typed prefix, earlier positions stay exact.
+    Returns None when the expansion is empty (no dictionary term has
+    the prefix — the query matches nothing)."""
+    from .query import analyze_query, prefix_terms
+    from .tokenizer import TokenizerConfig
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    groups = analyze_query(text, cfg, syn)
+    if not groups:
+        return None
+    last = groups[-1][0]
+    exp = prefix_terms(spark, store, last, max_expansions)
+    if not exp:
+        return None
+    return groups[:-1] + [exp]
+
+
+def search_phrase_prefix(spark: SparkSession, store: IndexStore,
+                         text: str, k: int = 10,
+                         max_expansions: int | None = 50,
+                         syn=None, cfg=None,
+                         doc_where: str | None = None) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): phrase
+    adjacency over the analyzed positions with the last position
+    prefix-expanded (Lucene MultiPhrasePrefixQuery). Rides the
+    engine's existing multi-position-group phrase machinery — the
+    expanded last position is just a synonym-like group, verified
+    per shard like any MultiPhraseQuery; ranking is the phrase
+    contract (BM25 over the groups, blended idf for the expanded
+    position, restricted to adjacency-verified docs).
+
+    ``max_expansions`` is the ES parameter (default 50, top-df
+    selection); ``None`` expands the whole dictionary range — exact
+    prefix-continuation semantics, the configuration the contract
+    oracle mirrors with a raw-text regex."""
+    groups = _phrase_prefix_groups(spark, store, text, syn, cfg,
+                                   max_expansions)
+    if groups is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return search(spark, store, "", k=k, mode="and", phrase=True,
+                  groups=groups, doc_where=doc_where)
+
+
+def count_phrase_prefix(spark: SparkSession, store: IndexStore,
+                        text: str, max_expansions: int | None = 50,
+                        syn=None, cfg=None,
+                        doc_where: str | None = None) -> DataFrame:
+    """Distributed hit count for ``match_phrase_prefix``."""
+    groups = _phrase_prefix_groups(spark, store, text, syn, cfg,
+                                   max_expansions)
+    if groups is None:
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("hits"))
+    return count_matches(spark, store, mode="and", phrase=True,
+                         groups=groups, doc_where=doc_where)
+
+
+# --------------------------------------------------------------------
 # shared
 # --------------------------------------------------------------------
 

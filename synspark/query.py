@@ -2123,6 +2123,131 @@ def cardinality_agg(spark: SparkSession, store: IndexStore,
     return j.agg(agg.cast("long").alias("value"))
 
 
+def percentiles_agg(spark: SparkSession, store: IndexStore,
+                    field: str, percents=(25.0, 50.0, 75.0, 95.0,
+                                          99.0),
+                    text: str = "", mode: str = "and",
+                    phrase: bool = False,
+                    syn: SynonymDict | None = None,
+                    cfg: TokenizerConfig | None = None,
+                    groups: list[list[str]] | None = None,
+                    min_should_match: int | None = None,
+                    plan: QueryPlan | None = None,
+                    exact: bool = True, accuracy: int = 10000,
+                    doc_where: str | None = None) -> DataFrame:
+    """ES ``percentiles`` metric aggregation over the match set's
+    numeric field: ONE row, a ``p<percent>`` column per requested
+    percent (linear interpolation between closest ranks — the
+    continuous quantile both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement, so results are oracle-exact).
+
+    Scale: ES serves this with a t-digest sketch, never exactly —
+    ``exact=False`` is that 100 TB path (Spark
+    ``percentile_approx``, a fixed-size QuantileSummaries sketch
+    merged map-side, ``accuracy`` trades error for memory). The exact
+    default buffers the match set's VALUES per executor (fine for
+    per-doc scalars at sandbox scale; at web scale prefer the
+    sketch, as ES itself does). Values are rounded to 6 decimals for
+    cross-engine hash stability."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
+    v = _field_values(spark, store, field)
+    j = ids.join(v, "doc_id")
+    fn = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, accuracy))
+    cols = [F.round(fn(F.col(field), F.lit(p / 100.0)), 6)
+            .alias(f"p{str(p).rstrip('0').rstrip('.')}")
+            for p in percents]
+    return j.agg(*cols)
+
+
+def range_agg(spark: SparkSession, store: IndexStore, field: str,
+              ranges: list[tuple[float | None, float | None]],
+              text: str = "", mode: str = "and", phrase: bool = False,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None,
+              groups: list[list[str]] | None = None,
+              min_should_match: int | None = None,
+              plan: QueryPlan | None = None,
+              doc_where: str | None = None) -> DataFrame:
+    """ES ``range`` bucket aggregation: one row per requested range
+    (``from`` inclusive, ``to`` exclusive, None = open end) with its
+    doc_count — EVERY range materializes even when empty, keyed
+    ``from-to`` exactly like ES (``*`` for an open end), in the given
+    range order.
+
+    Scale shape: ranges may overlap (a doc lands in every range that
+    contains it — ES semantics), so the bucket map is a ≤ |ranges|-way
+    conditional sum in ONE aggregate pass over the joined match set —
+    no explode, no per-range scan."""
+    if not ranges:
+        raise ValueError("range_agg needs at least one range")
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
+    v = _field_values(spark, store, field)
+    j = ids.join(v, "doc_id")
+
+    def key(lo, hi):
+        a = "*" if lo is None else f"{lo:g}"
+        b = "*" if hi is None else f"{hi:g}"
+        return f"{a}-{b}"
+
+    aggs = []
+    for lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= lo)
+        if hi is not None:
+            cond = cond & (F.col(field) < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(key(lo, hi)))
+    one = j.agg(*aggs)
+    # unpivot to ES's (key, doc_count) bucket rows, preserving the
+    # request order via a rank column dropped at the end
+    pairs = [(i, key(lo, hi)) for i, (lo, hi) in enumerate(ranges)]
+    sel = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(kk).alias("key"),
+                 F.coalesce(F.col(kk), F.lit(0)).alias("doc_count"))
+        for i, kk in pairs])
+    return (one.select(F.explode(sel).alias("b"))
+            .select("b.i", "b.key", "b.doc_count")
+            .orderBy("i").drop("i"))
+
+
+def composite_agg(spark: SparkSession, store: IndexStore, field: str,
+                  size: int = 10, after: str | None = None,
+                  text: str = "", mode: str = "and",
+                  phrase: bool = False,
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None,
+                  groups: list[list[str]] | None = None,
+                  min_should_match: int | None = None,
+                  plan: QueryPlan | None = None,
+                  doc_where: str | None = None) -> DataFrame:
+    """ES ``composite`` aggregation over one terms source: buckets in
+    KEY order (ASC) so pagination is a cursor, not a deep heap —
+    ``after`` returns the ``size`` buckets with key strictly greater
+    (the ES after-key contract). Unlike ``terms_agg`` (top-N by
+    count, unpageable beyond its size), composite streams the WHOLE
+    bucket space across pages at constant cost per page.
+
+    Scale shape: the key-range predicate lands before the bucket
+    aggregate, so page N+1's shuffle carries only keys past the
+    cursor — the same pre-admission cursoring as search_after."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
+    v = _field_values(spark, store, field)
+    j = ids.join(v, "doc_id")
+    if after is not None:
+        j = j.filter(F.col(field) > F.lit(after))
+    return (j.groupBy(field)
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.asc(field)).limit(size))
+
+
 def search_sorted(spark: SparkSession, store: IndexStore,
                   sort: list[tuple[str, str]], text: str = "",
                   mode: str = "and", phrase: bool = False,
