@@ -1335,6 +1335,59 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def _half_index(spark, sf_dir, which: int):
+    """One of two disjoint half-corpus indexes (doc_id parity split)
+    — the multi-index search fixture. Each half gets its OWN dense
+    0..N/2 doc_id space (every real index numbers its own docs; the
+    store's reader gate requires density), recoverable arithmetically:
+    original id = 2 * half_id + which."""
+    from synspark.index_store import FORMAT_VERSION, build_index
+    from synspark.tokenizer import TokenizerConfig
+    _ensure_shipped(spark)
+    key = hashlib.md5(
+        f"{sf_dir}|half{which}-f{FORMAT_VERSION}".encode()) \
+        .hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    corpus = (_docs(spark, sf_dir).withColumnRenamed("text", "content")
+              .filter(F.pmod(F.col("doc_id"), F.lit(2)) == which)
+              .withColumn("doc_id",
+                          ((F.col("doc_id") - which) / 2)
+                          .cast("long")))
+    return build_index(
+        spark, corpus, str(out),
+        cfg=TokenizerConfig(n=2, expand=False, ignore_case=True),
+        syn=None, n_shards=2,
+        source=f"{sf_dir}/documents.parquet#half{which}", resume=True)
+
+
+def q_fts_multi_index_topk(spark, sf_dir):
+    """ES multi-index (alias) search in dfs_query_then_fetch mode:
+    the corpus split across TWO indexes (doc_id parity), searched
+    with COMBINED statistics (Σ df, Σ docs, token-weighted avgdl) —
+    by the dfs contract the merged ranking must equal a single
+    whole-corpus index, which is exactly what the oracle computes
+    (per-index ids map back arithmetically to corpus ids)."""
+    from synspark.multindex import search_indices
+    even = _half_index(spark, sf_dir, 0)
+    odd = _half_index(spark, sf_dir, 1)
+    hits = search_indices(spark, {"even": even, "odd": odd},
+                          BM25_QUERY, k=200, mode="and", dfs=True)
+    orig = (F.col("doc_id") * 2
+            + F.when(F.col("index") == "odd", 1).otherwise(0))
+    return _rounded_topk(
+        hits.select(orig.cast("long").alias("doc_id"), "score"), 10)
+
+
+def q_fts_sliced_scroll(spark, sf_dir):
+    """ES sliced scroll: slice 1 of 3 of the benchmark OR query's hit
+    stream (doc_id mod 3) — disjoint, covering, deterministic
+    partitions of the scroll set."""
+    from synspark.query import match_ids
+    store = _index(spark, sf_dir)
+    return match_ids(spark, store, BM25_QUERY, mode="or",
+                     sliced=(1, 3)).orderBy("doc_id")
+
+
 def q_fts_percentiles_agg(spark, sf_dir):
     """ES ``percentiles`` metric aggregation over the match set's dl:
     exact interpolated quantiles (the oracle-comparable path; the
@@ -1458,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_multi_index_topk": q_fts_multi_index_topk,
+        "fts_sliced_scroll": q_fts_sliced_scroll,
         "fts_percentiles_agg": q_fts_percentiles_agg,
         "fts_range_agg": q_fts_range_agg,
         "fts_composite_agg": q_fts_composite_agg,
@@ -2201,6 +2256,17 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        # dfs_query_then_fetch over a split corpus == one merged
+        # index: the whole-corpus BM25 oracle IS the spec
+        "fts_multi_index_topk": _bm25_oracle("and"),
+        "fts_sliced_scroll": _GRAMS_CTE + f"""
+, qt AS (SELECT * FROM (VALUES {_qterm_values()}) AS q(term))
+, per_doc AS (
+  SELECT doc_id FROM grams
+  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id
+)
+SELECT doc_id FROM per_doc WHERE doc_id % 3 = 1 ORDER BY doc_id
+""",
         "fts_percentiles_agg": _GRAMS_CTE + _match_dl_cte() + """
 SELECT round(quantile_cont(l.dl, 0.25), 6) AS p25,
        round(quantile_cont(l.dl, 0.5), 6) AS p50,

@@ -1927,7 +1927,8 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
               min_should_match: int | None = None,
               plan: QueryPlan | None = None,
               slop: int = 0,
-              doc_where: str | None = None) -> DataFrame:
+              doc_where: str | None = None,
+              sliced: tuple[int, int] | None = None) -> DataFrame:
     """ALL matching (live) doc ids as a DataFrame ``doc_id long`` —
     the scale-safe scroll-all-hits surface feeding
     ``deletes.delete_by_query`` (ES ``_delete_by_query`` resolves its
@@ -1935,7 +1936,15 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
     id set never rides through the driver: each shard worker emits its
     matches (the same vectorized set algebra as ``count_matches``,
     block skips included) and the result stays a distributed frame —
-    callers bound it (delete path: parquet write) or aggregate it."""
+    callers bound it (delete path: parquet write) or aggregate it.
+
+    ``sliced=(i, n)`` is the ES sliced-scroll contract (N workers
+    each consuming a disjoint 1/N of the hit stream): keep only docs
+    with ``doc_id % n == i``. Slices are disjoint, cover the full
+    set, and are deterministic across re-runs — the property scroll
+    consumers rely on. The predicate is a Catalyst filter on the
+    distributed output (ES likewise filters doc-id hash per slice
+    inside each shard)."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -1964,8 +1973,16 @@ def match_ids(spark: SparkSession, store: IndexStore, text: str = "",
             if len(pdf) else np.zeros(0, np.int64)
         return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
 
-    return _masked_apply(spark, store, meta, blocks, fn,
-                         "doc_id long", doc_where)
+    out = _masked_apply(spark, store, meta, blocks, fn,
+                        "doc_id long", doc_where)
+    if sliced is not None:
+        i, n = sliced
+        if not (isinstance(n, int) and isinstance(i, int)
+                and 0 <= i < n):
+            raise ValueError(f"sliced=(id, max) needs 0 <= id < max, "
+                             f"got {sliced}")
+        out = out.filter(F.pmod(F.col("doc_id"), F.lit(n)) == i)
+    return out
 
 
 def terms_agg(spark: SparkSession, store: IndexStore, field: str,
