@@ -1335,6 +1335,38 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+GREP_PAT = "key [a-z]*order"
+
+
+def q_fts_grep_search(spark, sf_dir):
+    """Gram-accelerated regex code-grep (Google Code Search / Zoekt
+    design): required literal runs -> AND gram prefilter on the
+    inverted index -> JVM-side regexp_count verify on the candidate
+    join. Returns (doc_id, n_matches), the grep -c shape."""
+    from synspark.grep import grep_search
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return grep_search(spark, store, corpus, GREP_PAT)
+
+
+def q_fts_grep_count(spark, sf_dir):
+    """Matching-doc count for the same grep (prefilter + rlike)."""
+    from synspark.grep import grep_count
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return grep_count(spark, store, corpus, GREP_PAT)
+
+
+def q_fts_grep_fallback(spark, sf_dir):
+    """Regex with a top-level alternation — no sound gram prefilter
+    exists, so the planner degrades to the verified full scan (the
+    documented fallback); results must stay exact."""
+    from synspark.grep import grep_count
+    store = _index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return grep_count(spark, store, corpus, "data|info")
+
+
 def _half_index(spark, sf_dir, which: int):
     """One of two disjoint half-corpus indexes (doc_id parity split)
     — the multi-index search fixture. Each half gets its OWN dense
@@ -1511,6 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_grep_search": q_fts_grep_search,
+        "fts_grep_count": q_fts_grep_count,
+        "fts_grep_fallback": q_fts_grep_fallback,
         "fts_multi_index_topk": q_fts_multi_index_topk,
         "fts_sliced_scroll": q_fts_sliced_scroll,
         "fts_percentiles_agg": q_fts_percentiles_agg,
@@ -2256,6 +2291,22 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_grep_search": f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{GREP_PAT}'))::BIGINT
+         AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{GREP_PAT}')
+ORDER BY doc_id
+""",
+        "fts_grep_count": f"""
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_matches(text, '{GREP_PAT}')
+""",
+        "fts_grep_fallback": """
+SELECT count(*)::BIGINT AS hits FROM documents
+WHERE regexp_matches(text, 'data|info')
+""",
         # dfs_query_then_fetch over a split corpus == one merged
         # index: the whole-corpus BM25 oracle IS the spec
         "fts_multi_index_topk": _bm25_oracle("and"),

@@ -183,6 +183,28 @@ def main() -> None:
     lat("q_bm25_wand_deleted", lambda: search(
         spark, store_del, "data sort merge", k=10, mode="and").collect())
 
+    # -- 3c. round-5 closing surfaces: query_string (phrase-gate id
+    # routing + metadata pushdown + WAND in one request), search-as-
+    # you-type, and cross-index dfs fan-out (two stores, one merge) --
+    from synspark.multindex import search_indices
+    from synspark.multiterm import search_phrase_prefix
+    from synspark.querystring import query_string
+    lat("q_query_string", lambda: query_string(
+        spark, store_docs,
+        '+data "key order" -"slow scan" lang:en sort^2',
+        k=10).collect())
+    lat("q_phrase_prefix", lambda: search_phrase_prefix(
+        spark, store_docs, "key o", k=10,
+        max_expansions=None).collect())
+    lat("q_multi_index_dfs", lambda: search_indices(
+        spark, {"a": store_docs, "b": store_del}, "data sort merge",
+        k=10, mode="and", dfs=True).collect())
+    # gram-accelerated code grep: required-gram AND prefilter on the
+    # index + JVM-side regex verify on the candidate semi-join
+    from synspark.grep import grep_search
+    lat("q_grep_regex", lambda: grep_search(
+        spark, store_docs, docs, "key [a-z]*order").count())
+
     # -- 4. datapipe ops ----------------------------------------------
     lat("dp_minhash_lsh",
         lambda: entrymod.q_dp_minhash_lsh(spark, SF_DIR).count())
