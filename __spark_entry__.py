@@ -1335,6 +1335,27 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_span_near_count(spark, sf_dir):
+    """Lucene ``span_near`` UNORDERED (in_order=false, slop=2) over
+    the word index: 'key' within 2 positions of 'order', either
+    order, overlaps admitted — NearSpansUnordered's
+    maxEnd−minStart−Σlen ≤ slop criterion as bounded delta-window
+    probes per shard."""
+    from synspark.query import span_near_count
+    store = _word_index(spark, sf_dir)
+    return span_near_count(spark, store, "key", "order", slop=2,
+                           in_order=False)
+
+
+def q_fts_span_ordered_count(spark, sf_dir):
+    """``span_near`` ORDERED (slop=1): 'key' before 'order' with at
+    most one position between the spans (NearSpansOrdered gap)."""
+    from synspark.query import span_near_count
+    store = _word_index(spark, sf_dir)
+    return span_near_count(spark, store, "key", "order", slop=1,
+                           in_order=True)
+
+
 GREP_PAT = "key [a-z]*order"
 
 
@@ -1543,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_span_near_count": q_fts_span_near_count,
+        "fts_span_ordered_count": q_fts_span_ordered_count,
         "fts_grep_search": q_fts_grep_search,
         "fts_grep_count": q_fts_grep_count,
         "fts_grep_fallback": q_fts_grep_fallback,
@@ -2291,6 +2314,38 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_span_near_count": f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, ws[p] AS word, p
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        FROM wl)
+)
+SELECT count(DISTINCT a.doc_id)::BIGINT AS hits
+FROM tok a JOIN tok b USING (doc_id)
+WHERE a.word = 'key' AND b.word = 'order'
+  AND b.p - a.p BETWEEN -3 AND 3
+""",
+        "fts_span_ordered_count": f"""
+WITH wl AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_DELIMS}'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, ws[p] AS word, p
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        FROM wl)
+)
+SELECT count(DISTINCT a.doc_id)::BIGINT AS hits
+FROM tok a JOIN tok b USING (doc_id)
+WHERE a.word = 'key' AND b.word = 'order'
+  AND b.p - a.p BETWEEN 1 AND 2
+""",
         "fts_grep_search": f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{GREP_PAT}'))::BIGINT

@@ -121,6 +121,13 @@ class QueryPlan:
     # distance). Plan-carried so it reaches the shard workers like
     # ``window``; only the phrase match/count path honors it.
     slop: int = 0
+    # Lucene SpanNearQuery shape (two clauses): (n0, slop, in_order)
+    # where groups[:n0] is clause 0's gram run and groups[n0:] is
+    # clause 1's. slop counts INDEX POSITIONS between the spans
+    # (NearSpans totalGap); in_order=False also admits clause-1-first
+    # and overlapping spans, exactly NearSpansUnordered's
+    # maxEnd − minStart − Σlen ≤ slop criterion.
+    span: tuple | None = None
 
     @property
     def terms(self) -> list[str]:
@@ -1693,6 +1700,63 @@ def _match_shard(pdf: pd.DataFrame, plan: QueryPlan, mode: str,
                for g in plan.groups]
         order.sort(key=lambda gi: vol[gi])
 
+    if phrase and plan.span is not None:
+        # Lucene SpanNearQuery, two clauses (plan_span enforces the
+        # arity): each clause's occurrence STARTS come from the exact-
+        # phrase start algorithm over its gram-run slice; the near
+        # test is a bounded delta-window membership probe — clause-1
+        # start minus clause-0 start must land in [L0, L0+slop]
+        # (ordered: gap ∈ [0, slop]) or, unordered, in
+        # [−(L1+slop), L0+slop] (clause-1-first gap plus the always-
+        # admissible overlap region). ≤ L0+L1+2·slop+1 probes, all
+        # vectorized; clause-1 block decodes are gated by clause-0's
+        # surviving doc set.
+        if has_pl:
+            raise ValueError("span_near is not supported on "
+                             "posLength-graph (token-filter "
+                             "composed) indexes")
+        n0, sl, in_order = plan.span
+        lo = int(first.min()) if len(pdf) else 0
+
+        def span_starts(gslice, cand0):
+            st, c = None, cand0
+            for off, g in enumerate(gslice):
+                _d, pdc, pvc, _plc = group_arrays(g, True, c)
+                ok = pvc >= off
+                enc = ((pdc[ok] - lo) << np.int64(32)) \
+                    | (pvc[ok] - off)
+                enc = np.unique(enc)
+                st = enc if st is None else \
+                    np.intersect1d(st, enc, assume_unique=True)
+                if len(st) == 0:
+                    return None, None
+                c = np.unique(st >> np.int64(32)) + lo
+            return st, c
+
+        k0, cand = span_starts(plan.groups[:n0], None)
+        if k0 is None:
+            return done(0)
+        k1, _c1 = span_starts(plan.groups[n0:], cand)
+        if k1 is None:
+            return done(0)
+        L0, L1 = n0, len(plan.groups) - n0
+        pd1 = (k1 >> np.int64(32))
+        pv1 = k1 & np.int64(0xFFFFFFFF)
+        deltas = range(L0, L0 + sl + 1) if in_order \
+            else range(-(L1 + sl), L0 + sl + 1)
+        hits = []
+        for delta in deltas:
+            q = pv1 - delta
+            m = q >= 0
+            if not m.any():
+                continue
+            sel = np.isin((pd1[m] << np.int64(32)) | q[m], k0)
+            if sel.any():
+                hits.append(pd1[m][sel])
+        if not hits:
+            return done(0)
+        return done(live(np.unique(np.concatenate(hits)) + lo))
+
     if phrase and has_pl and plan.slop == 0:
         # posLength graph: adjacency is "group gi+1 starts where a
         # surviving gi token ENDS" — inherently sequential in group
@@ -1856,6 +1920,66 @@ def _apply_slop(plan: QueryPlan, phrase: bool, slop: int) -> QueryPlan:
             "SloppyPhraseScorer repeat machinery")
     plan.slop = slop
     return plan
+
+
+def plan_span(spark: SparkSession, store: IndexStore,
+              first_text: str, second_text: str, slop: int = 0,
+              in_order: bool = True,
+              syn: SynonymDict | None = None,
+              cfg: TokenizerConfig | None = None) -> QueryPlan:
+    """Lucene ``span_near`` plan with two span clauses. Each clause
+    text analyzes to a gram RUN (its per-position groups — on a word
+    index, one group; on the n-gram index, the word's gram sequence,
+    so a clause is itself a span of width len(groups)). ``slop``
+    counts index positions between the spans (NearSpans totalGap);
+    ``in_order=False`` is NearSpansUnordered (either order, overlaps
+    admitted). ES surface: ``span_near: {clauses: [...], slop,
+    in_order}`` — the proximity operator behind legal/patent-style
+    "A within N of B" searches."""
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+    g0 = analyze_query(first_text, cfg, syn)
+    g1 = analyze_query(second_text, cfg, syn)
+    if not g0 or not g1:
+        raise ValueError("span_near needs two non-empty clauses")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    groups = g0 + g1
+    terms = sorted({t for g in groups for t in g})
+    dfs = store.term_dfs(spark, terms, build_id=meta.build_id)
+    n_eff = meta.n_docs - meta.n_purged
+    idfs = [idf(n_eff, max((dfs.get(t, 0) for t in g), default=0))
+            for g in groups]
+    return QueryPlan(groups=groups, idfs=idfs, n_docs=n_eff,
+                     avgdl=meta.avgdl, k1=meta.k1, b=meta.b,
+                     span=(len(g0), int(slop), bool(in_order)))
+
+
+def span_near_count(spark: SparkSession, store: IndexStore,
+                    first_text: str, second_text: str,
+                    slop: int = 0, in_order: bool = True,
+                    syn: SynonymDict | None = None,
+                    cfg: TokenizerConfig | None = None,
+                    doc_where: str | None = None) -> DataFrame:
+    """Distributed hit count for a two-clause ``span_near``."""
+    plan = plan_span(spark, store, first_text, second_text, slop,
+                     in_order, syn, cfg)
+    return count_matches(spark, store, phrase=True, plan=plan,
+                         doc_where=doc_where)
+
+
+def span_near_ids(spark: SparkSession, store: IndexStore,
+                  first_text: str, second_text: str,
+                  slop: int = 0, in_order: bool = True,
+                  syn: SynonymDict | None = None,
+                  cfg: TokenizerConfig | None = None,
+                  doc_where: str | None = None) -> DataFrame:
+    """Matching doc ids for a two-clause ``span_near`` (distributed
+    frame — the scroll/filter surface)."""
+    plan = plan_span(spark, store, first_text, second_text, slop,
+                     in_order, syn, cfg)
+    return match_ids(spark, store, phrase=True, plan=plan,
+                     doc_where=doc_where)
 
 
 def count_matches(spark: SparkSession, store: IndexStore,
