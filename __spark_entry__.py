@@ -1335,6 +1335,21 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_rrf_hybrid(spark, sf_dir):
+    """ES hybrid retriever (``retriever: {rrf}``): BM25 top-window
+    over the bigram index + brute-force cosine kNN over the
+    embeddings table (vec_id ≡ doc_id), fused by reciprocal rank —
+    Σ 1/(60 + rank), ranks on 6-dp-rounded scores, doc_id tiebreak.
+    No score calibration between the two retrievers needed."""
+    from synspark.fusion import hybrid_search
+    store = _index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return hybrid_search(spark, store, BM25_QUERY, emb, qv, k=10,
+                         window=100, mode="and")
+
+
 def q_fts_span_near_count(spark, sf_dir):
     """Lucene ``span_near`` UNORDERED (in_order=false, slop=2) over
     the word index: 'key' within 2 positions of 'order', either
@@ -1564,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_rrf_hybrid": q_fts_rrf_hybrid,
         "fts_span_near_count": q_fts_span_near_count,
         "fts_span_ordered_count": q_fts_span_ordered_count,
         "fts_grep_search": q_fts_grep_search,
@@ -2314,6 +2330,35 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_rrf_hybrid": _bm25_prefix() + f"""
+, lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+           AS rank
+  FROM scored WHERE ng = {_n_groups()}
+  QUALIFY rank <= 100
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cosd AS (
+  SELECT vec_id AS doc_id,
+    round(list_dot_product(embedding::DOUBLE[], q.qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]))
+           * sqrt(list_dot_product(q.qv, q.qv))), 6) AS c
+  FROM embeddings, q
+), vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+  FROM cosd QUALIFY rank <= 100
+), parts AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) FROM vec
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score FROM parts
+GROUP BY doc_id
+ORDER BY round(sum(c), 6) DESC, doc_id LIMIT 10
+""",
         "fts_span_near_count": f"""
 WITH wl AS (
   SELECT doc_id,

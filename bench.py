@@ -204,6 +204,15 @@ def main() -> None:
     from synspark.grep import grep_search
     lat("q_grep_regex", lambda: grep_search(
         spark, store_docs, docs, "key [a-z]*order").count())
+    # hybrid BM25+kNN with RRF fusion (retrievers dominate; fusion is
+    # a 2×window-row join)
+    from synspark.fusion import hybrid_search
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lat("q_rrf_hybrid", lambda: hybrid_search(
+        spark, store_docs, "data sort merge", emb, qv, k=10,
+        window=100).collect())
 
     # -- 4. datapipe ops ----------------------------------------------
     lat("dp_minhash_lsh",
