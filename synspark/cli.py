@@ -65,7 +65,27 @@ def main(argv=None):
                    dest="msm", help="minimum_should_match (match "
                    "m-of-n with --text --mode or, or the bool "
                    "should-clause minimum)")
+    q.add_argument("--query-string", dest="qs", default=None,
+                   help="Lucene query_string mini-DSL (+must -not "
+                   '"phrase"~slop tok* tok~N ^boost field:value); '
+                   "overrides --text/bool clauses")
+    q.add_argument("--doc-where", dest="doc_where", default=None,
+                   help="doc-values filter: Spark SQL predicate over "
+                   "docmap metadata columns (e.g. \"lang = 'en'\")")
     _add_common(q)
+
+    g = sub.add_parser("grep", help="gram-accelerated regex search "
+                       "over the source corpus (grep -c/-n shapes)")
+    g.add_argument("--index", required=True)
+    g.add_argument("--source", required=True,
+                   help="parquet path of the corpus the index was "
+                   "built from (needs doc_id + the text column)")
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--lines", action="store_true",
+                   help="print matching lines (grep -n) instead of "
+                   "per-doc match counts")
+    g.add_argument("--doc-where", dest="doc_where", default=None)
+    _add_common(g)
 
     a = sub.add_parser("analyze", help="_analyze-style token debug")
     a.add_argument("--text", required=True)
@@ -233,12 +253,19 @@ def main(argv=None):
                 print(f"error: no index at {args.index} "
                       f"(missing meta.json)", file=sys.stderr)
                 return 2
-            if args.must or args.should or args.must_not:
+            if args.qs:
+                from .querystring import query_string
+                rows = query_string(
+                    spark, store, args.qs, k=args.k,
+                    syn=_load_syn(args),
+                    doc_where=args.doc_where).collect()
+            elif args.must or args.should or args.must_not:
                 rows = search_bool(
                     spark, store, must=args.must, should=args.should,
                     must_not=args.must_not, k=args.k,
                     min_should_match=args.msm,
-                    syn=_load_syn(args)).collect()
+                    syn=_load_syn(args),
+                    doc_where=args.doc_where).collect()
             elif args.text is None:
                 print("error: --text or a bool clause is required",
                       file=sys.stderr)
@@ -248,9 +275,31 @@ def main(argv=None):
                               k=args.k, mode=args.mode,
                               phrase=args.phrase,
                               min_should_match=args.msm,
-                              syn=_load_syn(args)).collect()
+                              syn=_load_syn(args),
+                              doc_where=args.doc_where).collect()
             for r in rows:
                 print(f"{r['doc_id']}\t{r['score']:.6f}")
+        elif args.cmd == "grep":
+            from .grep import grep_lines, grep_search
+            from .index_store import IndexStore
+            store = IndexStore(args.index)
+            corpus = spark.read.parquet(args.source)
+            text_col = store.meta().text_col
+            if text_col not in corpus.columns and "text" in \
+                    corpus.columns:
+                corpus = corpus.withColumnRenamed("text", text_col)
+            if args.lines:
+                for r in grep_lines(spark, store, corpus,
+                                    args.pattern, text_col=text_col,
+                                    doc_where=args.doc_where) \
+                        .collect():
+                    print(f"{r['doc_id']}:{r['line_no']}:{r['line']}")
+            else:
+                for r in grep_search(spark, store, corpus,
+                                     args.pattern, text_col=text_col,
+                                     doc_where=args.doc_where) \
+                        .collect():
+                    print(f"{r['doc_id']}\t{r['n_matches']}")
         elif args.cmd == "verify":
             from .index_store import IndexStore, verify_content_sha
             n = verify_content_sha(spark, spark.read.parquet(args.input),

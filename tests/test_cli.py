@@ -58,3 +58,40 @@ def test_cli_snapshot_restore_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     got = json.loads(capsys.readouterr().out)
     assert got["n_docs"] == store.stats()["n_docs"]
+
+
+def test_cli_query_string_and_grep(spark, tmp_path, capsys):
+    """round-5c CLI surfaces: --query-string on the query subcommand
+    and the grep subcommand (counts + lines) against a parquet
+    source."""
+    from synspark.index_store import build_index
+    from synspark.tokenizer import TokenizerConfig
+    rows = [(i, f"r{i}", "f", "c", "en",
+             "data key order" if i % 2 == 0 else "sort merge")
+            for i in range(6)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, repo string, path string, commit string, "
+              "lang string, content string")
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    store = build_index(spark, corpus, str(tmp_path / "idx"),
+                        cfg=TokenizerConfig(n=2, expand=False),
+                        n_shards=1, resume=False)
+    rc = main(["query", "--index", str(store.path),
+               "--query-string", '+data "key order"', "--no-expand"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all("\t" in ln for ln in out)
+    assert {int(ln.split("\t")[0]) for ln in out} == {0, 2, 4}
+
+    rc = main(["grep", "--index", str(store.path), "--source", src,
+               "--pattern", "key [a-z]*order", "--no-expand"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert {ln.split("\t")[0] for ln in out} == {"0", "2", "4"}
+
+    rc = main(["grep", "--index", str(store.path), "--source", src,
+               "--pattern", "key", "--lines", "--no-expand"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert all(":1:" in ln for ln in out) and len(out) == 3
