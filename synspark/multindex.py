@@ -90,12 +90,21 @@ def search_indices(spark: SparkSession,
                    cfg: TokenizerConfig | None = None,
                    groups: list[list[str]] | None = None,
                    min_should_match: int | None = None,
-                   doc_where: str | None = None) -> DataFrame:
+                   doc_where: str | None = None,
+                   indices_boost: dict | None = None) -> DataFrame:
     """BM25 top-k across several indices → ``(index, doc_id, score)``,
     score DESC (ties: index ASC, doc_id ASC). ``dfs=True`` is ES
     dfs_query_then_fetch (combined stats — see plan_dfs);
     ``dfs=False`` is the query_then_fetch default (per-index local
     stats, each index plans independently).
+
+    ``indices_boost`` is the ES top-level ``indices_boost`` map
+    ({index_name: factor}): each index's scores multiply by its
+    factor BEFORE the merge (tier recent indexes above archives in
+    one alias query). Applied to the k-row per-index outputs — the
+    per-index WAND runs stay boost-free, so their pruning bounds are
+    untouched and per-index top-k membership is boost-invariant
+    (a positive scalar preserves order within one index).
 
     Scale shape: N independent shard-parallel WAND jobs (each pruned
     by its own index's block-max metadata — dfs only changes the
@@ -125,8 +134,12 @@ def search_indices(spark: SparkSession,
             continue
         topk = _wand_topk(spark, s, metas[name], plan, k, mode,
                           False, None, doc_where)
-        parts.append(topk.select(F.lit(name).alias("index"),
-                                 "doc_id", "score"))
+        boost = float((indices_boost or {}).get(name, 1.0))
+        if boost <= 0:
+            raise ValueError("indices_boost factors must be > 0")
+        parts.append(topk.select(
+            F.lit(name).alias("index"), "doc_id",
+            (F.col("score") * boost).alias("score")))
     if not parts:
         return spark.createDataFrame(
             [], "index string, doc_id long, score double")

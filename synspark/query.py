@@ -557,10 +557,15 @@ def _route_ids(spark: SparkSession, store: IndexStore,
                        (F.col("doc_id") >= F.col("lo"))
                        & (F.col("doc_id") <= F.col("hi")))
               .select("shard", "doc_id"))
-    n = ids.count()
-    if n <= DELETES_BROADCAST_MAX:
+    # ONE job decides the delivery shape AND feeds the broadcast: a
+    # limit(MAX+1) collect — a separate count() would recompute the
+    # whole id-set job (for a phrase gate that's a full match pass)
+    # just to learn the size. Only the rare over-budget set pays a
+    # second (cogroup-side) evaluation.
+    rows = routed.limit(DELETES_BROADCAST_MAX + 1).collect()
+    if len(rows) <= DELETES_BROADCAST_MAX:
         m: dict[int, list] = {}
-        for r in routed.collect():
+        for r in rows:
             m.setdefault(int(r["shard"]), []).append(int(r["doc_id"]))
         bc = spark.sparkContext.broadcast(
             {s: np.sort(np.asarray(v, np.int64)) for s, v in m.items()})
@@ -1223,7 +1228,8 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
            groups: list[list[str]] | None = None,
            after: tuple | None = None,
            min_should_match: int | None = None,
-           doc_where: str | None = None) -> DataFrame:
+           doc_where: str | None = None,
+           min_score: float | None = None) -> DataFrame:
     """BM25 top-k via shard-parallel block-max WAND. ``phrase=True``
     ranks among phrase-matching docs only (MultiPhraseQuery semantics):
     adjacency is verified inside each shard worker before top-k
@@ -1248,7 +1254,13 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     Matching docs are restricted to the filter's allowlist BEFORE
     heap admission (never scores, never affects idf/avgdl — exactly
     ES: filters don't change scoring stats), routed per shard like
-    liveDocs (see _allow_runtime for the scale shape)."""
+    liveDocs (see _allow_runtime for the scale shape).
+
+    ``min_score`` is the ES search-body parameter: hits scoring
+    below the floor drop out. Applied as a filter on the top-k
+    output — exact, because removing sub-floor docs can never
+    promote a doc that wasn't already in the unfiltered top-k (the
+    result just shrinks below k when the floor bites)."""
     meta = store.meta()
     if phrase and not meta.store_positions:
         raise ValueError("phrase=True requires an index built with "
@@ -1257,8 +1269,11 @@ def search(spark: SparkSession, store: IndexStore, text: str, k: int = 10,
     if not plan.groups:
         return spark.createDataFrame([], "doc_id long, score double")
     plan = _apply_msm(plan, mode, min_should_match, phrase)
-    return _wand_topk(spark, store, meta, plan, k, mode, phrase, after,
-                      doc_where)
+    out = _wand_topk(spark, store, meta, plan, k, mode, phrase, after,
+                     doc_where)
+    if min_score is not None:
+        out = out.filter(F.col("score") >= float(min_score))
+    return out
 
 
 def _apply_msm(plan: QueryPlan, mode: str,

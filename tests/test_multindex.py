@@ -128,3 +128,33 @@ def test_sliced_scroll_partitions(spark, stores):
         assert all(d % 3 == i for d in s)
     with pytest.raises(ValueError):
         match_ids(spark, whole, QUERY, sliced=(3, 3)).collect()
+
+
+def test_indices_boost(spark, stores):
+    _whole, a, b = stores
+    base = search_indices(spark, {"a": a, "b": b}, QUERY, k=10,
+                          mode="and", dfs=True).collect()
+    boosted = search_indices(spark, {"a": a, "b": b}, QUERY, k=10,
+                             mode="and", dfs=True,
+                             indices_boost={"b": 3.0}).collect()
+    bb = {(r["index"], r.doc_id): r.score for r in boosted}
+    for r in base:
+        key = (r["index"], r.doc_id)
+        if key in bb:
+            want = r.score * (3.0 if r["index"] == "b" else 1.0)
+            assert bb[key] == pytest.approx(want, rel=1e-12)
+    # boosting index b ranks its docs above equal-scored a docs
+    assert any(r["index"] == "b" for r in boosted[:3])
+    with pytest.raises(ValueError):
+        search_indices(spark, {"a": a}, QUERY,
+                       indices_boost={"a": 0.0})
+
+
+def test_min_score_filter(spark, stores):
+    whole, _a, _b = stores
+    full = search(spark, whole, QUERY, k=20, mode="and").collect()
+    floor = full[len(full) // 2].score
+    got = search(spark, whole, QUERY, k=20, mode="and",
+                 min_score=floor).collect()
+    want = [(r.doc_id, r.score) for r in full if r.score >= floor]
+    assert [(r.doc_id, r.score) for r in got] == want
