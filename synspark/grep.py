@@ -155,9 +155,18 @@ def _candidates(spark: SparkSession, store: IndexStore,
     prefilter (or the whole corpus when none applies)."""
     meta = store.meta()
     cfg = TokenizerConfig(**meta.cfg)
-    grams = required_grams(pattern, n=cfg.n,
-                           delimiters=cfg.delimiters,
-                           ignore_case=cfg.ignore_case)
+    # SOUNDNESS GUARD: on a dictionary-anchored index grams never
+    # straddle a synonym-match boundary (the tokenizer's whole point,
+    # LUCENE-5252), so a literal run overlapping a dict surface in
+    # the DOC may be missing some of its grams from the index — an
+    # AND prefilter over them would false-negative. No dictionary ⇒
+    # every delimiter-free substring's grams are indexed and the
+    # prefilter is exact-superset; with one, degrade to the verified
+    # full scan (code-search deployments index grep fields dict-free).
+    grams = None if meta.dict_fingerprint is not None else \
+        required_grams(pattern, n=cfg.n,
+                       delimiters=cfg.delimiters,
+                       ignore_case=cfg.ignore_case)
     if "doc_id" not in corpus.columns:
         raise ValueError("grep corpus needs a doc_id column aligned "
                          "with the index (pass the table the index "

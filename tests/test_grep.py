@@ -156,3 +156,27 @@ def test_grep_errors(spark, gstore):
         grep_count(spark, store, corpus, "ab[")
     with pytest.raises(ValueError):
         grep_count(spark, store, corpus.drop("doc_id"), "abc")
+
+
+def test_dict_anchored_index_disables_prefilter(spark, tmp_path):
+    """On an expand/dict index a literal run overlapping a dict
+    surface loses its boundary-straddling grams (anchors never let
+    grams cross the match edge), so the AND prefilter would
+    false-negative — grep must degrade to the verified full scan and
+    still find every match."""
+    from synspark.synonyms import SynonymDict
+    syn = SynonymDict.parse("data,info")
+    cfg = TokenizerConfig(n=2, expand=True, ignore_case=True)
+    rows = [(f"r{i}", "f", "c", "en", "xdatax sort")
+            for i in range(4)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    store = build_index(spark, corpus, str(tmp_path / "idx"),
+                        cfg=cfg, syn=syn, n_shards=1, resume=False)
+    cj = corpus.join(store.docmap(spark).select("doc_id", "repo"),
+                     "repo")
+    # 'xdatax' straddles the 'data' anchor: grams xd/ax are NOT in
+    # the index; a naive prefilter would return 0 docs
+    got = grep_search(spark, store, cj, "xdatax").collect()
+    assert len(got) == 4 and all(r.n_matches == 1 for r in got)
