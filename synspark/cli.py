@@ -233,7 +233,13 @@ def main(argv=None):
               file=sys.stderr)
         return 2
 
+    from pyspark.sql import SparkSession
+
     from .session import get_spark
+    # get_spark is getOrCreate: when a host process (tests, a
+    # notebook) already owns a session we must NOT stop it on exit —
+    # only a session this invocation created is ours to tear down
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(app=f"synspark-{args.cmd}")
     try:
         if args.cmd == "build":
@@ -392,7 +398,8 @@ def main(argv=None):
             print(json.dumps({"n_docs": m.n_docs,
                               "n_deleted": m.n_deleted}))
     finally:
-        spark.stop()
+        if owned:
+            spark.stop()
     return 0
 
 
