@@ -1335,6 +1335,32 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_reindex_topk(spark, sf_dir):
+    """ES ``_reindex``: copy the 'data'-matching subset into a fresh
+    index (fresh dense ids = rank of original id) and rank the
+    benchmark query there — scores use the SUBSET's own statistics
+    (n, avgdl, dfs), exactly what a real reindexed index serves."""
+    from synspark.index_store import FORMAT_VERSION
+    from synspark.reindex import reindex
+    from synspark.index_store import IndexStore
+    store = _index(spark, sf_dir)
+    key = hashlib.md5(
+        f"{sf_dir}|reidx-data-f{FORMAT_VERSION}".encode()) \
+        .hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"synspark_idx_{key}"
+    if (out / "meta.json").exists():
+        dst = IndexStore(str(out))
+    else:
+        corpus = _docs(spark, sf_dir) \
+            .withColumnRenamed("text", "content")
+        dst = reindex(spark, store, corpus, str(out), query="data",
+                      mode="and", n_shards=2,
+                      source=f"{sf_dir}#reindex")
+    from synspark.query import search
+    return _rounded_topk(
+        search(spark, dst, BM25_QUERY, k=200, mode="and"), 10)
+
+
 def q_fts_rrf_hybrid(spark, sf_dir):
     """ES hybrid retriever (``retriever: {rrf}``): BM25 top-window
     over the bigram index + brute-force cosine kNN over the
@@ -1579,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_reindex_topk": q_fts_reindex_topk,
         "fts_rrf_hybrid": q_fts_rrf_hybrid,
         "fts_span_near_count": q_fts_span_near_count,
         "fts_span_ordered_count": q_fts_span_ordered_count,
@@ -2050,6 +2077,29 @@ LIMIT 10
 """
 
 
+def _reindex_oracle() -> str:
+    """'data'-subset reindex: dense ids = rank of original id among
+    matches; BM25 of the benchmark query over the SUBSET corpus with
+    subset statistics — the whole-pipeline spec of _reindex + search
+    in one SQL (DuckDB allows the WITH-bearing derived table)."""
+    dterms = sorted(set(_query_bigrams("data")))
+    tl = ", ".join(f"'{t}'" for t in dterms)
+    sub = ("(" + _grams_cte() + f"""
+, per AS (
+  SELECT doc_id, count(DISTINCT term) AS c FROM grams
+  WHERE term IN ({tl}) GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY d.doc_id) - 1 AS doc_id, d.text
+FROM documents d JOIN per USING (doc_id)
+WHERE per.c = {len(dterms)}
+)""")
+    return _bm25_prefix(table=sub) + f"""
+SELECT doc_id, round(score, 6) AS score_r FROM scored
+WHERE ng = {_n_groups()}
+ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+"""
+
+
 def _phrase_prefix_oracle() -> str:
     """'key o' match_phrase_prefix, uncapped: adjacency gate = the
     raw-text regex (bigram positions mirror substrings); score = BM25
@@ -2330,6 +2380,7 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_reindex_topk": _reindex_oracle(),
         "fts_rrf_hybrid": _bm25_prefix() + f"""
 , lex AS (
   SELECT doc_id,
