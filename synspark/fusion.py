@@ -68,18 +68,29 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10,
 
 
 def hybrid_search(spark: SparkSession, store: IndexStore,
-                  text: str, embeddings: DataFrame,
+                  text: str, embeddings: DataFrame | None,
                   query_vec: list[float], k: int = 10,
                   window: int = 100,
                   rank_constant: int = RANK_CONSTANT,
                   mode: str = "and",
                   syn: SynonymDict | None = None,
                   cfg: TokenizerConfig | None = None,
-                  doc_where: str | None = None) -> DataFrame:
-    """ES hybrid retriever: BM25 (shard-parallel WAND) ∪ brute-force
-    cosine kNN over ``embeddings`` (vec_id aligned with doc_id),
-    fused by RRF. Returns (doc_id, rrf_score) top-k."""
-    from .datapipe.similarity import brute_force_topk
+                  doc_where: str | None = None,
+                  ivf_path: str | None = None,
+                  n_planes: int = 6, seed: int = 42,
+                  probes: int = 8) -> DataFrame:
+    """ES hybrid retriever: BM25 (shard-parallel WAND) ∪ cosine kNN
+    over ``embeddings`` (vec_id aligned with doc_id), fused by RRF.
+    Returns (doc_id, rrf_score) top-k.
+
+    Vector backend: brute force over ``embeddings`` by default; pass
+    ``ivf_path`` (a ``datapipe.similarity.write_ivf_index`` layout)
+    for the 100 TB path — probing becomes partition pruning at the
+    parquet scan and only the probed buckets' rows are scored.
+    ``probes = 2**n_planes`` degenerates to exact brute force; fewer
+    probes trade recall for scan volume exactly like ES's
+    ``num_candidates``."""
+    from .datapipe.similarity import brute_force_topk, ivf_topk_indexed
     from .query import search
     # fetch 2× the window raw, then rank/cut on ROUNDED scores inside
     # ranked_window — the same slack the top-k contract rows use so a
@@ -87,8 +98,17 @@ def hybrid_search(spark: SparkSession, store: IndexStore,
     # fused input set across engines
     lex = search(spark, store, text, k=window * 2, mode=mode, syn=syn,
                  cfg=cfg, doc_where=doc_where)
-    vec = brute_force_topk(embeddings, query_vec, k=window * 2) \
-        .withColumnRenamed("vec_id", "doc_id")
+    if ivf_path is not None:
+        vec = ivf_topk_indexed(spark, ivf_path, query_vec,
+                               dim=len(query_vec), k=window * 2,
+                               n_planes=n_planes, seed=seed,
+                               probes=probes)
+    else:
+        if embeddings is None:
+            raise ValueError("hybrid_search needs embeddings or "
+                             "ivf_path")
+        vec = brute_force_topk(embeddings, query_vec, k=window * 2)
+    vec = vec.withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([ranked_window(lex, "score", window),
                      ranked_window(vec, "cosine", window)],
                     k=k, rank_constant=rank_constant)

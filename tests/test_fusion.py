@@ -84,3 +84,22 @@ def test_ranked_window_rounds_before_ranking(spark):
 def test_rrf_errors():
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_hybrid_ivf_backend(spark, fstore, tmp_path):
+    """ivf_path backend: with probes = 2^n_planes (all buckets) the
+    fused result equals the brute-force backend exactly."""
+    from synspark.datapipe.similarity import write_ivf_index
+    emb = _emb(spark)
+    qv = [0.5] * 8
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, dim=8, n_planes=4)
+    bf = hybrid_search(spark, fstore, "data sort", emb, qv, k=15,
+                       window=10).collect()
+    ivf = hybrid_search(spark, fstore, "data sort", None, qv, k=15,
+                        window=10, ivf_path=path, n_planes=4,
+                        probes=16).collect()
+    assert [(r.doc_id, r.rrf_score) for r in bf] == \
+        [(r.doc_id, r.rrf_score) for r in ivf]
+    with pytest.raises(ValueError):
+        hybrid_search(spark, fstore, "data", None, qv)
