@@ -1335,6 +1335,16 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_terms_stats_agg(spark, sf_dir):
+    """ES sub-aggregation: terms buckets (lang) each carrying a
+    stats metric (dl) over the benchmark match set — one aggregate
+    pass computes counts and metrics together."""
+    from synspark.query import terms_stats_agg
+    store = _index(spark, sf_dir)
+    return terms_stats_agg(spark, store, "lang", "dl", BM25_QUERY,
+                           mode="and")
+
+
 def q_fts_reindex_topk(spark, sf_dir):
     """ES ``_reindex``: copy the 'data'-matching subset into a fresh
     index (fresh dense ids = rank of original id) and rank the
@@ -1605,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_terms_stats_agg": q_fts_terms_stats_agg,
         "fts_reindex_topk": q_fts_reindex_topk,
         "fts_rrf_hybrid": q_fts_rrf_hybrid,
         "fts_span_near_count": q_fts_span_near_count,
@@ -2380,6 +2391,14 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_terms_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+       min(l.dl)::BIGINT AS min, max(l.dl)::BIGINT AS max,
+       round(avg(l.dl), 6) AS avg, sum(l.dl)::BIGINT AS sum
+FROM m JOIN dl l USING (doc_id) JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY count(*) DESC, d.lang ASC LIMIT 10
+""",
         "fts_reindex_topk": _reindex_oracle(),
         "fts_rrf_hybrid": _bm25_prefix() + f"""
 , lex AS (

@@ -2372,6 +2372,44 @@ def range_agg(spark: SparkSession, store: IndexStore, field: str,
             .orderBy("i").drop("i"))
 
 
+def terms_stats_agg(spark: SparkSession, store: IndexStore,
+                    field: str, metric_field: str,
+                    text: str = "", mode: str = "and",
+                    phrase: bool = False,
+                    syn: SynonymDict | None = None,
+                    cfg: TokenizerConfig | None = None,
+                    groups: list[list[str]] | None = None,
+                    min_should_match: int | None = None,
+                    plan: QueryPlan | None = None,
+                    size: int = 10,
+                    doc_where: str | None = None) -> DataFrame:
+    """ES SUB-AGGREGATION (``aggs: {terms: {field}, aggs: {stats:
+    {metric_field}}}``): the match set bucketed by ``field`` with a
+    per-bucket ``stats`` metric — one row per bucket ``(key,
+    doc_count, min, max, avg, sum)``, buckets by doc_count DESC then
+    key ASC (the terms-agg order), top ``size``.
+
+    Scale shape: ONE aggregate pass computes the bucket count and
+    every metric together (map-side partials per bucket key) — ES
+    likewise pushes sub-aggregation collectors into the same
+    per-segment pass; nesting adds metric columns, never extra
+    scans."""
+    ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
+                    groups, min_should_match, plan,
+                    doc_where=doc_where)
+    keys = _field_values(spark, store, field)
+    vals = _field_values(spark, store, metric_field)
+    j = ids.join(keys, "doc_id").join(vals, "doc_id")
+    return (j.groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"),
+                 F.min(metric_field).cast("long").alias("min"),
+                 F.max(metric_field).cast("long").alias("max"),
+                 F.round(F.avg(metric_field), 6).alias("avg"),
+                 F.sum(metric_field).cast("long").alias("sum"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size))
+
+
 def composite_agg(spark: SparkSession, store: IndexStore, field: str,
                   size: int = 10, after: str | None = None,
                   text: str = "", mode: str = "and",

@@ -154,3 +154,29 @@ def test_phrase_prefix_cap_is_subset(spark, pstore):
               search_phrase_prefix(spark, pstore, "key o", k=500,
                                    max_expansions=2).collect()}
     assert capped <= full
+
+
+def test_terms_stats_subagg(spark, pstore):
+    """ES sub-aggregation: per-lang buckets with dl stats — pinned
+    against brute-force recomputation from the engine's own frames."""
+    from synspark.query import terms_stats_agg
+    ids = match_ids(spark, pstore, QUERY, mode="and")
+    j = (ids.join(pstore.docstats(spark), "doc_id")
+         .join(pstore.docmap(spark).select("doc_id", "lang"),
+               "doc_id"))
+    rows = [(r.lang, r.dl) for r in j.collect()]
+    want = {}
+    for lang, dl in rows:
+        b = want.setdefault(lang, [])
+        b.append(dl)
+    got = terms_stats_agg(spark, pstore, "lang", "dl", QUERY,
+                          mode="and").collect()
+    assert len(got) == len(want)
+    order = [(-(len(v)), k) for k, v in want.items()]
+    assert [r.key for r in got] == [k for _n, k in sorted(order)]
+    for r in got:
+        v = want[r.key]
+        assert (r.doc_count, r.min, r.max, r.sum) == \
+            (len(v), min(v), max(v), sum(v))
+        assert r.avg == pytest.approx(round(sum(v) / len(v), 6),
+                                      abs=1e-6)
