@@ -263,6 +263,7 @@ def main(argv=None):
                 from .querystring import query_string
                 rows = query_string(
                     spark, store, args.qs, k=args.k,
+                    default_operator=args.mode,
                     syn=_load_syn(args),
                     doc_where=args.doc_where).collect()
             elif args.must or args.should or args.must_not:
@@ -289,6 +290,10 @@ def main(argv=None):
             from .grep import grep_lines, grep_search
             from .index_store import IndexStore
             store = IndexStore(args.index)
+            if not (store.path / "meta.json").exists():
+                print(f"error: no index at {args.index} "
+                      f"(missing meta.json)", file=sys.stderr)
+                return 2
             corpus = spark.read.parquet(args.source)
             text_col = store.meta().text_col
             if text_col not in corpus.columns and "text" in \

@@ -116,8 +116,13 @@ def required_grams(pattern: str, n: int = 2,
                 j += 1
             if j < len(pattern) and pattern[j] == "]":
                 j += 1                   # literal ] first in class
-            j = pattern.find("]", j)
-            i = (j if j != -1 else len(pattern) - 1) + 1
+            # walk to the closing ] honoring escapes — a plain find()
+            # would stop at an ESCAPED ] inside the class and leak
+            # class-interior chars into the required runs (false
+            # negatives)
+            while j < len(pattern) and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = (j if j < len(pattern) else len(pattern) - 1) + 1
             continue
         if c in _META:
             flush()

@@ -116,6 +116,12 @@ def search_indices(spark: SparkSession,
         named = [(f"idx{i}", s) for i, s in enumerate(stores)]
     if not named:
         raise ValueError("search_indices needs at least one store")
+    unknown = set(indices_boost or {}) - {n for n, _s in named}
+    if unknown:
+        # ES rejects indices_boost entries naming no index; silently
+        # dropping a typo'd boost would un-tier the alias
+        raise ValueError(f"indices_boost names unknown indices: "
+                         f"{sorted(unknown)}")
     metas = {name: s.meta() for name, s in named}
     if dfs:
         shared = plan_dfs(spark, [s for _n, s in named], text, syn,

@@ -2312,9 +2312,18 @@ def percentiles_agg(spark: SparkSession, store: IndexStore,
     j = ids.join(v, "doc_id")
     fn = F.percentile if exact else (
         lambda c, p: F.percentile_approx(c, p, accuracy))
-    cols = [F.round(fn(F.col(field), F.lit(p / 100.0)), 6)
-            .alias(f"p{str(p).rstrip('0').rstrip('.')}")
-            for p in percents]
+
+    def pname(p) -> str:
+        # p25, p99, p99_9 — never rstrip digits off integers
+        # ('10'.rstrip('0') would collide 10 and 100 into 'p1')
+        return "p" + (str(int(p)) if float(p) == int(p)
+                      else str(float(p)).replace(".", "_"))
+
+    names = [pname(p) for p in percents]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentiles in {percents}")
+    cols = [F.round(fn(F.col(field), F.lit(float(p) / 100.0)), 6)
+            .alias(n) for p, n in zip(percents, names)]
     return j.agg(*cols)
 
 
@@ -2397,9 +2406,15 @@ def terms_stats_agg(spark: SparkSession, store: IndexStore,
     ids = match_ids(spark, store, text, mode, phrase, syn, cfg,
                     groups, min_should_match, plan,
                     doc_where=doc_where)
-    keys = _field_values(spark, store, field)
-    vals = _field_values(spark, store, metric_field)
-    j = ids.join(keys, "doc_id").join(vals, "doc_id")
+    dm = store.docmap(spark)
+    if field in dm.columns and metric_field in dm.columns:
+        # both from the docmap: ONE scan + join, not two
+        j = ids.join(dm.select("doc_id", field, metric_field),
+                     "doc_id")
+    else:
+        j = ids.join(_field_values(spark, store, field), "doc_id") \
+               .join(_field_values(spark, store, metric_field),
+                     "doc_id")
     return (j.groupBy(F.col(field).alias("key"))
             .agg(F.count("*").cast("long").alias("doc_count"),
                  F.min(metric_field).cast("long").alias("min"),

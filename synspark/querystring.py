@@ -175,7 +175,10 @@ def parse_query_string(qs: str,
 
 
 def _sql_quote(v: str) -> str:
-    return "'" + v.replace("'", "''") + "'"
+    """Spark SQL string literal: Spark's literal parser treats
+    backslash as an escape, so both it and the quote must be doubled
+    for the value to round-trip."""
+    return "'" + v.replace("\\", "\\\\").replace("'", r"\'") + "'"
 
 
 def _meta_pred(c: QSClause) -> str:
@@ -210,6 +213,7 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
     preds: list[str] = []
     allow_df: DataFrame | None = None
     exclude_df: DataFrame | None = None
+    dropped_scoring = 0   # positive clauses whose expansion was empty
     for c in clauses:
         occur = c.occur or bare
         if c.kind == "meta":
@@ -242,9 +246,16 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
         if not terms:
             if occur == "must":
                 return None            # required clause matches nothing
+            if occur == "should":
+                dropped_scoring += 1   # vacuous optional clause
             continue                   # vacuous should / must_not
         bucket[occur].append((terms, c.boost))
     if not (must or should):
+        if dropped_scoring:
+            # the user DID give scoring clauses — they just expand to
+            # nothing ('zzzz*' with no matching dictionary term). ES
+            # returns 0 hits, not an error
+            return None
         raise ValueError(
             "query_string needs at least one scoring clause (pure "
             "must_not / filter queries have no ranking signal — ES "

@@ -180,3 +180,11 @@ def test_terms_stats_subagg(spark, pstore):
             (len(v), min(v), max(v), sum(v))
         assert r.avg == pytest.approx(round(sum(v) / len(v), 6),
                                       abs=1e-6)
+
+
+def test_percentile_names_integers(spark, pstore):
+    row = percentiles_agg(spark, pstore, "dl", (10, 50, 100, 99.9),
+                          QUERY, mode="and").collect()[0]
+    assert set(row.asDict()) == {"p10", "p50", "p100", "p99_9"}
+    with pytest.raises(ValueError):
+        percentiles_agg(spark, pstore, "dl", (5, 5.0), QUERY)

@@ -180,3 +180,13 @@ def test_dict_anchored_index_disables_prefilter(spark, tmp_path):
     # the index; a naive prefilter would return 0 docs
     got = grep_search(spark, store, cj, "xdatax").collect()
     assert len(got) == 4 and all(r.n_matches == 1 for r in got)
+
+
+def test_escaped_bracket_in_class_is_sound():
+    """r'[a\\]bc]x' — the class contains an escaped ']'; its interior
+    chars must NOT leak into the required runs (review finding)."""
+    req = required_grams(r"[a\]bc]x")
+    t = "ax"
+    assert re.search(r"[a\]bc]x", t)
+    if req is not None:
+        assert set(req) <= _grams_of(t), req

@@ -158,3 +158,10 @@ def test_min_score_filter(spark, stores):
                  min_score=floor).collect()
     want = [(r.doc_id, r.score) for r in full if r.score >= floor]
     assert [(r.doc_id, r.score) for r in got] == want
+
+
+def test_indices_boost_unknown_name_raises(spark, stores):
+    _whole, a, b = stores
+    with pytest.raises(ValueError):
+        search_indices(spark, {"a": a, "b": b}, QUERY,
+                       indices_boost={"typo": 2.0})

@@ -232,3 +232,24 @@ def test_df_routed_gates(spark, qst, monkeypatch):
     got = _pairs(query_string(
         spark, qst, 'data "key order" -"slow scan" lang:en', k=50))
     assert got == want and got
+
+
+def test_vacuous_should_expansion_returns_empty(spark, qst):
+    """'zzzz*' under default_operator=or: the only scoring clause
+    expands to nothing — ES returns 0 hits, not an error (review
+    finding)."""
+    assert query_string(spark, qst, "zzzz*", k=5).count() == 0
+    assert query_string(spark, qst, "qqqq~1", k=5).count() == 0
+
+
+def test_meta_value_with_backslash_round_trips(spark, tmp_path):
+    rows = [(f"r{i}", "dir\\file" if i % 2 == 0 else "other", "c",
+             "en", "data sort") for i in range(6)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    st = build_index(spark, corpus, str(tmp_path / "idx"), cfg=CFG,
+                     n_shards=1, resume=False)
+    got = query_string(spark, st, r"data path:dir\\file", k=10) \
+        .count()
+    assert got == 3
