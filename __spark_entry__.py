@@ -1335,6 +1335,18 @@ def q_dp_frame_plan(spark, sf_dir):
     return frame_sample_plan(decoded, every_n=30)
 
 
+def q_fts_qs_opt_phrase(spark, sf_dir):
+    """query_string with TRUE optional phrases (Lucene OR semantics,
+    exhaustive score-all path): 'merge "key order"' ranks docs
+    matching EITHER clause; adjacency-verified phrases add their gram
+    scores on top — no must-promotion."""
+    from synspark.querystring import query_string
+    store = _index(spark, sf_dir)
+    return _rounded_topk(
+        query_string(spark, store, 'merge "key order"', k=200,
+                     optional_phrases=True), 10)
+
+
 def q_fts_terms_stats_agg(spark, sf_dir):
     """ES sub-aggregation: terms buckets (lang) each carrying a
     stats metric (dl) over the benchmark match set — one aggregate
@@ -1615,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_sig_terms_sampled": q_fts_sig_terms_sampled,
         "fts_query_string": q_fts_query_string,
         "fts_qs_prefix_topk": q_fts_qs_prefix_topk,
+        "fts_qs_opt_phrase": q_fts_qs_opt_phrase,
         "fts_terms_stats_agg": q_fts_terms_stats_agg,
         "fts_reindex_topk": q_fts_reindex_topk,
         "fts_rrf_hybrid": q_fts_rrf_hybrid,
@@ -2088,6 +2101,59 @@ LIMIT 10
 """
 
 
+def _qs_opt_phrase_oracle() -> str:
+    """'merge "key order"' with optional phrases: score = Σ merge-gram
+    scores + (phrase-adjacent ? Σ phrase-gram scores : 0); a doc
+    matches iff any merge gram is present OR the phrase is adjacent.
+    The shared 'er' gram scores on BOTH sides when both fire —
+    exactly the engine's per-clause summation."""
+    mg = sorted(set(_query_bigrams("merge")))
+    pg = sorted(set(_query_bigrams("key order")))
+    mv = ", ".join(f"('{t}')" for t in mg)
+    pv = ", ".join(f"('{t}')" for t in pg)
+    allv = ", ".join(f"('{t}')" for t in sorted(set(mg) | set(pg)))
+    ph = "key order".replace(" ", _DELIMS)
+    return _grams_cte() + f"""
+, qall AS (SELECT * FROM (VALUES {allv}) AS q(term))
+, tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM grams GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM grams GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qall) GROUP BY term
+), sc AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         t.tf / (t.tf + {K1} * (1 - {B} + {B} * l.dl / s.avgdl))
+           AS ts
+  FROM tf t
+  JOIN dfs d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+), a AS (
+  SELECT doc_id, sum(ts) AS s FROM sc
+  WHERE term IN (SELECT * FROM (VALUES {mv})) GROUP BY doc_id
+), pd AS (
+  SELECT doc_id FROM documents
+  WHERE regexp_matches(text, '{ph}')
+), b AS (
+  SELECT doc_id, sum(ts) AS s FROM sc
+  WHERE term IN (SELECT * FROM (VALUES {pv}))
+    AND doc_id IN (SELECT doc_id FROM pd)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       round(coalesce(a.s, 0) + coalesce(b.s, 0), 6) AS score_r
+FROM a FULL JOIN b USING (doc_id)
+ORDER BY round(coalesce(a.s, 0) + coalesce(b.s, 0), 6) DESC, doc_id
+LIMIT 10
+"""
+
+
 def _reindex_oracle() -> str:
     """'data'-subset reindex: dense ids = rank of original id among
     matches; BM25 of the benchmark query over the SUBSET corpus with
@@ -2391,6 +2457,7 @@ ORDER BY l.dl DESC, d.lang ASC, m.doc_id ASC LIMIT 10 OFFSET 10
 """,
         "fts_query_string": _qs_oracle(),
         "fts_qs_prefix_topk": _qs_prefix_oracle(),
+        "fts_qs_opt_phrase": _qs_opt_phrase_oracle(),
         "fts_terms_stats_agg": _GRAMS_CTE + _match_dl_cte() + """
 SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
        min(l.dl)::BIGINT AS min, max(l.dl)::BIGINT AS max,

@@ -63,6 +63,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .index_store import IndexStore
 from .multiterm import fuzzy_terms
@@ -198,10 +199,17 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
                          max_expansions: int = 50,
                          syn: SynonymDict | None = None,
                          cfg: TokenizerConfig | None = None,
-                         doc_where: str | None = None):
+                         doc_where: str | None = None,
+                         keep_optional_phrases: bool = False):
     """Parse + compile to ``(plan, doc_where, allow_df, exclude_df)``
     — or ``None`` when an empty required expansion proves the query
-    matches nothing (a must prefix/fuzzy with no dictionary terms)."""
+    matches nothing (a must prefix/fuzzy with no dictionary terms).
+
+    ``keep_optional_phrases=True`` (the exhaustive-mode hook): bare
+    phrases under default_operator='or' are NOT promoted to must;
+    instead the return grows a 5th element — ``[(text, boost, slop)]``
+    of the optional phrases — and the plan/gates cover only the other
+    clauses."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     bare = "must" if default_operator == "and" else "should"
@@ -213,6 +221,7 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
     preds: list[str] = []
     allow_df: DataFrame | None = None
     exclude_df: DataFrame | None = None
+    opt_phrases: list[tuple[str, float, int]] = []
     dropped_scoring = 0   # positive clauses whose expansion was empty
     for c in clauses:
         occur = c.occur or bare
@@ -223,6 +232,9 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
             preds.append(_meta_pred(c))
             continue
         if c.kind == "phrase":
+            if keep_optional_phrases and occur == "should":
+                opt_phrases.append((c.text, c.boost, c.slop))
+                continue
             ids = match_ids(spark, store, c.text, mode="and",
                             phrase=True, syn=syn, cfg=cfg,
                             slop=c.slop)
@@ -250,7 +262,7 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
                 dropped_scoring += 1   # vacuous optional clause
             continue                   # vacuous should / must_not
         bucket[occur].append((terms, c.boost))
-    if not (must or should):
+    if not (must or should or opt_phrases):
         if dropped_scoring:
             # the user DID give scoring clauses — they just expand to
             # nothing ('zzzz*' with no matching dictionary term). ES
@@ -261,11 +273,15 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
             "must_not / filter queries have no ranking signal — ES "
             "gives every doc score 0; use match_ids for those)")
     plan = plan_bool(spark, store, must or None, should or None,
-                     must_not or None, syn=syn, cfg=cfg)
+                     must_not or None, syn=syn, cfg=cfg) \
+        if (must or should) else None
     where = " AND ".join(f"({p})" for p in preds) if preds else None
     if doc_where is not None:
         where = f"({doc_where})" if where is None \
             else f"{where} AND ({doc_where})"
+    if keep_optional_phrases:
+        return (plan, where, allow_df, exclude_df, opt_phrases,
+                list(must_not))
     return plan, where, allow_df, exclude_df
 
 
@@ -275,11 +291,28 @@ def query_string(spark: SparkSession, store: IndexStore, qs: str,
                  syn: SynonymDict | None = None,
                  cfg: TokenizerConfig | None = None,
                  doc_where: str | None = None,
-                 after: tuple | None = None) -> DataFrame:
+                 after: tuple | None = None,
+                 optional_phrases: bool = False) -> DataFrame:
     """Ranked BM25 top-k for a query_string (grammar in the module
     docstring). ``doc_where`` ANDs an extra metadata predicate onto
     any ``field:value`` clauses; ``after=(score, doc_id)`` is
-    search_after pagination, same contract as ``search``."""
+    search_after pagination, same contract as ``search``.
+
+    ``optional_phrases=True`` removes the documented deviation: bare
+    phrases under default_operator='or' stay OPTIONAL — a doc can
+    rank on its other clauses alone, and an adjacency-verified phrase
+    adds its gram scores on top (true Lucene OR semantics). This runs
+    on the exhaustive score-all path (WAND can't bound a
+    per-clause-positional disjunction), so reach for it the way you
+    reach for aggregations: correctness over latency. Default msm
+    semantics only; ``after`` is unsupported there."""
+    if optional_phrases:
+        if after is not None:
+            raise ValueError("after-pagination is not supported with "
+                             "optional_phrases=True")
+        return _query_string_exhaustive(
+            spark, store, qs, k, default_operator, max_expansions,
+            syn, cfg, doc_where)
     compiled = compile_query_string(spark, store, qs,
                                     default_operator, max_expansions,
                                     syn, cfg, doc_where)
@@ -289,3 +322,77 @@ def query_string(spark: SparkSession, store: IndexStore, qs: str,
     meta = store.meta()
     return _wand_topk(spark, store, meta, plan, k, "or", False,
                       after, where, allow_df, exclude_df)
+
+
+def _query_string_exhaustive(spark: SparkSession, store: IndexStore,
+                             qs: str, k: int, default_operator: str,
+                             max_expansions: int, syn, cfg,
+                             doc_where: str | None) -> DataFrame:
+    """Optional-phrase execution: score the non-phrase plan and each
+    should-phrase's gram plan with the declarative score-all scorer,
+    gate each phrase side by its adjacency id set, and fold the sides
+    in FIXED clause order via outer joins (deterministic float
+    summation). Must/filter gates keep docs restricted to the base
+    side's survivors; must_not (terms and phrases) excludes globally.
+    """
+    from .query import analyze_query, match_ids, plan_query, \
+        score_matches
+    from .tokenizer import TokenizerConfig
+    compiled = compile_query_string(
+        spark, store, qs, default_operator, max_expansions, syn, cfg,
+        doc_where, keep_optional_phrases=True)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if compiled is None:
+        return empty
+    plan, where, allow_df, exclude_df, phrases, not_clauses = compiled
+    meta = store.meta()
+    cfg = cfg or TokenizerConfig(**meta.cfg)
+
+    sides: list[DataFrame] = []
+    if plan is not None:
+        sides.append(
+            score_matches(spark, store, "", plan=plan,
+                          doc_where=where).select("doc_id", "score"))
+    for text, boost, slop in phrases:
+        pplan = plan_query(spark, store, text, syn, cfg)
+        if not pplan.groups:
+            continue
+        pplan.idfs = [x * float(boost) for x in pplan.idfs]
+        ids = match_ids(spark, store, text, mode="and", phrase=True,
+                        syn=syn, cfg=cfg, slop=slop)
+        ps = score_matches(spark, store, "", plan=pplan,
+                           doc_where=where).select("doc_id", "score")
+        sides.append(ps.join(ids, "doc_id", "semi"))
+    if not sides:
+        return empty
+
+    has_must = plan is not None and any(kk in "mf" for kk in
+                                        (plan.kinds or []))
+    tot = sides[0].withColumnRenamed("score", "s0")
+    for i, s in enumerate(sides[1:], 1):
+        tot = tot.join(s.withColumnRenamed("score", f"s{i}"),
+                       "doc_id", "left" if has_must else "full")
+    score = F.lit(0.0)
+    for i in range(len(sides)):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    tot = tot.select("doc_id", score.alias("score"))
+
+    # must_not exclusion applies to the phrase sides too (the base
+    # plan already gates its own side; double exclusion is harmless)
+    nx: list[list[str]] = []
+    for cl in not_clauses:
+        body = cl[0] if isinstance(cl, tuple) else cl
+        if isinstance(body, str):
+            nx.extend(analyze_query(body, cfg, syn))
+        else:                          # pre-expanded group
+            nx.append(list(body))
+    if nx:
+        xids = match_ids(spark, store, groups=nx, mode="or")
+        tot = tot.join(xids, "doc_id", "anti")
+    if exclude_df is not None:
+        tot = tot.join(exclude_df.select("doc_id").distinct(),
+                       "doc_id", "anti")
+    if allow_df is not None:
+        tot = tot.join(allow_df.select("doc_id").distinct(),
+                       "doc_id", "semi")
+    return tot.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -253,3 +253,75 @@ def test_meta_value_with_backslash_round_trips(spark, tmp_path):
     got = query_string(spark, st, r"data path:dir\\file", k=10) \
         .count()
     assert got == 3
+
+
+def _brute_optional(spark, qst, texts, clauses, phrases):
+    """Python oracle for optional-phrase semantics: score = sum of
+    matched should clauses' naive scores; phrase clause matches iff
+    its regex holds."""
+    from synspark.query import plan_bool, score_naive
+    parts = {}
+    for text, boost in clauses:
+        plan = plan_bool(spark, qst, should=[(text, boost)], cfg=CFG)
+        for d, s in [(r.doc_id, r.score) for r in
+                     score_naive(spark, qst, "", k=10_000,
+                                 plan=plan).collect()]:
+            parts[d] = parts.get(d, 0.0) + s
+    for text, boost in phrases:
+        plan = plan_bool(spark, qst, should=[(text, boost)], cfg=CFG)
+        ph = _phrase_docs(texts, text)
+        for d, s in [(r.doc_id, r.score) for r in
+                     score_naive(spark, qst, "", k=10_000,
+                                 plan=plan).collect()]:
+            if d in ph:
+                parts[d] = parts.get(d, 0.0) + s
+    return parts
+
+
+def test_optional_phrase_or_semantics(spark, qst):
+    """optional_phrases=True: 'merge "key order"' ranks docs matching
+    EITHER clause; phrase-matching docs get the phrase grams' scores
+    on top — true Lucene OR semantics, vs the fast path's must
+    promotion."""
+    texts = _texts(spark, qst)
+    got = {r.doc_id: r.score for r in
+           query_string(spark, qst, 'merge "key order"', k=500,
+                        optional_phrases=True).collect()}
+    want = _brute_optional(spark, qst, texts,
+                           [("merge", 1.0)], [("key order", 1.0)])
+    assert set(got) == set(want) and got
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    # strictly more docs than the promoting fast path
+    fast = {r.doc_id for r in
+            query_string(spark, qst, 'merge "key order"',
+                         k=500).collect()}
+    assert fast < set(got)
+
+
+def test_optional_phrase_with_must_and_not(spark, qst):
+    """musts still gate; must_not still excludes; the optional phrase
+    only ever ADDS score."""
+    texts = _texts(spark, qst)
+    ph = _phrase_docs(texts, "key order")
+    base = {r.doc_id: r.score for r in
+            query_string(spark, qst, "+data -slow", k=500).collect()}
+    got = {r.doc_id: r.score for r in
+           query_string(spark, qst, '+data -slow "key order"', k=500,
+                        optional_phrases=True).collect()}
+    assert set(got) == set(base)
+    for d, s in got.items():
+        if d in ph:
+            assert s > base[d]
+        else:
+            assert s == pytest.approx(base[d], rel=1e-9)
+
+
+def test_optional_phrase_only_query(spark, qst):
+    """A lone phrase under optional mode still gates on adjacency."""
+    texts = _texts(spark, qst)
+    ph = _phrase_docs(texts, "key order")
+    got = {r.doc_id for r in
+           query_string(spark, qst, '"key order"', k=500,
+                        optional_phrases=True).collect()}
+    assert got == ph
