@@ -213,6 +213,15 @@ def main() -> None:
     lat("q_rrf_hybrid", lambda: hybrid_search(
         spark, store_docs, "data sort merge", emb, qv, k=10,
         window=100).collect())
+    # optional-phrase query_string (exhaustive score-all path) and a
+    # terms+stats sub-aggregation — the aggregation-grade consumers
+    lat("q_qs_opt_phrase", lambda: query_string(
+        spark, store_docs, 'merge "key order"', k=10,
+        optional_phrases=True).collect())
+    from synspark.query import terms_stats_agg
+    lat("q_terms_stats_agg", lambda: terms_stats_agg(
+        spark, store_docs, "lang", "dl", "data sort merge",
+        mode="and").collect())
 
     # -- 4. datapipe ops ----------------------------------------------
     lat("dp_minhash_lsh",
