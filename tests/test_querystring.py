@@ -325,3 +325,24 @@ def test_optional_phrase_only_query(spark, qst):
            query_string(spark, qst, '"key order"', k=500,
                         optional_phrases=True).collect()}
     assert got == ph
+
+
+def test_optional_and_must_phrase_mix(spark, qst):
+    """'+data +"key order" "slow scan"' with optional_phrases=True:
+    the must-phrase still gates (allow set), the bare phrase stays
+    optional and only adds score."""
+    texts = _texts(spark, qst)
+    pko = _phrase_docs(texts, "key order")
+    pss = _phrase_docs(texts, "slow scan")
+    got = {r.doc_id: r.score for r in
+           query_string(spark, qst, '+data +"key order" "slow scan"',
+                        k=500, optional_phrases=True).collect()}
+    base = {r.doc_id: r.score for r in
+            query_string(spark, qst, '+data +"key order"',
+                         k=500).collect()}
+    assert set(got) == set(base) and set(got) <= pko
+    for d, s in got.items():
+        if d in pss:
+            assert s > base[d]
+        else:
+            assert s == pytest.approx(base[d], rel=1e-9)
