@@ -17,9 +17,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import _words
-
-
 def _ckpt(df: DataFrame) -> DataFrame:
     """Lineage-truncation point. With a RELIABLE checkpoint dir
     configured (``spark.sparkContext.setCheckpointDir`` — the cluster
@@ -50,17 +47,47 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 def word_shingles(df: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """Distinct word k-shingles per doc (built-in: split + transform +
-    explode; no UDF)."""
-    w = _words(F.lower(F.col(text_col)))
-    sh = F.when(
-        F.size(w) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(w) - k),
-                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
-    ).otherwise(F.array(F.concat_ws(" ", w)))
-    return (df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-            .filter(F.length("shingle") > 0)
-            .distinct())
+    """Distinct word k-shingles per doc, generated in ONE Arrow pass
+    (mapInPandas) with per-doc set dedup.
+
+    Round 6 (guide §4.2/§2.4): the previous built-in formulation
+    (transform + sequence + slice + concat_ws) is a higher-order
+    function chain that Spark evaluates INTERPRETED, not codegen'd —
+    measured 2.6s vs 0.8s for this pass at sf1.0 — and its row output
+    needed a global ``.distinct()`` (a full shuffle of every shingle
+    row, unreduced because the rows are already unique). The Python
+    pass dedupes per doc with a set, which IS the global distinct
+    because ``id_col`` uniquely identifies each input row (every
+    caller: documents tables and dedup pipelines keyed by doc_id), so
+    the distinct exchange disappears from the plan. Same output rows:
+    split on the engine delimiters, lowercase, k-grams joined by a
+    single space, whole-doc shingle when fewer than k words."""
+    id_type = {f.name: f.dataType.simpleString()
+               for f in df.schema.fields}[id_col]
+    kk = int(k)
+
+    def gen(batches):
+        import re
+        splitter = re.compile("[ \t\n\r　]+")
+        for pdf in batches:
+            ids, sh = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if not txt:
+                    continue
+                ws = [w for w in splitter.split(txt.lower()) if w]
+                if not ws:
+                    continue
+                if len(ws) >= kk:
+                    ss = {" ".join(ws[i:i + kk])
+                          for i in range(len(ws) - kk + 1)}
+                else:
+                    ss = {" ".join(ws)}
+                ids.extend([did] * len(ss))
+                sh.extend(ss)
+            yield pd.DataFrame({id_col: ids, "shingle": sh})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, shingle string")
 
 
 def minhash_signatures(shingles: DataFrame, n_hashes: int = 8,
@@ -130,38 +157,69 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
     to avoid dupes.
 
     ``candidates`` ((a, b) pairs, e.g. from ``lsh_candidate_pairs``)
-    restricts the computation: shingles are first semi-joined to the
-    candidate doc set (shrinks the self-join input) and the resulting
-    pairs semi-joined to the candidate pair set. At web scale this is
-    mandatory — without it one hot shingle makes the self-join
-    quadratic in the docs sharing it; with it the cost is bounded by
-    the LSH collision groups."""
+    restricts the computation AND switches the plan (round 6, guide
+    §2.3/§3): instead of the shingle self-join — whose intermediate is
+    quadratic in hot-shingle popularity even after the doc-set
+    semi-join (measured at sf1.0: 47.5k candidate pairs / 927k
+    restricted shingle rows made self-join + counts joins cost 3.6s) —
+    the candidate docs' shingles are collected into per-doc SET ARRAYS
+    and each candidate pair is verified with one ``array_intersect``:
+    n_inter = |A∩B| = size(intersect), n_sh = array size. Identical
+    output: the shingle input is distinct per doc, so the set
+    intersection counts exactly the rows the self-join would have
+    counted, and the a < b / shared-shingle ≥ 1 gates mirror the inner
+    join + filter. Cost is linear in the candidate pair count, never
+    in shingle popularity. Without ``candidates`` the classic
+    self-join runs (there is no pair set to verify against)."""
     if candidates is not None:
-        # the candidate pair set feeds three places (both doc-set sides
-        # + the final pair semi-join). Checkpoint — not persist —
-        # because TRUNCATING the lineage is the point: each reference
-        # would otherwise re-inline the band self-join subtree and the
-        # composed plan grows multiplicatively (measured 3.2x wall-time
-        # on the drop-list pipeline from plan-compile cost alone).
-        # _ckpt upgrades to a reliable checkpoint when a checkpoint
-        # dir is configured (cluster fault tolerance, round-3 advice).
-        candidates = _ckpt(candidates)
+        # the candidate pair set feeds the pair join and both doc-set
+        # sides. Checkpoint — not persist — because TRUNCATING the
+        # lineage is the point: each reference would otherwise
+        # re-inline the band self-join subtree and the composed plan
+        # grows multiplicatively (measured 3.2x wall-time on the
+        # drop-list pipeline from plan-compile cost alone). _ckpt
+        # upgrades to a reliable checkpoint when a checkpoint dir is
+        # configured (cluster fault tolerance, round-3 advice).
+        # (.distinct() preserves the one-row-per-pair output the old
+        # groupBy plan guaranteed even for callers passing duplicate
+        # candidate rows; extra candidate columns are dropped so they
+        # cannot collide with join-side names)
+        candidates = _ckpt(candidates.select("a", "b").distinct())
         cdocs = (candidates.select(F.col("a").alias(id_col))
                  .union(candidates.select(F.col("b").alias(id_col)))
                  .distinct())
-        shingles = _ckpt(shingles.join(cdocs, id_col, "leftsemi"))
-    else:
-        # referenced by both join sides and the per-doc counts; same
-        # localCheckpoint-over-persist rationale as above
-        shingles = _ckpt(shingles)
+        sets = _ckpt(shingles.join(cdocs, id_col, "leftsemi")
+                     .groupBy(id_col)
+                     .agg(F.collect_list("shingle").alias("sh"),
+                          F.count("*").alias("n_sh")))
+        j = (candidates
+             .filter(F.col("a") < F.col("b"))
+             .join(sets.select(F.col(id_col).alias("a"),
+                               F.col("sh").alias("sha"),
+                               F.col("n_sh").alias("na")), "a")
+             .join(sets.select(F.col(id_col).alias("b"),
+                               F.col("sh").alias("shb"),
+                               F.col("n_sh").alias("nb")), "b")
+             .withColumn("n_inter",
+                         F.size(F.array_intersect("sha", "shb"))
+                         .cast("long"))
+             .filter(F.col("n_inter") >= 1)
+             .withColumn("jaccard",
+                         F.round(F.col("n_inter") /
+                                 (F.col("na") + F.col("nb")
+                                  - F.col("n_inter")), 6)))
+        if threshold > 0:
+            j = j.filter(F.col("jaccard") >= threshold)
+        return j.select("a", "b", "n_inter", "jaccard")
+    # unrestricted path: referenced by both join sides and the per-doc
+    # counts; same localCheckpoint-over-persist rationale as above
+    shingles = _ckpt(shingles)
     counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a"), "shingle")
     bdf = shingles.select(F.col(id_col).alias("b"), "shingle")
     inter = (a.join(bdf, "shingle")
              .filter(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count("*").alias("n_inter")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "leftsemi")
     j = (inter
          .join(counts.select(F.col(id_col).alias("a"),
                              F.col("n_sh").alias("na")), "a")
@@ -210,11 +268,24 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     # docs would otherwise produce N^2/2 candidate pairs — collapsing
     # exact dups first bounds LSH buckets by distinct-content volume
     survivors = df.join(exact_drop.select(id_col), id_col, "left_anti")
-    sh = _ckpt(word_shingles(survivors, shingle_k, text_col, id_col))
-    cand = lsh_candidate_pairs(
-        minhash_signatures(sh, n_hashes, id_col), bands, rows_per_band,
-        id_col)
-    near_drop = (jaccard_pairs(sh, candidates=cand, id_col=id_col,
+    # signatures consume the shingle pass in ONE linear plan (shingle →
+    # per-doc min-agg); nothing else needs the corpus-wide shingle
+    # table, so the round-5 checkpoint that materialized every shingle
+    # row is gone (round 6, guide §2.3/§5: the only other consumer —
+    # Jaccard verification — needs shingles of CANDIDATE docs only, a
+    # vanishing fraction of the corpus, so those docs are re-shingled
+    # from their text below instead of keeping N·shingles rows around)
+    cand = _ckpt(lsh_candidate_pairs(
+        minhash_signatures(
+            word_shingles(survivors, shingle_k, text_col, id_col),
+            n_hashes, id_col),
+        bands, rows_per_band, id_col))
+    cand_docs = (cand.select(F.col("a").alias(id_col))
+                 .union(cand.select(F.col("b").alias(id_col)))
+                 .distinct())
+    sh_cand = word_shingles(survivors.join(cand_docs, id_col, "leftsemi"),
+                            shingle_k, text_col, id_col)
+    near_drop = (jaccard_pairs(sh_cand, candidates=cand, id_col=id_col,
                                threshold=threshold)
                  .select(F.col("b").alias(id_col),
                          F.lit("near").alias("reason")))
@@ -384,20 +455,38 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     blocks = [(F.shiftrightunsigned(F.col("simhash"), width * c)
                .bitwiseAND(F.lit(mask))).alias(f"c{c}")
               for c in range(n_blocks)]
-    s = sim.select(id_col, "simhash", *blocks)
-    pairs = None
-    for combo in combinations(range(n_blocks), blocks_per_key):
-        if blocks_per_key == 1:  # int join key (cheaper than strings)
-            key = F.col(f"c{combo[0]}").alias("ck")
+    # ``s`` feeds BOTH sides of the candidate join — without a lineage
+    # cut the simhash subtree (the signature UDF over the whole corpus)
+    # would be re-evaluated once per side per combination (measured:
+    # 13.5s vs 0.99s for one signature pass at sf1.0, round-6 guide
+    # §2.4/§5). Checkpointing the 16-byte-per-doc signature frame
+    # computes it exactly once. All C(n_blocks, blocks_per_key)
+    # combination tables then ride ONE equi-join on (combo_id, key) via
+    # explode — same shuffled bytes as the per-combo joins, but a
+    # single exchange pair + one join stage instead of 2·C exchanges
+    # and a C-way union (round-6: 4 joins + union = 128-task stages at
+    # sf1.0; one join halves the wall time of the candidate step).
+    s = _ckpt(sim.select(id_col, "simhash", *blocks))
+    combo_entries = []
+    for ci, combo in enumerate(combinations(range(n_blocks),
+                                            blocks_per_key)):
+        if blocks_per_key == 1:  # int key (cheaper than strings)
+            key = F.col(f"c{combo[0]}").cast("long")
         else:
-            key = F.concat_ws("_", *[F.col(f"c{c}").cast("string")
-                                     for c in combo]).alias("ck")
-        a = s.select(F.col(id_col).alias("a"),
-                     F.col("simhash").alias("ha"), key)
-        b = s.select(F.col(id_col).alias("b"),
-                     F.col("simhash").alias("hb"), key)
-        p = a.join(b, "ck").filter(F.col("a") < F.col("b")).drop("ck")
-        pairs = p if pairs is None else pairs.unionAll(p)
+            # pack up to 64//width block values into one long key
+            key = F.lit(0).cast("long")
+            for c in combo:
+                key = F.shiftleft(key, width).bitwiseOR(
+                    F.col(f"c{c}").cast("long"))
+        combo_entries.append(F.struct(F.lit(ci).alias("combo"),
+                                      key.alias("key")))
+    keyed = s.select(id_col, "simhash",
+                     F.explode(F.array(*combo_entries)).alias("ck"))
+    a = keyed.select(F.col(id_col).alias("a"),
+                     F.col("simhash").alias("ha"), "ck")
+    b = keyed.select(F.col(id_col).alias("b"),
+                     F.col("simhash").alias("hb"), "ck")
+    pairs = a.join(b, "ck").filter(F.col("a") < F.col("b")).drop("ck")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (pairs.distinct()
             .withColumn("hamming", ham)

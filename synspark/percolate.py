@@ -45,6 +45,25 @@ from .tokenizer import TokenizerConfig
 
 __all__ = ["register_queries", "percolate"]
 
+
+def _spread(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fan the (id, text) projection out to one partition per core
+    before the tokenize pass. Single-file corpora (every sf table, and
+    any small ingest batch) arrive as a handful of input splits, so the
+    mapInPandas tokenizer otherwise runs on that many cores (measured:
+    6 tasks / 9.9s at sf1.0 vs 32 tasks / ~1s — the round-5 ``_fanout``
+    lesson applied to percolation, guide §2.6). Only the two needed
+    columns are shuffled (§2.3), only when the input is under-split,
+    and never on a streaming frame (the broadcast path's zero-shuffle
+    statelessness is the streaming contract)."""
+    sel = docs.select(id_col, text_col)
+    if docs.isStreaming:
+        return sel
+    n = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    if sel.rdd.getNumPartitions() >= n:
+        return sel
+    return sel.repartition(n)
+
 REG_SCHEMA = ("query_id long, gid int, term string, n_groups int, "
               "required int")
 
@@ -139,7 +158,7 @@ def percolate(spark: SparkSession, reg: DataFrame, docs: DataFrame,
         id_type = dict(zip(docs.columns,
                            [f.dataType.simpleString()
                             for f in docs.schema.fields]))[id_col]
-        return docs.select(id_col, text_col).mapInPandas(
+        return _spread(docs, id_col, text_col).mapInPandas(
             run, schema=f"{id_col} {id_type}, query_id long")
 
     # distributed path: doc terms ⋈ reg on term, group count vs required
@@ -162,7 +181,7 @@ def percolate(spark: SparkSession, reg: DataFrame, docs: DataFrame,
     id_type = dict(zip(docs.columns,
                        [f.dataType.simpleString()
                         for f in docs.schema.fields]))[id_col]
-    doc_terms = docs.select(id_col, text_col).mapInPandas(
+    doc_terms = _spread(docs, id_col, text_col).mapInPandas(
         tok, schema=f"{id_col} {id_type}, term string")
     matched = (doc_terms.join(reg, "term")
                .select(id_col, "query_id", "gid", "required")

@@ -65,9 +65,9 @@ def test_jaccard(spark, docs):
 
 
 def test_jaccard_candidate_restriction(spark, docs):
-    """candidates bounds BOTH the self-join input (semi-join to the
-    candidate doc set) and the output pair set — the wiring that keeps
-    a hot shingle from going quadratic at scale."""
+    """candidates bounds BOTH the verification input (per-doc shingle
+    sets of candidate docs only) and the output pair set — the wiring
+    that keeps a hot shingle from going quadratic at scale."""
     from synspark.datapipe.dedup import lsh_candidate_pairs
     # hot-shingle corpus: every doc shares one shingle -> unrestricted
     # self-join would produce all N^2/2 pairs
@@ -79,13 +79,24 @@ def test_jaccard_candidate_restriction(spark, docs):
     cand = spark.createDataFrame([(3, 4), (10, 11)], "a long, b long")
     out = jaccard_pairs(sh, candidates=cand).collect()
     assert {(r["a"], r["b"]) for r in out} <= {(3, 4), (10, 11)}
-    # plan shape: the pair semi-join is visible; the doc-set semi-join
-    # lives inside the localCheckpoint boundary (LogicalRDD) that
-    # truncates the multiply-referenced candidate lineage
+    # plan shape (round 6): candidate pairs verify via per-pair
+    # array_intersect over per-doc shingle-set arrays — NO shingle
+    # self-join anywhere in the plan (the quadratic-in-popularity
+    # intermediate is gone); the doc-set semi-join + candidate dedup
+    # live inside the localCheckpoint boundaries (LogicalRDD) that
+    # truncate the multiply-referenced lineage
     plan = jaccard_pairs(sh, candidates=cand)._jdf.queryExecution() \
         .optimizedPlan().toString()
-    assert plan.count("LeftSemi") >= 1
+    assert "array_intersect" in plan
     assert "LogicalRDD" in plan
+    assert "shingle#" not in plan.split("LogicalRDD")[0]  # no self-join
+    # duplicate candidate rows still yield one output row per pair
+    # (parity with the old groupBy plan)
+    cand_dup = spark.createDataFrame([(3, 4), (3, 4), (10, 11)],
+                                     "a long, b long")
+    out_dup = jaccard_pairs(sh, candidates=cand_dup).collect()
+    assert sorted((r["a"], r["b"]) for r in out_dup) == \
+        sorted((r["a"], r["b"]) for r in out)
     # LSH-candidate wiring agrees with the unrestricted pairs on the
     # pairs it covers (same jaccard values)
     cand_lsh = lsh_candidate_pairs(minhash_signatures(
