@@ -486,9 +486,16 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
                      F.col("simhash").alias("ha"), "ck")
     b = keyed.select(F.col(id_col).alias("b"),
                      F.col("simhash").alias("hb"), "ck")
-    pairs = a.join(b, "ck").filter(F.col("a") < F.col("b")).drop("ck")
+    # hamming filter BEFORE the dedup shuffle: the bucket join's raw
+    # pair volume is quadratic in bucket population (240M pair rows at
+    # sf1.0 — templated text makes block values hot), and the filter
+    # is a per-row function of (ha, hb) so filter-then-distinct is
+    # row-identical to distinct-then-filter. The filter runs inside
+    # the join's codegen stage; only the surviving near-dup pairs ever
+    # reach an exchange (guide §2.3: shuffle fewer bytes).
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (pairs.distinct()
+    return (a.join(b, "ck").filter(F.col("a") < F.col("b"))
             .withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming"))
+            .select("a", "b", "hamming")
+            .distinct())

@@ -584,7 +584,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                                          daemon=True)
         docmap_thread.start()
     if n_shards is None:
-        n_shards = max(4 * spark.sparkContext.defaultParallelism,
+        # floor = 2 encode waves: range routing (indexer round 6) gives
+        # exactly one task per shard, so the old 4x-parallelism floor —
+        # sized to absorb HASH-routing collisions — only multiplied
+        # per-task overhead; two waves still mask tokenize-cost
+        # stragglers, and the volume term (~12.5k docs ≈ ~2M tokens per
+        # encode worker) governs real corpora unchanged
+        n_shards = max(2 * spark.sparkContext.defaultParallelism,
                        n_docs // 12_500)
         if resume and len(done) >= n_shards \
                 and (store.path / "meta.json").exists():
