@@ -128,6 +128,23 @@ class QueryPlan:
     # and overlapping spans, exactly NearSpansUnordered's
     # maxEnd − minStart − Σlen ≤ slop criterion.
     span: tuple | None = None
+    # per-clause positional gates (round 6, the Lucene
+    # SloppyPhraseMatcher-in-the-scorer shape): each (start, n) names a
+    # contiguous slice groups[start:start+n] analyzed from ONE quoted
+    # phrase; the slice's docs must ALSO satisfy exact adjacency
+    # (token-graph walk, identical to ``phrase=True``'s frontier) for
+    # the clause to take effect. Gate semantics follow kinds[start]:
+    # 'm' — doc excluded unless the run verifies (required phrase);
+    # 'n' — doc excluded IF the run verifies (negated phrase; the
+    #       slice's groups never score or join not_docs — only the
+    #       adjacency-verified docs are excluded);
+    # 's' — the slice's group scores are REVOKED for docs where the
+    #       run does not verify, and a verified run counts as the
+    #       doc's admission ticket alongside the base msm (optional
+    #       phrase under default_operator=or — true Lucene OR).
+    # This lets query_string verify phrases inside the ONE WAND pass
+    # instead of separate match_ids jobs + id-set routing.
+    phrase_runs: list[tuple[int, int]] | None = None
 
     @property
     def terms(self) -> list[str]:
@@ -763,6 +780,12 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
     musts, shoulds, nots, filts, msm = plan.occur(mode)
     must_set, not_set = set(musts), set(nots)
     filt_set = set(filts)
+    # per-clause positional gates (see QueryPlan.phrase_runs): which
+    # group slices need an adjacency walk, and with which semantics
+    runs = plan.phrase_runs or []
+    run_gis = {gi for s, n in runs for gi in range(s, s + n)}
+    srun_gis = {gi for s, n in runs if s in set(shoulds)
+                for gi in range(s, s + n)}
 
     # organize blocks per group; block upper bound from (max_tf, min_dl)
     first = pdf["first_doc"].to_numpy()
@@ -1090,9 +1113,19 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         not_docs: list[np.ndarray] = []
         filt_docs: list[np.ndarray] = []
         gkinds: list[bool] = []        # True = must, aligned w/ gdocs
+        pos_by_gi: dict = {}           # run groups' flat position arrays
+        srun_docs: list = []           # (gi, udocs, scores) for 's' runs
         dead = False
         for gi in range(n_groups):
             if gi in not_set or gi in filt_set:
+                if gi in run_gis:
+                    # negated-phrase slice: positions feed the run walk;
+                    # docs do NOT join not_docs (only adjacency-verified
+                    # docs are excluded, not every doc with the terms)
+                    _nd, _utf, _udl, pdocs, pvals, plens = \
+                        decode_group_window(gi, d0, d1, True)
+                    pos_by_gi[gi] = (pdocs, pvals, plens)
+                    continue
                 # never scores: docs only — no tf/dl, no phrase walk
                 nd_, *_rest = decode_group_window(gi, d0, d1, False)
                 if gi in filt_set:
@@ -1104,7 +1137,10 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                     not_docs.append(nd_)
                 continue
             udocs, utf, udl, pdocs, pvals, plens = \
-                decode_group_window(gi, d0, d1, phrase)
+                decode_group_window(gi, d0, d1,
+                                    phrase or gi in run_gis)
+            if gi in run_gis:
+                pos_by_gi[gi] = (pdocs, pvals, plens)
             if len(udocs) == 0:
                 # a phrase needs every group regardless of boolean mode
                 if gi in must_set or phrase:
@@ -1112,6 +1148,12 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                     break
                 continue
             tfn = utf / (utf + k1 * (1 - b + b * udl / avgdl))
+            if gi in srun_gis:
+                # optional-phrase slice: scored SEPARATELY below, only
+                # for docs whose run verifies (score revocation would
+                # break the oracle's bit-exact ordered fold)
+                srun_docs.append((gi, udocs, plan.idfs[gi] * tfn))
+                continue
             gdocs.append(udocs)
             gkinds.append(gi in must_set)
             gscores.append(plan.idfs[gi] * tfn)
@@ -1125,23 +1167,31 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
                 if len(frontier) == 0:
                     dead = True
                     break
-        if dead or not gdocs:
+        if dead or not (gdocs or srun_docs):
             continue
         # vectorized merge: concatenation is gid-major, and np.add.at
         # applies additions in element order — so each doc's group
         # scores accumulate in ascending-gid order, bit-identical to
-        # the oracle's ordered left-fold (float addition order matters)
-        alldocs = np.concatenate(gdocs)
-        allsc = np.concatenate(gscores)
+        # the oracle's ordered left-fold (float addition order matters).
+        # 's'-run docs join the universe with ZERO contribution here
+        # (adding 0.0 cannot perturb the base fold); their scores fold
+        # separately per run, gated by the adjacency walk.
+        base_concat = gdocs + [d for _g, d, _s in srun_docs]
+        alldocs = np.concatenate(base_concat)
+        allsc = np.concatenate(
+            gscores + [np.zeros(len(d)) for _g, d, _s in srun_docs]) \
+            if srun_docs else np.concatenate(gscores)
         u, inv = np.unique(alldocs, return_inverse=True)
         sc = np.zeros(len(u), np.float64)
         np.add.at(sc, inv, allsc)
+        nbase = sum(len(d) for d in gdocs)
         keep = np.ones(len(u), dtype=bool)
         if musts and len(musts) == len(gdocs):
             # every decoded scoring group is a must (legacy mode="and"
             # is always here): per-doc occurrence count over the merged
-            # concat IS the must-match count
-            keep &= np.bincount(inv, minlength=len(u)) == len(gdocs)
+            # base concat IS the must-match count
+            keep &= np.bincount(inv[:nbase],
+                                minlength=len(u)) == len(gdocs)
         elif musts:
             dm = np.concatenate([d for d, m_ in zip(gdocs, gkinds)
                                  if m_])
@@ -1149,10 +1199,14 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
             # index map — per-doc must-group match count
             keep &= np.bincount(np.searchsorted(u, dm),
                                 minlength=len(u)) == len(musts)
-        if shoulds and msm >= 1 and (musts or msm > 1):
+        has_sruns = bool(srun_gis)
+        if shoulds and msm >= 1 and (musts or msm > 1) \
+                and not (has_sruns and not musts):
             # minimum_should_match: ≥ msm should groups per doc (when
             # no must exists and msm == 1 every merged doc trivially
-            # qualifies — skip the count)
+            # qualifies — skip the count). With optional-phrase runs
+            # and no must, admission is base-msm OR verified-run —
+            # handled in the run block below.
             ds = [d for d, m_ in zip(gdocs, gkinds) if not m_]
             cnt = np.zeros(len(u), np.int64)
             if ds:
@@ -1171,6 +1225,67 @@ def _wand_shard(pdf: pd.DataFrame, plan: QueryPlan, k: int, mode: str,
         if phrase:
             verified = np.unique(frontier >> np.int64(32)) + d0
             keep &= np.isin(u, verified)
+        if runs:
+            # per-clause adjacency walks (QueryPlan.phrase_runs). Each
+            # run replays the token-graph frontier of ``phrase=True``
+            # over its own slice; masks only remove candidates (or, for
+            # 's' runs, add a separately-folded side), so every window
+            # bound stays a valid upper bound.
+            znil = np.zeros(0, np.int64)
+            in_any = np.zeros(len(u), dtype=bool)
+            for s_, n_ in runs:
+                fr = None
+                for gi in range(s_, s_ + n_):
+                    pdocs, pvals, plens = pos_by_gi.get(
+                        gi, (znil, znil, znil))
+                    if len(pdocs) == 0:
+                        fr = znil
+                        break
+                    dk = (pdocs - d0) << np.int64(32)
+                    if fr is None:
+                        fr = np.unique(dk | (pvals + plens))
+                    else:
+                        sel_ = np.isin(dk | pvals, fr)
+                        fr = np.unique((dk | (pvals + plens))[sel_])
+                    if len(fr) == 0:
+                        break
+                vdocs = (np.unique(fr >> np.int64(32)) + d0) \
+                    if fr is not None and len(fr) else znil
+                if s_ in not_set:
+                    if len(vdocs):
+                        keep &= ~np.isin(u, vdocs)
+                elif s_ in must_set:
+                    keep &= np.isin(u, vdocs)
+                else:
+                    # optional phrase: fold ITS groups' scores (ordered
+                    # within the run) and add the folded side only for
+                    # verified docs — exactly the exhaustive path's
+                    # coalesce(base,0)+coalesce(side,0) summation
+                    inV = np.isin(u, vdocs) if len(vdocs) \
+                        else np.zeros(len(u), dtype=bool)
+                    in_any |= inV
+                    rdocs = [d for g_, d, _s in srun_docs
+                             if s_ <= g_ < s_ + n_]
+                    if rdocs and inV.any():
+                        rsc = np.zeros(len(u), np.float64)
+                        np.add.at(
+                            rsc,
+                            np.searchsorted(u, np.concatenate(rdocs)),
+                            np.concatenate(
+                                [s for g_, _d, s in srun_docs
+                                 if s_ <= g_ < s_ + n_]))
+                        sc = np.where(inV, sc + rsc, sc)
+            if has_sruns and not musts and msm >= 1:
+                # no-must admission: ≥ msm base should groups OR a
+                # verified optional phrase (the exhaustive path's
+                # full-outer-join membership)
+                ds = [d for d, m_ in zip(gdocs, gkinds) if not m_]
+                cnt = np.zeros(len(u), np.int64)
+                if ds:
+                    cnt = np.bincount(
+                        np.searchsorted(u, np.concatenate(ds)),
+                        minlength=len(u))
+                keep &= (cnt >= msm) | in_any
         if deleted is not None:
             # liveDocs mask BEFORE heap admission: a deleted doc must
             # never displace a live one from the shard's top-k. Window
@@ -1349,7 +1464,7 @@ def _wand_topk(spark: SparkSession, store: IndexStore, meta,
     cols = ["term", "shard", "first_doc", "last_doc", "n_docs",
             "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes",
             "imp_bytes"]
-    if phrase:
+    if phrase or plan.phrase_runs:
         cols += ["pos_bytes", "pl_bytes"]
     blocks = store.segments(spark) \
         .filter(F.col("term").isin(plan.terms)).select(*cols)

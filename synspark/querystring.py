@@ -67,7 +67,8 @@ from pyspark.sql import functions as F
 
 from .index_store import IndexStore
 from .multiterm import fuzzy_terms
-from .query import _wand_topk, match_ids, plan_bool, prefix_terms
+from .query import (_wand_topk, analyze_query, match_ids, plan_bool,
+                    prefix_terms)
 from .synonyms import SynonymDict
 from .tokenizer import TokenizerConfig
 
@@ -205,19 +206,45 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
     — or ``None`` when an empty required expansion proves the query
     matches nothing (a must prefix/fuzzy with no dictionary terms).
 
-    ``keep_optional_phrases=True`` (the exhaustive-mode hook): bare
-    phrases under default_operator='or' are NOT promoted to must;
-    instead the return grows a 5th element — ``[(text, boost, slop)]``
-    of the optional phrases — and the plan/gates cover only the other
-    clauses."""
+    Round 6: slop-0 phrases no longer spawn separate ``match_ids``
+    jobs. Every clause pre-analyzes to its per-position groups on the
+    driver, the plan records each phrase's contiguous group slice in
+    ``plan.phrase_runs``, and the WAND workers verify adjacency inside
+    the ONE grouped-map pass (VERDICT r05 task #2 — the Lucene
+    SloppyPhraseMatcher-in-the-scorer shape). Scores and result sets
+    are identical: the same groups fold in the same order, and the
+    in-worker token-graph walk is the same frontier ``phrase=True``
+    runs. Sloppy phrases (slop > 0) keep the distributed id-set gate.
+
+    ``keep_optional_phrases=True`` (optional-phrase mode): bare
+    phrases under default_operator='or' are NOT promoted to must.
+    Slop-0 optional phrases become 's' runs — scored in-worker only
+    when their adjacency verifies — and the return grows a 5th element
+    ``[(text, boost, slop)]`` holding ONLY the sloppy leftovers (plus
+    the 6th, the must_not clause list for the exhaustive fallback).
+    When any phrase needs the exhaustive path, NO phrase becomes a run
+    (the score-all scorer cannot gate runs), preserving the legacy
+    compose-of-passes execution."""
     if default_operator not in ("or", "and"):
         raise ValueError("default_operator must be 'or' or 'and'")
     bare = "must" if default_operator == "and" else "should"
     clauses = parse_query_string(qs)
     if not clauses:
         raise ValueError("empty query_string")
+    meta_cfg = cfg or TokenizerConfig(**store.meta().cfg)
+    # runs are representable only when the plan reaches _wand_shard;
+    # a sloppy OPTIONAL phrase forces the exhaustive score-all path,
+    # whose scorer ignores phrase_runs — so then every phrase stays on
+    # the legacy gating (match_ids / opt list)
+    use_runs = not (keep_optional_phrases and
+                    any(c.kind == "phrase" and c.slop > 0 and
+                        (c.occur or bare) == "should"
+                        for c in clauses))
     must, should, must_not = [], [], []
     bucket = {"must": must, "should": should, "must_not": must_not}
+    # phrase runs per bucket: (offset, n_groups) into that bucket's
+    # pre-expanded group list
+    runs_in = {"must": [], "should": [], "must_not": []}
     preds: list[str] = []
     allow_df: DataFrame | None = None
     exclude_df: DataFrame | None = None
@@ -232,7 +259,21 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
             preds.append(_meta_pred(c))
             continue
         if c.kind == "phrase":
-            if keep_optional_phrases and occur == "should":
+            optional = keep_optional_phrases and occur == "should"
+            if use_runs and c.slop == 0:
+                pgroups = analyze_query(c.text, meta_cfg, syn)
+                dest = occur if optional or occur == "must_not" \
+                    else "must"          # non-optional positive: promote
+                if not pgroups:
+                    if dest == "must":
+                        return None      # required phrase matches nothing
+                    if optional:
+                        dropped_scoring += 1
+                    continue             # vacuous must_not / optional
+                runs_in[dest].append((len(bucket[dest]), len(pgroups)))
+                bucket[dest].extend((g, c.boost) for g in pgroups)
+                continue
+            if optional:
                 opt_phrases.append((c.text, c.boost, c.slop))
                 continue
             ids = match_ids(spark, store, c.text, mode="and",
@@ -244,7 +285,9 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
             else:
                 allow_df = ids if allow_df is None else \
                     allow_df.join(ids, "doc_id", "semi")
-                must.append((c.text, c.boost))
+                must.extend((g, c.boost)
+                            for g in analyze_query(c.text, meta_cfg,
+                                                   syn))
             continue
         if c.kind == "prefix":
             terms = prefix_terms(spark, store, c.text, max_expansions)
@@ -253,7 +296,9 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
                      fuzzy_terms(spark, store, c.text, c.fuzziness,
                                  max_expansions=max_expansions)]
         else:
-            bucket[occur].append((c.text, c.boost))
+            bucket[occur].extend(
+                (g, c.boost)
+                for g in analyze_query(c.text, meta_cfg, syn))
             continue
         if not terms:
             if occur == "must":
@@ -262,6 +307,7 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
                 dropped_scoring += 1   # vacuous optional clause
             continue                   # vacuous should / must_not
         bucket[occur].append((terms, c.boost))
+    has_srun = bool(runs_in["should"])
     if not (must or should or opt_phrases):
         if dropped_scoring:
             # the user DID give scoring clauses — they just expand to
@@ -275,13 +321,26 @@ def compile_query_string(spark: SparkSession, store: IndexStore,
     plan = plan_bool(spark, store, must or None, should or None,
                      must_not or None, syn=syn, cfg=cfg) \
         if (must or should) else None
+    if plan is not None:
+        # bucket-local run offsets -> global group indices (plan_bool
+        # orders groups must, should, must_not)
+        runs = [(off, n) for off, n in runs_in["must"]]
+        runs += [(len(must) + off, n) for off, n in runs_in["should"]]
+        runs += [(len(must) + len(should) + off, n)
+                 for off, n in runs_in["must_not"]]
+        plan.phrase_runs = runs or None
+    # a must_not-phrase-only query has no plan; its exclusion set was
+    # routed via match_ids above only when use_runs was off — with
+    # runs on and no plan we cannot gate, but that state is impossible
+    # here: runs imply groups, groups imply a plan unless the run was
+    # must_not-only and the query had no scoring clause, which raised.
     where = " AND ".join(f"({p})" for p in preds) if preds else None
     if doc_where is not None:
         where = f"({doc_where})" if where is None \
             else f"{where} AND ({doc_where})"
     if keep_optional_phrases:
         return (plan, where, allow_df, exclude_df, opt_phrases,
-                list(must_not))
+                [g for g, _b in must_not])
     return plan, where, allow_df, exclude_df
 
 
@@ -310,9 +369,25 @@ def query_string(spark: SparkSession, store: IndexStore, qs: str,
         if after is not None:
             raise ValueError("after-pagination is not supported with "
                              "optional_phrases=True")
+        compiled = compile_query_string(
+            spark, store, qs, default_operator, max_expansions, syn,
+            cfg, doc_where, keep_optional_phrases=True)
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        if compiled is None:
+            return empty
+        plan, where, allow_df, exclude_df, phrases, not_clauses = \
+            compiled
+        if not phrases:
+            # every phrase is a slop-0 run: ONE WAND pass, the workers
+            # gate/score each phrase slice in place (round 6; was the
+            # exhaustive score-all path for every optional phrase)
+            if plan is None:
+                return empty
+            return _wand_topk(spark, store, store.meta(), plan, k,
+                              "or", False, None, where, allow_df,
+                              exclude_df)
         return _query_string_exhaustive(
-            spark, store, qs, k, default_operator, max_expansions,
-            syn, cfg, doc_where)
+            spark, store, k, compiled, syn, cfg)
     compiled = compile_query_string(spark, store, qs,
                                     default_operator, max_expansions,
                                     syn, cfg, doc_where)
@@ -325,25 +400,19 @@ def query_string(spark: SparkSession, store: IndexStore, qs: str,
 
 
 def _query_string_exhaustive(spark: SparkSession, store: IndexStore,
-                             qs: str, k: int, default_operator: str,
-                             max_expansions: int, syn, cfg,
-                             doc_where: str | None) -> DataFrame:
-    """Optional-phrase execution: score the non-phrase plan and each
-    should-phrase's gram plan with the declarative score-all scorer,
-    gate each phrase side by its adjacency id set, and fold the sides
-    in FIXED clause order via outer joins (deterministic float
-    summation). Must/filter gates keep docs restricted to the base
-    side's survivors; must_not (terms and phrases) excludes globally.
-    """
+                             k: int, compiled, syn, cfg) -> DataFrame:
+    """Optional-phrase execution for SLOPPY optional phrases (slop-0
+    ones ride the WAND workers as runs — see ``query_string``): score
+    the non-phrase plan and each should-phrase's gram plan with the
+    declarative score-all scorer, gate each phrase side by its
+    adjacency id set, and fold the sides in FIXED clause order via
+    outer joins (deterministic float summation). Must/filter gates
+    keep docs restricted to the base side's survivors; must_not
+    (terms and phrases) excludes globally."""
     from .query import analyze_query, match_ids, plan_query, \
         score_matches
     from .tokenizer import TokenizerConfig
-    compiled = compile_query_string(
-        spark, store, qs, default_operator, max_expansions, syn, cfg,
-        doc_where, keep_optional_phrases=True)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if compiled is None:
-        return empty
     plan, where, allow_df, exclude_df, phrases, not_clauses = compiled
     meta = store.meta()
     cfg = cfg or TokenizerConfig(**meta.cfg)

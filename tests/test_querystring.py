@@ -346,3 +346,50 @@ def test_optional_and_must_phrase_mix(spark, qst):
             assert s > base[d]
         else:
             assert s == pytest.approx(base[d], rel=1e-9)
+
+
+def test_phrase_runs_in_worker_equal_legacy_gating(spark, qst):
+    """Round 6: slop-0 phrases verify INSIDE the WAND workers
+    (plan.phrase_runs) instead of separate match_ids jobs. Pin (a) the
+    compiled plan shape — runs recorded, no id-set gates spawned — and
+    (b) exact (doc_id, score) parity with the legacy compose-of-passes
+    execution rebuilt by hand."""
+    from synspark.query import _wand_topk, match_ids
+    from synspark.querystring import compile_query_string
+    qs = '+data "key order" -"slow scan" lang:en sort^2'
+    plan, where, allow_df, exclude_df = \
+        compile_query_string(spark, qst, qs)
+    assert plan.phrase_runs and len(plan.phrase_runs) == 2
+    assert allow_df is None and exclude_df is None
+    kinds_at = [plan.kinds[s] for s, _n in plan.phrase_runs]
+    assert sorted(kinds_at) == ["m", "n"]
+    got = _pairs(query_string(spark, qst, qs, k=300))
+    # legacy execution: same scoring groups, id-set gates from
+    # match_ids (slop>0 phrases still run this path in production)
+    lplan = plan_bool(spark, qst,
+                      must=[("data", 1.0), ("key order", 1.0)],
+                      should=[("sort", 2.0)], cfg=CFG)
+    allow = match_ids(spark, qst, "key order", mode="and", phrase=True)
+    excl = match_ids(spark, qst, "slow scan", mode="and", phrase=True)
+    want = _pairs(_wand_topk(spark, qst, qst.meta(), lplan, 300, "or",
+                             False, None, where, allow, excl))
+    assert got == want
+
+
+def test_optional_phrase_runs_equal_exhaustive(spark, qst):
+    """Slop-0 optional phrases ride the WAND pass as 's' runs; a
+    sloppy optional phrase forces the legacy exhaustive path. Both
+    executions must produce identical (doc_id, score) lists — '"key
+    order"~0' and '"key order"~1' differ only where slop-1 adjacency
+    genuinely differs, so compare the ~0 fast path against the
+    exhaustive path forced via an equivalent sloppy query that has the
+    same matches (slop 0 phrase + a dummy sloppy phrase that matches
+    nothing)."""
+    fast = _pairs(query_string(spark, qst, 'merge "key order"', k=300,
+                               optional_phrases=True))
+    # 'zz qq' (two 1-gram blocks) matches nothing, but its slop>0
+    # forces EVERY phrase onto the exhaustive path
+    slow = _pairs(query_string(spark, qst,
+                               'merge "key order" "zz qq"~1',
+                               k=300, optional_phrases=True))
+    assert fast and fast == slow
