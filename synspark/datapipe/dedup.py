@@ -371,21 +371,18 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         import hashlib
-        import re
-        splitter = re.compile("[ \t\n\r　]+")
         n = len(texts)
-        doc_idx, flat = [], []
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            ws = [w for w in splitter.split(t.lower()) if w]
-            doc_idx.extend([i] * len(ws))
-            flat.extend(ws)
         out = np.zeros(n, dtype=np.int64)
-        if not flat:
+        # vectorized tokenize (round 6, VERDICT r05 #7): lower + regex
+        # split + explode run in pandas' C string paths instead of a
+        # per-doc Python loop; the exploded index IS the doc index
+        ex = (texts.reset_index(drop=True).str.lower()
+              .str.split("[ \t\n\r　]+", regex=True).explode())
+        ex = ex[ex.notna() & (ex != "")]
+        if not len(ex):
             return pd.Series(out)
-        doc_arr = np.asarray(doc_idx, dtype=np.int64)
-        uw, winv = np.unique(np.asarray(flat, dtype=object),
+        doc_arr = ex.index.to_numpy(dtype=np.int64)
+        uw, winv = np.unique(ex.to_numpy(dtype=object),
                              return_inverse=True)
         # set semantics per doc: dedupe (doc, word) pairs
         upair = np.unique(doc_arr * np.int64(len(uw)) + winv)
