@@ -151,7 +151,8 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4,
 
 def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
                   id_col: str = "doc_id",
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  _candidates_ready: bool = False) -> DataFrame:
     """Exact n-gram Jaccard for doc pairs: |A∩B| via self-join on
     shingle, |A∪B| from doc shingle counts. Pair key ordered (a < b)
     to avoid dupes.
@@ -183,8 +184,11 @@ def jaccard_pairs(shingles: DataFrame, candidates: DataFrame | None = None,
         # (.distinct() preserves the one-row-per-pair output the old
         # groupBy plan guaranteed even for callers passing duplicate
         # candidate rows; extra candidate columns are dropped so they
-        # cannot collide with join-side names)
-        candidates = _ckpt(candidates.select("a", "b").distinct())
+        # cannot collide with join-side names. ``_candidates_ready``
+        # is the internal fast path for callers — dedup_drop_list —
+        # that already hold a checkpointed, distinct (a, b) frame.)
+        if not _candidates_ready:
+            candidates = _ckpt(candidates.select("a", "b").distinct())
         cdocs = (candidates.select(F.col("a").alias(id_col))
                  .union(candidates.select(F.col("b").alias(id_col)))
                  .distinct())
@@ -286,7 +290,8 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     sh_cand = word_shingles(survivors.join(cand_docs, id_col, "leftsemi"),
                             shingle_k, text_col, id_col)
     near_drop = (jaccard_pairs(sh_cand, candidates=cand, id_col=id_col,
-                               threshold=threshold)
+                               threshold=threshold,
+                               _candidates_ready=True)
                  .select(F.col("b").alias(id_col),
                          F.lit("near").alias("reason")))
     return (exact_drop.unionByName(near_drop)

@@ -333,10 +333,33 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     # for the 100k-doc auto-shard build at local[32], guide §2.2:
     # fewer, larger map tasks). A user-specified range repartition is
     # exempt from AQE coalescing, like the hash route it replaces.
+    #
+    # When the caller fixes n_shards BELOW the core count (the bench's
+    # 8-shard documents build on local[32]), route by f sub-ranges per
+    # shard instead, so tokenize+encode runs on every core. Each
+    # sub-range is a contiguous doc slice wholly inside one shard
+    # (n_subs = f·n_shards and ⌊⌊d·n_subs/N⌋/f⌋ = ⌊d·n_shards/N⌋), so
+    # a worker still emits complete per-shard segment rows for ITS doc
+    # slice — exactly the multi-segment-per-shard shape every
+    # ``append_to_index`` batch already produces, which all readers
+    # (WAND first_doc-sorted block walk, df sums, merges, compaction)
+    # handle by construction. Blocks from different slices cover
+    # disjoint doc ranges, so per-term df/impact/skip metadata stays
+    # exact.
+    par = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    f = max(1, par // max(n_shards, 1))
     routed = (docs.select(id_col, text_col)
               .withColumn("shard", ((F.col(id_col) * F.lit(n_shards))
-                                    / F.lit(nd)).cast("int"))
-              .repartitionByRange(n_shards, "shard"))
+                                    / F.lit(nd)).cast("int")))
+    if f > 1:
+        routed = (routed
+                  .withColumn("_sub",
+                              ((F.col(id_col) * F.lit(n_shards * f))
+                               / F.lit(nd)).cast("int"))
+                  .repartitionByRange(n_shards * f, "_sub")
+                  .drop("_sub"))
+    else:
+        routed = routed.repartitionByRange(n_shards, "shard")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         interner = _Interner(cfg_tuple, syn_local, filt)

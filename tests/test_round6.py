@@ -1,0 +1,95 @@
+"""Round-6 optimization pins: layout-preserving routing changes and
+fan-out fixes must not change ANY observable result.
+
+- sub-range encode routing (indexer.build_segments_maponly): when
+  n_shards < cores, each shard's docs split into f contiguous
+  sub-ranges encoded by separate workers — the same
+  multi-segment-per-shard shape append batches produce. Pin that a
+  1-shard build (maximum split: every worker a sub-range of shard 0)
+  is query-identical to the logical single-encoder result.
+- percolate fan-out: an under-split batch input is spread to
+  defaultParallelism partitions before the tokenize pass; a streaming
+  frame is left untouched (zero-shuffle statelessness contract).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from synspark.index_store import build_index
+from synspark.query import count_matches, search
+from synspark.tokenizer import TokenizerConfig
+
+CFG = TokenizerConfig(n=2, expand=False, ignore_case=True)
+
+
+def _corpus(spark, n=300):
+    rows = [(i, " ".join(["data sort merge key order scan"
+                          .split()[j] for j in range(6)
+                          if (i >> j) & 1] or ["data"])
+             + f" tail{i % 7}")
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_subsplit_build_is_query_identical(spark, tmp_path):
+    """n_shards=1 on local[4] forces f=4 sub-ranges: four workers each
+    encode a doc slice of the SAME shard. Query results, term dfs and
+    doc counts must equal the unsplit logical index."""
+    corpus = _corpus(spark)
+    store = build_index(spark, corpus, str(tmp_path / "one"),
+                        cfg=CFG, n_shards=1, resume=False)
+    # the physical layout really is multi-segment per shard
+    segs = store.segments(spark)
+    assert segs.select("shard").distinct().count() == 1
+    meta = store.meta()
+    assert meta.n_docs == 300
+    # df per term == per-doc distinct occurrence count from the corpus
+    from synspark.indexer import tokenize_corpus
+    toks = tokenize_corpus(corpus, CFG, None)
+    want_df = {r["term"]: r["df"] for r in
+               toks.select("term", "doc_id").distinct()
+               .groupBy("term").agg(F.count("*").alias("df"))
+               .collect()}
+    got_df = store.term_dfs(spark, sorted(want_df),
+                            build_id=meta.build_id)
+    assert got_df == want_df
+    # top-k and phrase counts agree with a 4-shard reference build
+    ref = build_index(spark, corpus, str(tmp_path / "four"),
+                      cfg=CFG, n_shards=4, resume=False)
+    for q, mode, phrase in [("data sort", "and", False),
+                            ("merge scan", "or", False),
+                            ("key order", "and", True)]:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             search(spark, store, q, k=25, mode=mode,
+                    phrase=phrase).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             search(spark, ref, q, k=25, mode=mode,
+                    phrase=phrase).collect()]
+        assert a == b and a
+        ca = count_matches(spark, store, q, mode=mode,
+                           phrase=phrase).collect()[0][0]
+        cb = count_matches(spark, ref, q, mode=mode,
+                           phrase=phrase).collect()[0][0]
+        assert ca == cb
+
+
+def test_percolate_spread_partitions(spark):
+    """Batch inputs with fewer partitions than cores are spread; the
+    result set is unchanged by the spread."""
+    from synspark.percolate import _spread, percolate, register_queries
+    docs = _corpus(spark, 40).withColumnRenamed("content", "c") \
+        .coalesce(1)
+    spread = _spread(docs, "doc_id", "c")
+    assert spread.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    reg = register_queries(spark, [(1, "data sort", "and"),
+                                   (2, "key order", "msm", 2)], CFG)
+    got = sorted(tuple(r) for r in
+                 percolate(spark, reg, docs, CFG, text_col="c")
+                 .collect())
+    # reference: same match computed on a well-partitioned frame
+    got2 = sorted(tuple(r) for r in
+                  percolate(spark, reg, docs.repartition(4), CFG,
+                            text_col="c").collect())
+    assert got == got2 and got
