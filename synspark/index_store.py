@@ -618,8 +618,26 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                 token_filter=token_filter)
             if len(missing) < n_shards:
                 segs = segs.filter(F.col("shard").isin(missing))
-            # already partitioned by shard + term-sorted by the worker
-            write_df = segs
+            # one task per shard ⇒ one term-sorted file per shard dir.
+            # With sub-range routing active (n_shards below the core
+            # count — indexer round 6) each shard's f sub-encoders
+            # would otherwise each write a file: f× parquet footers
+            # for EVERY later query's segment scan (measured ~+10% on
+            # 0.4 s queries). The encoded rows are tiny next to the
+            # tokenized input, so one exchange of them restores the
+            # 1-file-per-shard layout while tokenize+encode keeps all
+            # cores (§8: decide/encode on all cores, move the compact
+            # result once).
+            f_sub = max(1, spark.sparkContext.defaultParallelism
+                        // max(n_shards, 1))
+            if f_sub > 1:
+                write_df = (segs.repartition(max(len(missing), 1),
+                                             "shard")
+                            .sortWithinPartitions("term", "salt",
+                                                  "block_seq"))
+            else:
+                # already partitioned by shard + term-sorted in-worker
+                write_df = segs
         else:
             tokens = tokenize_corpus(docs, cfg, syn, text_col=text_col,
                                      token_filter=token_filter).persist()
