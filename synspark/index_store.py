@@ -628,8 +628,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
             # 1-file-per-shard layout while tokenize+encode keeps all
             # cores (§8: decide/encode on all cores, move the compact
             # result once).
-            f_sub = max(1, spark.sparkContext.defaultParallelism
-                        // max(n_shards, 1))
+            from .codec import BLOCK_DOCS as _bd
+            f_sub = max(1, min(spark.sparkContext.defaultParallelism
+                               // max(n_shards, 1),
+                               (n_docs // max(n_shards, 1))
+                               // (50 * _bd)))
             if f_sub > 1:
                 write_df = (segs.repartition(max(len(missing), 1),
                                              "shard")

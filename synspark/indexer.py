@@ -334,20 +334,25 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     # fewer, larger map tasks). A user-specified range repartition is
     # exempt from AQE coalescing, like the hash route it replaces.
     #
-    # When the caller fixes n_shards BELOW the core count (the bench's
-    # 8-shard documents build on local[32]), route by f sub-ranges per
-    # shard instead, so tokenize+encode runs on every core. Each
-    # sub-range is a contiguous doc slice wholly inside one shard
-    # (n_subs = f·n_shards and ⌊⌊d·n_subs/N⌋/f⌋ = ⌊d·n_shards/N⌋), so
-    # a worker still emits complete per-shard segment rows for ITS doc
-    # slice — exactly the multi-segment-per-shard shape every
+    # When the caller fixes n_shards BELOW the core count (an 8-shard
+    # build on local[32]), route by f sub-ranges per shard instead, so
+    # tokenize+encode runs on every core. Each sub-range is a
+    # contiguous doc slice wholly inside one shard (n_subs =
+    # f·n_shards and ⌊⌊d·n_subs/N⌋/f⌋ = ⌊d·n_shards/N⌋), so a worker
+    # still emits complete per-shard segment rows for ITS doc slice —
+    # exactly the multi-segment-per-shard shape every
     # ``append_to_index`` batch already produces, which all readers
     # (WAND first_doc-sorted block walk, df sums, merges, compaction)
     # handle by construction. Blocks from different slices cover
     # disjoint doc ranges, so per-term df/impact/skip metadata stays
-    # exact.
+    # exact. Splitting is gated on shard SIZE: every sub-range ends
+    # with a partial posting block per term, so f is capped at one
+    # sub-split per 50 block-widths of docs (≤ ~2% extra blocks for
+    # full-df terms) — undersized shards encode unsplit rather than
+    # trade query-time block count for build parallelism.
     par = max(1, docs.sparkSession.sparkContext.defaultParallelism)
-    f = max(1, par // max(n_shards, 1))
+    f = max(1, min(par // max(n_shards, 1),
+                   (nd // max(n_shards, 1)) // (50 * block_docs)))
     routed = (docs.select(id_col, text_col)
               .withColumn("shard", ((F.col(id_col) * F.lit(n_shards))
                                     / F.lit(nd)).cast("int")))

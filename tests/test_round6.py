@@ -32,18 +32,37 @@ def _corpus(spark, n=300):
     return spark.createDataFrame(rows, "doc_id long, content string")
 
 
+# sub-splitting gates on shard size (≥ 50 block-widths per sub-range):
+# 13k docs in ONE shard clears it (f=2 on local[4]); the 4-shard
+# reference (3.25k docs/shard) stays unsplit — both layouts build from
+# the same corpus and must agree exactly
+N_DOCS = 13_000
+
+
 def test_subsplit_build_is_query_identical(spark, tmp_path):
-    """n_shards=1 on local[4] forces f=4 sub-ranges: four workers each
-    encode a doc slice of the SAME shard. Query results, term dfs and
-    doc counts must equal the unsplit logical index."""
-    corpus = _corpus(spark)
+    """n_shards=1 on local[4] with a large-enough shard forces f=2
+    sub-ranges: two workers each encode a doc slice of the SAME shard.
+    Query results, term dfs and doc counts must equal the unsplit
+    logical index."""
+    corpus = _corpus(spark, N_DOCS)
     store = build_index(spark, corpus, str(tmp_path / "one"),
                         cfg=CFG, n_shards=1, resume=False)
-    # the physical layout really is multi-segment per shard
+    # the split really is active for this shape: the encode frame
+    # routes by the _sub range key (plan-asserted), and the 4-shard
+    # reference below stays on plain shard routing (gate: too small)
+    from synspark.indexer import build_segments_maponly
+    plan_split = build_segments_maponly(
+        corpus, CFG, None, n_docs=N_DOCS, n_shards=1) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "_sub" in plan_split
+    plan_ref = build_segments_maponly(
+        corpus, CFG, None, n_docs=N_DOCS, n_shards=4) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "_sub" not in plan_ref
     segs = store.segments(spark)
     assert segs.select("shard").distinct().count() == 1
     meta = store.meta()
-    assert meta.n_docs == 300
+    assert meta.n_docs == N_DOCS
     # df per term == per-doc distinct occurrence count from the corpus
     from synspark.indexer import tokenize_corpus
     toks = tokenize_corpus(corpus, CFG, None)
