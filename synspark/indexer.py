@@ -350,6 +350,16 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
     # sub-split per 50 block-widths of docs (≤ ~2% extra blocks for
     # full-df terms) — undersized shards encode unsplit rather than
     # trade query-time block count for build parallelism.
+    # Routing choice, measured both ways at local[32] (interleaved):
+    # the 4x hash spread is cheapest while its empty partitions are few
+    # (n_shards=8: hash 2.97s vs range 3.15s — range pays an extra
+    # sampling pass over the input and its latency spikes under load),
+    # but collapses once empties multiply (n_shards=32: hash 8.98s vs
+    # range 3.42s; auto-shard 128: 9.68s vs 4.74s — 3·n_shards empty
+    # mapInPandas tasks each pay the Python worker round trip). So:
+    # hash spread while 4·n_shards fits the core budget, range beyond
+    # it, and range on the _sub key when sub-splitting is active
+    # (n_subs ≈ cores ⇒ a 4x spread would be mostly empties).
     par = max(1, docs.sparkSession.sparkContext.defaultParallelism)
     f = max(1, min(par // max(n_shards, 1),
                    (nd // max(n_shards, 1)) // (50 * block_docs)))
@@ -363,6 +373,8 @@ def build_segments_maponly(docs: DataFrame, cfg: TokenizerConfig,
                                / F.lit(nd)).cast("int"))
                   .repartitionByRange(n_shards * f, "_sub")
                   .drop("_sub"))
+    elif n_shards * 4 <= par:
+        routed = routed.repartition(n_shards * 4, "shard")
     else:
         routed = routed.repartitionByRange(n_shards, "shard")
 
