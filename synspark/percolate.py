@@ -131,22 +131,40 @@ def percolate(spark: SparkSession, reg: DataFrame, docs: DataFrame,
         n, expand, ignore_case = cfg.n, cfg.expand, cfg.ignore_case
 
         def run(batches):
-            from .tokenizer import tokenize as _tok
+            from .tokenizer import _tokenize_block, blocks
             cfg_l = TokenizerConfig(n=n, expand=expand,
                                     ignore_case=ignore_case)
+            delims = cfg_l.delimiters
             terms_map, req_l = bc.value
+            # percolation only needs each doc's DISTINCT matched query
+            # terms, so tokenize per BLOCK with the indexer's memo
+            # shape and cache each block's matching (qid, gid) hits —
+            # real corpora repeat blocks heavily, so most blocks cost
+            # one dict lookup instead of a re-tokenize (round 6,
+            # guide §4.5 amortized per-task state)
+            hit_cache: dict = {}
+
+            def block_hits(block):
+                hits = hit_cache.get(block)
+                if hits is None:
+                    hits = tuple(
+                        e for w in
+                        {t[0] for t in _tokenize_block(
+                            block, n, expand, ignore_case, syn,
+                            cfg_l.emit_short_blocks)}
+                        for e in terms_map.get(w, ()))
+                    if len(hit_cache) < 65536:
+                        hit_cache[block] = hits
+                return hits
+
             for pdf in batches:
                 out_id, out_q = [], []
                 for did, body in zip(pdf[id_col], pdf[text_col]):
                     if not body:
                         continue
                     hit: dict[int, set[int]] = {}
-                    seen: set[str] = set()
-                    for w, *_ in _tok(body, cfg_l, syn):
-                        if w in seen:
-                            continue
-                        seen.add(w)
-                        for qid, gid in terms_map.get(w, ()):
+                    for _bs, block in blocks(body, delims):
+                        for qid, gid in block_hits(block):
                             hit.setdefault(qid, set()).add(gid)
                     for qid, gids in hit.items():
                         if len(gids) >= req_l[qid]:
