@@ -699,15 +699,24 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
                  _digest_expr())
             .collect())
 
+    obs_dl: list = []
+
     def _docstats_job():
         if layout == "doc" and (missing or
                                 not _usable_stats_dir(store.path
                                                       / "docstats")):
+            # observe sum(dl) DURING the write (round 6): the avgdl
+            # finisher otherwise re-reads the docstats parquet it just
+            # wrote only to sum one column — a whole extra job
+            from pyspark.sql import Observation
+            obs = Observation()
             (decode_docstats_rows(
                 segs_all.filter(F.col("term") == DOCSTATS_TERM))
              .withColumn("batch", F.lit(INITIAL_BATCH))
+             .observe(obs, F.sum("dl").alias("total_dl"))
              .write.mode("overwrite").partitionBy("batch")
              .parquet(str(store.path / "docstats")))
+            obs_dl.append(int(obs.get["total_dl"] or 0))
 
     def _termstats_job():
         if missing or not _usable_stats_dir(ts_dir):
@@ -740,9 +749,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, out_dir: str,
         store._write_manifest(manifest)
 
     with _timed("C.avgdl"):
-        row = spark.read.parquet(str(store.path / "docstats")) \
-            .agg(F.sum("dl").alias("total_dl")).collect()[0]
-    total_dl = int(row["total_dl"] or 0)
+        if obs_dl:
+            total_dl = obs_dl[0]   # observed during the docstats write
+        else:                      # resume / term layout: read stats
+            row = spark.read.parquet(str(store.path / "docstats")) \
+                .agg(F.sum("dl").alias("total_dl")).collect()[0]
+            total_dl = int(row["total_dl"] or 0)
     bid = manifest["shards"].get("0", {}).get("build_id", uuid.uuid4().hex)
     batches = {}
     if batch_tag is not None:
