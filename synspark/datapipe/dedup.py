@@ -469,9 +469,9 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     # and a C-way union (round-6: 4 joins + union = 128-task stages at
     # sf1.0; one join halves the wall time of the candidate step).
     s = _ckpt(sim.select(id_col, "simhash", *blocks))
+    combos = list(combinations(range(n_blocks), blocks_per_key))
     combo_entries = []
-    for ci, combo in enumerate(combinations(range(n_blocks),
-                                            blocks_per_key)):
+    for ci, combo in enumerate(combos):
         if blocks_per_key == 1:  # int key (cheaper than strings)
             key = F.col(f"c{combo[0]}").cast("long")
         else:
@@ -482,12 +482,19 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
                     F.col(f"c{c}").cast("long"))
         combo_entries.append(F.struct(F.lit(ci).alias("combo"),
                                       key.alias("key")))
-    keyed = s.select(id_col, "simhash",
-                     F.explode(F.array(*combo_entries)).alias("ck"))
+    # round 6b: the (combo, key) struct is flattened to two plain
+    # columns BEFORE the exchange — struct join keys push the shuffle
+    # hash/sort and the sort-merge comparator out of codegen into
+    # interpreted orderings (measured ~1.4x on this join at a 50k-doc
+    # sf1.0 twin; flat (int, long) keys stay vectorized end to end)
+    keyed = (s.select(id_col, "simhash",
+                      F.explode(F.array(*combo_entries)).alias("ck"))
+             .select(id_col, "simhash", F.col("ck.combo").alias("_combo"),
+                     F.col("ck.key").alias("_key")))
     a = keyed.select(F.col(id_col).alias("a"),
-                     F.col("simhash").alias("ha"), "ck")
+                     F.col("simhash").alias("ha"), "_combo", "_key")
     b = keyed.select(F.col(id_col).alias("b"),
-                     F.col("simhash").alias("hb"), "ck")
+                     F.col("simhash").alias("hb"), "_combo", "_key")
     # hamming filter BEFORE the dedup shuffle: the bucket join's raw
     # pair volume is quadratic in bucket population (240M pair rows at
     # sf1.0 — templated text makes block values hot), and the filter
@@ -495,9 +502,36 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     # row-identical to distinct-then-filter. The filter runs inside
     # the join's codegen stage; only the surviving near-dup pairs ever
     # reach an exchange (guide §2.3: shuffle fewer bytes).
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (a.join(b, "ck").filter(F.col("a") < F.col("b"))
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("a", "b", "hamming")
-            .distinct())
+    x = F.col("ha").bitwiseXOR(F.col("hb"))
+    ham = F.bit_count(x)
+    j = (a.join(b, ["_combo", "_key"]).filter(F.col("a") < F.col("b"))
+         .withColumn("hamming", ham)
+         .filter(F.col("hamming") <= max_hamming))
+    if len(combos) <= 8:
+        # round 6b: emit each surviving pair ONLY from its FIRST
+        # colliding combo table instead of deduping afterwards — a
+        # pair with hamming <= max_hamming collides wherever all of a
+        # combo's key blocks are zero in x = ha XOR hb, a per-row
+        # predicate, so the join output is unique by construction and
+        # the .distinct() exchange (the old plan shuffled every
+        # surviving doc pair times its combo multiplicity — tens of
+        # millions of rows at sf1.0) disappears entirely (guide §2.3:
+        # dedupe before the shuffle; here the dedup is free). Kept as
+        # a WHEN chain over the combo id: the chain is O(C^2) in
+        # expression terms, trivial at the default C(4,1)=4 but a
+        # multi-second Catalyst/codegen tax by C=35, hence the C-cap
+        # with the classic distinct as the wide-C fallback.
+        bz = [F.shiftrightunsigned(x, width * c)
+              .bitwiseAND(F.lit(mask)) == 0 for c in range(n_blocks)]
+        from functools import reduce
+        cexp = F.when(F.col("_combo") == 0, F.lit(True))
+        for ci in range(1, len(combos)):
+            not_earlier = reduce(
+                lambda p, q: p & q,
+                [~reduce(lambda u, v: u & v,
+                         [bz[c] for c in combos[cj]])
+                 for cj in range(ci)])
+            cexp = cexp.when(F.col("_combo") == ci, not_earlier)
+        return (j.filter(cexp.otherwise(F.lit(False)))
+                .select("a", "b", "hamming"))
+    return j.select("a", "b", "hamming").distinct()

@@ -112,3 +112,32 @@ def test_percolate_spread_partitions(spark):
                   percolate(spark, reg, docs.repartition(4), CFG,
                             text_col="c").collect())
     assert got == got2 and got
+
+
+def test_simhash_first_combo_emission(spark):
+    """Round 6b: at small combo counts the blocked self-join emits each
+    surviving pair ONLY from its first colliding combo table — one
+    output row per pair with no dedup exchange in the plan; the wide-C
+    parameterization keeps the classic distinct fallback."""
+    from synspark.datapipe.dedup import simhash_near_dups
+
+    # sigs 5 and 4 differ in bit 0 only: block 0 corrupt, blocks 1-3
+    # intact -> the pair collides in THREE combo tables (1, 2, 3) and
+    # must still appear exactly once, via combo 1
+    sim = spark.createDataFrame([(1, 5), (2, 4), (3, 0x0FFF0FFF0FFF0FFF)],
+                                "doc_id long, simhash long")
+    rows = simhash_near_dups(sim, max_hamming=3).collect()
+    assert [(r["a"], r["b"], r["hamming"]) for r in rows] == [(1, 2, 1)]
+
+    # plan shape: default C(4,1)=4 -> no aggregate-based distinct, just
+    # the two join exchanges; C(6,3)=20 -> distinct fallback present
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+    p_fast = plan(simhash_near_dups(sim, max_hamming=3))
+    assert "HashAggregate" not in p_fast
+    assert p_fast.count("Exchange") <= 2 * p_fast.count("SortMergeJoin") \
+        or "BroadcastHashJoin" in p_fast
+    p_wide = plan(simhash_near_dups(sim, max_hamming=3, n_blocks=6,
+                                    blocks_per_key=3))
+    assert "HashAggregate" in p_wide
