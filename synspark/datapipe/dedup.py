@@ -445,6 +445,11 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     bounded as N grows (round-2 verdict: the fixed 16-bit width was the
     scaling caveat). All candidates are verified by exact bit_count, so
     every valid parameterization returns the SAME pair set.
+
+    ``sim`` is expected to hold one row per doc (what ``simhash()``
+    emits); duplicated (id, simhash) input rows would duplicate pair
+    rows on the small-C fast path (the wide-C path's trailing distinct
+    still collapses them).
     """
     from itertools import combinations
     if n_blocks - blocks_per_key < max_hamming:
