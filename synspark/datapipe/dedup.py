@@ -257,15 +257,21 @@ def dedup_drop_list(df: DataFrame, shingle_k: int = 3, n_hashes: int = 8,
     three times."""
     keyed = df.select(F.md5(F.col(text_col)).alias("dup_key"),
                       F.col(id_col))
-    groups = (keyed.groupBy("dup_key")
-              .agg(F.min(id_col).alias("keep"),
-                   F.count("*").alias("n"))
-              .filter(F.col("n") > 1))
+    # min-id-survives via ONE exchange (round 6b): row_number over the
+    # md5 group ordered by id — every row but the group minimum drops,
+    # which is exactly the old groupBy(min)+self-join's output with one
+    # hash partitioning instead of two shuffles plus a string-keyed
+    # sort-merge join. A hot dup_key still lands in one task either
+    # way (the SMJ buffered it too); the window streams it without
+    # materializing arrays.
     # reused (output branch + survivor anti-join) AND upstream of every
     # near-stage branch: truncate lineage so the md5-group subtree isn't
     # re-inlined into each one (see jaccard_pairs note)
-    exact_drop = _ckpt(keyed.join(groups, "dup_key")
-                       .filter(F.col(id_col) != F.col("keep"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("dup_key").orderBy(id_col)
+    exact_drop = _ckpt(keyed
+                       .withColumn("_rn", F.row_number().over(w))
+                       .filter(F.col("_rn") > 1)
                        .select(F.col(id_col),
                                F.lit("exact").alias("reason")))
     # near-dup stage runs AFTER exact removal: a bucket of N identical
