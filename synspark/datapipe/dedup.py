@@ -430,7 +430,8 @@ def simhash(df: DataFrame, bits: int = 64, text_col: str = "text",
 def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id",
                       n_blocks: int = 4,
-                      blocks_per_key: int = 1) -> DataFrame:
+                      blocks_per_key: int = 1,
+                      split_hot_buckets: int | None = None) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ max_hamming, blocked
     Manku-style (Detecting Near-Duplicates for Web Crawling, WWW'07
     §3): the 64-bit signature splits into ``n_blocks`` disjoint bit
@@ -456,6 +457,22 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     emits); duplicated (id, simhash) input rows would duplicate pair
     rows on the small-C fast path (the wide-C path's trailing distinct
     still collapses them).
+
+    ``split_hot_buckets`` (round 6b, guide §2 skew): a sort-merge join
+    enumerates each bucket's quadratic pair volume in ONE task, so a
+    single boilerplate-hot block value serializes the whole operator
+    once its pair count passes ~10^8 (measured on a 100k-doc
+    templated corpus: the join barely sped up from 4 to 16 threads).
+    Pass a cell granule G (e.g. 4096) to split every bucket of n rows
+    into an S x S cell grid, S = ceil(n / G): each row lands in cell
+    row/column ``hash(id) mod S`` on its own side and replicates
+    across the S cells of the other axis, so every pair still meets
+    exactly once and a hot bucket fans out over S^2 join keys
+    (measured: 13.9 -> 4.1 s at 100k docs, 4->16-thread scaling
+    efficiency restored). Costs one bucket-count aggregation plus one
+    extra checkpoint (~0.5-0.8 s of fixed job time locally), which is
+    why it is opt-in: at <= 50k docs the skew it spreads is smaller
+    than that overhead. Output is identical with or without it.
     """
     from itertools import combinations
     if n_blocks - blocks_per_key < max_hamming:
@@ -502,10 +519,32 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
                       F.explode(F.array(*combo_entries)).alias("ck"))
              .select(id_col, "simhash", F.col("ck.combo").alias("_combo"),
                      F.col("ck.key").alias("_key")))
-    a = keyed.select(F.col(id_col).alias("a"),
-                     F.col("simhash").alias("ha"), "_combo", "_key")
-    b = keyed.select(F.col(id_col).alias("b"),
-                     F.col("simhash").alias("hb"), "_combo", "_key")
+    join_keys = ["_combo", "_key"]
+    if split_hot_buckets:
+        g = int(split_hot_buckets)
+        cnts = keyed.groupBy("_combo", "_key").agg(F.count("*").alias("_n"))
+        # checkpoint: both grid sides read the salted table; the count
+        # attach (broadcast — the count frame is bucket-sized) and the
+        # C-way explode would otherwise re-run once per side
+        keyed = _ckpt(keyed.join(F.broadcast(cnts), join_keys)
+                      .withColumn("_S", F.ceil(F.col("_n") / F.lit(g))
+                                  .cast("int"))
+                      .withColumn("_h", F.pmod(F.hash(F.col(id_col)),
+                                               F.col("_S")))
+                      .drop("_n"))
+        spread = F.explode(F.sequence(F.lit(0), F.col("_S") - 1))
+        a = keyed.select(F.col(id_col).alias("a"),
+                         F.col("simhash").alias("ha"), "_combo", "_key",
+                         F.col("_h").alias("_ca"), spread.alias("_cb"))
+        b = keyed.select(F.col(id_col).alias("b"),
+                         F.col("simhash").alias("hb"), "_combo", "_key",
+                         F.col("_h").alias("_cb"), spread.alias("_ca"))
+        join_keys = join_keys + ["_ca", "_cb"]
+    else:
+        a = keyed.select(F.col(id_col).alias("a"),
+                         F.col("simhash").alias("ha"), "_combo", "_key")
+        b = keyed.select(F.col(id_col).alias("b"),
+                         F.col("simhash").alias("hb"), "_combo", "_key")
     # hamming filter BEFORE the dedup shuffle: the bucket join's raw
     # pair volume is quadratic in bucket population (240M pair rows at
     # sf1.0 — templated text makes block values hot), and the filter
@@ -515,7 +554,7 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3,
     # reach an exchange (guide §2.3: shuffle fewer bytes).
     x = F.col("ha").bitwiseXOR(F.col("hb"))
     ham = F.bit_count(x)
-    j = (a.join(b, ["_combo", "_key"]).filter(F.col("a") < F.col("b"))
+    j = (a.join(b, join_keys).filter(F.col("a") < F.col("b"))
          .withColumn("hamming", ham)
          .filter(F.col("hamming") <= max_hamming))
     if len(combos) <= 8:

@@ -141,3 +141,24 @@ def test_simhash_first_combo_emission(spark):
     p_wide = plan(simhash_near_dups(sim, max_hamming=3, n_blocks=6,
                                     blocks_per_key=3))
     assert "HashAggregate" in p_wide
+
+
+def test_simhash_hot_bucket_grid(spark):
+    """split_hot_buckets grid-salts the blocked self-join: pair sets
+    are identical with and without it, including pairs inside one hot
+    bucket and across salt cells."""
+    from synspark.datapipe.dedup import simhash_near_dups
+
+    # 40 docs share block 0 (low 16 bits) -> one hot bucket; ids vary
+    # so hash(id) spreads them over grid cells. A handful of genuinely
+    # near signatures (hamming <= 3) hide inside it.
+    rows = []
+    for i in range(40):
+        high = (i // 8) << 20          # 5 clusters of 8 near sigs
+        low = 0x1234
+        rows.append((i, high | ((i % 8) << 16) | low))
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    plain = {tuple(r) for r in simhash_near_dups(sim, 3).collect()}
+    grid = {tuple(r) for r in
+            simhash_near_dups(sim, 3, split_hot_buckets=4).collect()}
+    assert plain == grid and plain
